@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Local testing runs `local[32]` (single JVM); on a real cluster the same
+  * settings apply except `master`, and shuffle partitions should be sized to
+  * ~2-3x total cores (AQE coalesces the excess at runtime, so a high static
+  * value is safe at 100 TB while 32 keeps local runs snappy).
+  */
+object GraftSession {
+
+  /** Standard builder. AQE is on so skewed shuffles re-plan at runtime
+    * (skew-join splitting + partition coalescing), which is the main
+    * defence this engine relies on when a key distribution at 100 TB
+    * differs from the test scale factors.
+    */
+  def builder(appName: String = "graft", master: String = "local[32]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+      // timestamp type, so surface it as Long and let Tables normalize.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft", master: String = "local[32]"): SparkSession = {
+    val spark = builder(appName, master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the configs a driver-created session (Verify/Bench contract mains
+    * build their own) still needs for the testdata to load correctly.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}
