@@ -10,7 +10,8 @@ object SparkEntry {
     * SQL-expressible). Extended module by module per SURVEY.md §2.
     */
   def allQueries: Seq[GraftQuery] =
-    ProvinceStats.all
+    ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
+      ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ADS layer — the publisher's MyBatis query suite (A5/A6,
+  * `PUB/mapper/ProductStatsMapper.java:15-41`, `VisitorStatsMapper.java:12-25`):
+  * day-level rollups with group + having + order by + limit top-N over the
+  * pre-aggregated stats. Re-expressed as a batch query library returning
+  * DataFrames (the REST serving layer is out of engine scope per SURVEY §3.3).
+  *
+  * Every top-N orders by (measure DESC, key ASC) so results are total-ordered
+  * and deterministic under any partitioning.
+  */
+object AdsQueries {
+
+  /** trademark top-N: `sum(order_amount) ... group by tm having >0 order by
+    * sum desc limit N` (`PUB/mapper/ProductStatsMapper.java:21-24`).
+    */
+  val trademarkTopN: GraftQuery = new GraftQuery {
+    val name = "ads_trademark_topn"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand").as("tm_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("order_amount"),
+          countDistinct(col("l_orderkey")).as("order_ct"))
+        .filter(col("order_amount") > 0)
+        .orderBy(col("order_amount").desc, col("tm_name"))
+        .limit(10)
+    }
+
+    def oracle: Option[String] = Some("""
+      SELECT p_brand AS tm_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             count(DISTINCT l_orderkey) AS order_ct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
+      ORDER BY order_amount DESC, tm_name LIMIT 10
+    """)
+  }
+
+  /** category3 top-N (`PUB/mapper/ProductStatsMapper.java:26-31`). */
+  val category3TopN: GraftQuery = new GraftQuery {
+    val name = "ads_category3_topn"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type").as("category3_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("order_amount"),
+          countDistinct(col("l_orderkey")).as("order_ct"))
+        .filter(col("order_amount") > 0)
+        .orderBy(col("order_amount").desc, col("category3_name"))
+        .limit(10)
+    }
+
+    def oracle: Option[String] = Some("""
+      SELECT p_type AS category3_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             count(DISTINCT l_orderkey) AS order_ct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
+      ORDER BY order_amount DESC, category3_name LIMIT 10
+    """)
+  }
+
+  /** spu grouping (`PUB/mapper/ProductStatsMapper.java:33-41`): p_size plays
+    * the spu grain (part has no mfgr column in the testdata).
+    */
+  val spuStats: GraftQuery = new GraftQuery {
+    val name = "ads_spu_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_size").as("spu_id"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("order_amount"),
+          countDistinct(col("l_orderkey")).as("order_ct"),
+          countDistinct(col("l_partkey")).as("sku_ct"))
+        .orderBy("spu_id")
+    }
+
+    def oracle: Option[String] = Some("""
+      SELECT p_size AS spu_id,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             count(DISTINCT l_orderkey) AS order_ct,
+             count(DISTINCT l_partkey) AS sku_ct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY spu_id
+    """)
+  }
+
+  /** visitor stats by new/returning (`PUB/mapper/VisitorStatsMapper.java:12-25`):
+    * per (day, is_new) uv and pv, is_new derived from first-seen day.
+    */
+  val newReturning: GraftQuery = new GraftQuery {
+    val name = "ads_new_returning"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      LogStats.enriched(spark, sfDir)
+        .groupBy(col("day"), col("is_new"))
+        .agg(
+          countDistinct(col("user_id")).as("uv_ct"),
+          count(lit(1)).as("pv_ct"))
+        .orderBy("day", "is_new")
+
+    def oracle: Option[String] = Some(LogStats.enrichedOracleSql + """
+      SELECT day, is_new,
+             count(DISTINCT user_id) AS uv_ct,
+             count(*) AS pv_ct
+      FROM ev GROUP BY 1, 2 ORDER BY day, is_new
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(trademarkTopN, category3TopN, spuStats, newReturning)
+}

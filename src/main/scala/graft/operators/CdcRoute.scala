@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven CDC routing — the reference's BaseDBApp + TableProcessFunction:
+  *
+  *  - S4 CDC envelope `{database, tableName, type, before, after}`
+  *    (`RT/app/function/CustomerDeserialization.java:26-72`), synthesized
+  *    here from the `orders` table (status → change type).
+  *  - P2 delete filter (`RT/app/dwd/BaseDBApp.java:58-66`).
+  *  - P6 broadcast-config router: config keyed (sourceTable, operateType)
+  *    decides sink type + table; unmatched records dropped
+  *    (`RT/app/function/TableProcessFunction.java:28-156`).
+  *  - P5 column pruning by the config's sinkColumns CSV
+  *    (`RT/app/function/TableProcessFunction.java:165-177`), done with
+  *    `map_filter` over the dynamic payload map.
+  *
+  * Spark-first shape: the config is a tiny inline DataFrame broadcast into
+  * an equi-join — the exact analog of Flink's broadcast state, but
+  * declarative; per-micro-batch routing reuses this same plan inside
+  * `foreachBatch` (see `graft.streaming.CdcPipeline`).
+  */
+object CdcRoute {
+
+  /** Synthesize the CDC envelope stream from `orders`: schema-dynamic
+    * payload (`after` map) inside the schema-fixed envelope.
+    */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        lit("graft").as("database"),
+        lit("order_info").as("tableName"),
+        when(col("o_orderstatus") === "O", "insert")
+          .when(col("o_orderstatus") === "P", "update")
+          .otherwise("delete").as("type"),
+        map(
+          lit("id"), col("o_orderkey").cast("string"),
+          lit("user_id"), col("o_custkey").cast("string"),
+          lit("total_amount"), col("o_totalprice").cast("string"),
+          lit("order_priority"), col("o_orderpriority")).as("after"))
+
+  /** Inline `table_process` config rows (FIXTURES.md §3). */
+  def config(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount"),
+      ("order_info", "update", "hbase", "dim_order_info", "id,total_amount"))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns")
+  }
+
+  val route: GraftQuery = new GraftQuery {
+    val name = "cdc_route"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val env = envelope(spark, sfDir).filter(col("type") =!= "delete")
+      val cfg = config(spark)
+      env
+        .join(broadcast(cfg),
+          env("tableName") === cfg("source_table") && env("type") === cfg("operate_type"))
+        .withColumn("kept_cols", split(col("sink_columns"), ","))
+        .withColumn("pruned",
+          map_filter(col("after"), (k, _) => array_contains(col("kept_cols"), k)))
+        .groupBy(col("sink_type"), col("sink_table"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(size(col("pruned"))).cast("long").as("col_cells"))
+        .orderBy("sink_type", "sink_table")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH env AS (
+        SELECT 'order_info' AS table_name,
+               CASE o_orderstatus WHEN 'O' THEN 'insert'
+                                  WHEN 'P' THEN 'update'
+                                  ELSE 'delete' END AS type
+        FROM orders
+      ), cfg(source_table, operate_type, sink_type, sink_table, n_cols) AS (
+        VALUES ('order_info', 'insert', 'kafka', 'dwd_order_info', 3),
+               ('order_info', 'update', 'hbase', 'dim_order_info', 2)
+      )
+      SELECT sink_type, sink_table, count(*) AS cnt,
+             CAST(sum(n_cols) AS BIGINT) AS col_cells
+      FROM env JOIN cfg
+        ON env.table_name = cfg.source_table AND env.type = cfg.operate_type
+      WHERE env.type <> 'delete'
+      GROUP BY 1, 2 ORDER BY sink_type, sink_table
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(route)
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavior-log suite over `events` — the reference's BaseLogApp /
+  * UniqueVisitApp / UserJumpDetailApp / VisitorStatsApp chain re-expressed
+  * as declarative Spark plans (batch form; the streaming stateful forms
+  * live in `graft.streaming` and share these semantics):
+  *
+  *  - P1 safe parse + route split  (`RT/app/dwd/BaseLogApp.java:46-62,94-144`)
+  *  - P3 new-user fixup            (`RT/app/dwd/BaseLogApp.java:65-92`)
+  *  - T1 UV first-visit-of-day dedup (`RT/app/dwd/UniqueVisitApp.java:52-90`)
+  *  - T2 bounce (jump-out) detection (`RT/app/dwd/UserJumpDetailApp.java:60-108`)
+  *  - A1 VisitorStats 3-way union + tumbling window (`RT/app/dws/VisitorStatsApp.java:126-188`)
+  *  - A5/A6 hourly rollup + ratio metrics (`PUB/mapper/VisitorStatsMapper.java:12-25`,
+  *    `PUB/bean/VisitorStats.java:35-64`)
+  *
+  * Scale design: every stateful derivation (first-seen, per-day dedup,
+  * session gaps) is a window function over ONE hash shuffle on `user_id`;
+  * per-day ranks reuse that partition via `lag(day)` instead of a second
+  * shuffle on (user_id, day). Gap arithmetic uses the full-precision
+  * `ts_ns` long so results are exact and order-independent.
+  */
+object LogStats {
+
+  private val SessionGapNs = 1800L * 1000000000L // 30 min session boundary
+  private val BounceWaitNs = 600L * 1000000000L  // 10 min "no follow-up" wait
+
+  /** events + per-user window derivations (single shuffle on user_id). */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("rn_user", row_number().over(w))
+      .withColumn("prev_gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .withColumn("next_gap_ns", lead(col("ts_ns"), 1).over(w) - col("ts_ns"))
+      .withColumn("uv_flag",
+        when(lag(col("day"), 1).over(w).isNull ||
+             lag(col("day"), 1).over(w) =!= col("day"), 1).otherwise(0))
+      .withColumn("first_day", min(col("day")).over(wu))
+      .withColumn("is_new", when(col("day") === col("first_day"), 1).otherwise(0))
+      .withColumn("entry_flag",
+        when(col("prev_gap_ns").isNull || col("prev_gap_ns") > SessionGapNs, 1).otherwise(0))
+      .withColumn("bounce_flag",
+        when(col("entry_flag") === 1 &&
+             (col("next_gap_ns").isNull || col("next_gap_ns") > BounceWaitNs), 1).otherwise(0))
+  }
+
+  /** Shared oracle CTE mirroring [[enriched]] exactly. */
+  private[operators] val enrichedOracleSql = """
+    WITH e AS (
+      SELECT *, strftime(ts, '%Y-%m-%d') AS day, epoch_ns(ts) AS tsn FROM events
+    ), x AS (
+      SELECT e.*,
+        row_number() OVER w AS rn_user,
+        tsn - lag(tsn) OVER w AS prev_gap_ns,
+        lead(tsn) OVER w - tsn AS next_gap_ns,
+        CASE WHEN lag(day) OVER w IS NULL OR lag(day) OVER w <> day THEN 1 ELSE 0 END AS uv_flag,
+        min(day) OVER (PARTITION BY user_id) AS first_day
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    ), en AS (
+      SELECT x.*,
+        CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+        CASE WHEN prev_gap_ns IS NULL OR prev_gap_ns > 1800000000000 THEN 1 ELSE 0 END AS entry_flag
+      FROM x
+    ), ev AS (
+      SELECT en.*,
+        CASE WHEN entry_flag = 1 AND (next_gap_ns IS NULL OR next_gap_ns > 600000000000)
+             THEN 1 ELSE 0 END AS bounce_flag
+      FROM en
+    )"""
+
+  /** P1+P4: parse the JSON `props` payload, route records by type (the
+    * page/start/display/action/error 3-way+ split), count per route.
+    */
+  val logSplit: GraftQuery = new GraftQuery {
+    val name = "log_split"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("route",
+          when(col("event_type") === "view", "dwd_page_log")
+            .when(col("event_type") === "signup", "dwd_start_log")
+            .when(col("event_type") === "click", "dwd_display_log")
+            .when(col("event_type") === "purchase", "dwd_action_log")
+            .otherwise("dwd_error_log"))
+        .groupBy(col("route"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("user_ct"),
+          sum(col("k")).as("k_sum"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("value_sum"))
+        .orderBy("route")
+
+    def oracle: Option[String] = Some("""
+      SELECT CASE event_type
+               WHEN 'view' THEN 'dwd_page_log'
+               WHEN 'signup' THEN 'dwd_start_log'
+               WHEN 'click' THEN 'dwd_display_log'
+               WHEN 'purchase' THEN 'dwd_action_log'
+               ELSE 'dwd_error_log' END AS route,
+             count(*) AS cnt,
+             count(DISTINCT user_id) AS user_ct,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
+      FROM events
+      GROUP BY 1 ORDER BY route
+    """)
+  }
+
+  /** P3: stateful new-user fixup — `is_new` holds only for a user's first
+    * ever event; later claims are rewritten. Daily rollup of the result.
+    */
+  val newUserFix: GraftQuery = new GraftQuery {
+    val name = "new_user_fix"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      enriched(spark, sfDir)
+        .withColumn("fixed_is_new", when(col("rn_user") === 1, 1).otherwise(0))
+        .groupBy(col("day"))
+        .agg(
+          sum(col("fixed_is_new")).cast("long").as("new_ct"),
+          count(lit(1)).as("pv_ct"))
+        .orderBy("day")
+
+    def oracle: Option[String] = Some(enrichedOracleSql + """
+      SELECT day,
+             CAST(sum(CASE WHEN rn_user = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_ct,
+             count(*) AS pv_ct
+      FROM ev GROUP BY day ORDER BY day
+    """)
+  }
+
+  /** T1: unique-visitor dedup — first event per (user, day) survives. */
+  val uniqueVisit: GraftQuery = new GraftQuery {
+    val name = "unique_visit"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      enriched(spark, sfDir)
+        .groupBy(col("day"))
+        .agg(sum(col("uv_flag")).cast("long").as("uv_ct"))
+        .orderBy("day")
+
+    def oracle: Option[String] = Some(enrichedOracleSql + """
+      SELECT day, CAST(sum(uv_flag) AS BIGINT) AS uv_ct
+      FROM ev GROUP BY day ORDER BY day
+    """)
+  }
+
+  /** T2+A6: bounce detection (session entry with no follow-up inside the
+    * wait window) + the publisher's ratio metric, floor-scaled to basis
+    * points so the value is integer-exact on both engines.
+    */
+  val bounce: GraftQuery = new GraftQuery {
+    val name = "bounce"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      enriched(spark, sfDir)
+        .groupBy(col("day"))
+        .agg(
+          sum(col("entry_flag")).cast("long").as("session_ct"),
+          sum(col("bounce_flag")).cast("long").as("bounce_ct"))
+        .withColumn("bounce_rate_bp",
+          when(col("session_ct") > 0,
+            floor(col("bounce_ct") * lit(10000.0) / col("session_ct"))).cast("long"))
+        .select("day", "session_ct", "bounce_ct", "bounce_rate_bp")
+        .orderBy("day")
+
+    def oracle: Option[String] = Some(enrichedOracleSql + """
+      SELECT day,
+             CAST(sum(entry_flag) AS BIGINT) AS session_ct,
+             CAST(sum(bounce_flag) AS BIGINT) AS bounce_ct,
+             CASE WHEN sum(entry_flag) > 0
+                  THEN CAST(floor(sum(bounce_flag) * 10000.0 / sum(entry_flag)) AS BIGINT)
+             END AS bounce_rate_bp
+      FROM ev GROUP BY day ORDER BY day
+    """)
+  }
+
+  /** A1+P8+T4: VisitorStats — three one-hot projections (pv/sv, uv, uj)
+    * unioned, then a 10 s tumbling window aggregation keyed by the `is_new`
+    * dimension, window bounds emitted as formatted stt/edt strings.
+    */
+  val visitorStats: GraftQuery = new GraftQuery {
+    val name = "visitor_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val base = enriched(spark, sfDir)
+      def proj(pv: Column, uv: Column, sv: Column, uj: Column, dur: Column) =
+        Seq(col("ts"), col("is_new"), pv.as("pv"), uv.as("uv"), sv.as("sv"),
+          uj.as("uj"), dur.cast(DecimalType(18, 2)).as("dur"))
+      val pvRows = base.select(proj(lit(1), lit(0), col("entry_flag"), lit(0), col("value")): _*)
+      val uvRows = base.filter(col("uv_flag") === 1)
+        .select(proj(lit(0), lit(1), lit(0), lit(0), lit(0.0)): _*)
+      val ujRows = base.filter(col("bounce_flag") === 1)
+        .select(proj(lit(0), lit(0), lit(0), lit(1), lit(0.0)): _*)
+      pvRows.unionByName(uvRows).unionByName(ujRows)
+        .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
+        .agg(
+          sum(col("uv")).cast("long").as("uv_ct"),
+          sum(col("pv")).cast("long").as("pv_ct"),
+          sum(col("sv")).cast("long").as("sv_ct"),
+          sum(col("uj")).cast("long").as("uj_ct"),
+          sum(col("dur")).cast(DecimalType(38, 2)).as("dur_sum"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+        .orderBy("stt", "is_new")
+    }
+
+    def oracle: Option[String] = Some(enrichedOracleSql + """
+      , u AS (
+        SELECT ts, is_new, 1 AS pv, 0 AS uv, entry_flag AS sv, 0 AS uj,
+               CAST(value AS DECIMAL(18,2)) AS dur FROM ev
+        UNION ALL
+        SELECT ts, is_new, 0, 1, 0, 0, CAST(0 AS DECIMAL(18,2)) FROM ev WHERE uv_flag = 1
+        UNION ALL
+        SELECT ts, is_new, 0, 0, 0, 1, CAST(0 AS DECIMAL(18,2)) FROM ev WHERE bounce_flag = 1
+      )
+      SELECT strftime(make_timestamp((epoch_ns(ts) // 10000000000) * 10000000), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(make_timestamp((epoch_ns(ts) // 10000000000) * 10000000 + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
+             is_new,
+             CAST(sum(uv) AS BIGINT) AS uv_ct,
+             CAST(sum(pv) AS BIGINT) AS pv_ct,
+             CAST(sum(sv) AS BIGINT) AS sv_ct,
+             CAST(sum(uj) AS BIGINT) AS uj_ct,
+             CAST(sum(dur) AS DECIMAL(38,2)) AS dur_sum
+      FROM u GROUP BY 1, 2, 3 ORDER BY stt, is_new
+    """)
+  }
+
+  /** A5 hourly rollup: uv/pv and new-user uv per (day, hour) — the
+    * publisher's `sum(if(is_new='1',uv_ct,0))` hourly query.
+    */
+  val hourlyVisitors: GraftQuery = new GraftQuery {
+    val name = "hourly_visitors"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      enriched(spark, sfDir)
+        .groupBy(col("day"), hour(col("ts")).cast("long").as("hr"))
+        .agg(
+          countDistinct(col("user_id")).as("uv_ct"),
+          count(lit(1)).as("pv_ct"),
+          countDistinct(when(col("is_new") === 1, col("user_id"))).as("new_uv_ct"))
+        .orderBy("day", "hr")
+
+    def oracle: Option[String] = Some(enrichedOracleSql + """
+      SELECT day, CAST(hour(ts) AS BIGINT) AS hr,
+             count(DISTINCT user_id) AS uv_ct,
+             count(*) AS pv_ct,
+             count(DISTINCT CASE WHEN is_new = 1 THEN user_id END) AS new_uv_ct
+      FROM ev GROUP BY 1, 2 ORDER BY day, hr
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(logSplit, newUserFix, uniqueVisit, bounce, visitorStats, hourlyVisitors)
+}
