@@ -11,7 +11,8 @@ object SparkEntry {
     */
   def allQueries: Seq[GraftQuery] =
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
-      ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all
+      ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

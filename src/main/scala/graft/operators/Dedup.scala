@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * and `embeddings`: exact, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup. Each is the standard scale path:
+  *
+  *  - exact: one hash-groupBy shuffle, keeps the min doc id per group.
+  *  - minhash_lsh: shingle → k salted min-hashes → band signatures →
+  *    equi-join on (band, signature) → exact Jaccard verify on the
+  *    candidates only. The only join is the band-bucket equi-join, so cost
+  *    is O(collisions), never O(n²).
+  *  - simhash: 16-bit signature; candidate pairs blocked on equality of
+  *    either signature half (pigeonhole: hamming ≤ 2 ⟹ one half equal),
+  *    verified by exact hamming distance. Equi-joins only.
+  *  - ngram_jaccard: char-5-gram Jaccard, candidates blocked by language
+  *    (residual length filter); at 100 TB the block key would gain a
+  *    length band. Output is the above-threshold pair list.
+  *  - embedding cosine: exact cosine within label blocks (IVF-style
+  *    partition blocking); the ANN variants live in Similarity.scala.
+  *
+  * Pair outputs are (doc_a < doc_b) with floor-scaled scores so every value
+  * is integer-exact; deterministic total order on all columns.
+  */
+object Dedup {
+
+  /** Exact dedup: md5-hash groupBy, min doc id survives. */
+  val exact: GraftQuery = new GraftQuery {
+    val name = "dedup_exact"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+        .select("keep_id", "dup_ct", "fp")
+        .orderBy("keep_id")
+
+    def oracle: Option[String] = Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS dup_ct, md5(text) AS fp
+      FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """)
+  }
+
+  /** MinHash+LSH near-dup: word-bigram shingles, k=9 salted-md5 min-hashes
+    * in 3 bands x 3 rows, Jaccard-verified at ≥ 0.5.
+    */
+  val minhashLsh: GraftQuery = new GraftQuery {
+    val name = "dedup_minhash_lsh"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val sh = docs
+        .select(col("doc_id"), wordShingles(tokens(col("text")), 2).as("sg"))
+        .filter(size(col("sg")) > 0)
+      val ex = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+      val mh = ex.groupBy("doc_id").agg(
+        min(md5(concat(lit("s1|"), col("s")))).as("h1"),
+        (2 to 9).map(i => min(md5(concat(lit(s"s$i|"), col("s")))).as(s"h$i")): _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+          struct(lit(1).as("band"), concat(col("h1"), col("h2"), col("h3")).as("sig")),
+          struct(lit(2).as("band"), concat(col("h4"), col("h5"), col("h6")).as("sig")),
+          struct(lit(3).as("band"), concat(col("h7"), col("h8"), col("h9")).as("sig")))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("inter", size(array_intersect(col("sa.sg"), col("sb.sg"))))
+        .withColumn("uni", size(col("sa.sg")) + size(col("sb.sg")) - col("inter"))
+        .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
+        .filter(col("jac_bp") >= 5000)
+        .select("doc_a", "doc_b", "jac_bp")
+        .orderBy("doc_a", "doc_b")
+    }
+
+    def oracle: Option[String] = {
+      val mins = (1 to 9).map(i => s"min(md5('s$i|' || s)) AS h$i").mkString(", ")
+      Some(duckToksCte + s"""
+      , sh AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(generate_series(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1])) END AS sg
+        FROM toks),
+      shf AS (SELECT * FROM sh WHERE len(sg) > 0),
+      ex AS (SELECT doc_id, unnest(sg) AS s FROM shf),
+      mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 1 AS band, h1 || h2 || h3 AS sig FROM mh
+        UNION ALL SELECT doc_id, 2, h4 || h5 || h6 FROM mh
+        UNION ALL SELECT doc_id, 3, h7 || h8 || h9 FROM mh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      v AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.sg, sb.sg)) AS inter,
+               len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) AS uni
+        FROM cand
+        JOIN shf sa ON doc_a = sa.doc_id
+        JOIN shf sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, CAST(floor(inter * 10000.0 / uni) AS BIGINT) AS jac_bp
+      FROM v WHERE floor(inter * 10000.0 / uni) >= 5000
+      ORDER BY doc_a, doc_b
+      """)
+    }
+  }
+
+  /** SimHash near-dup: 16-bit signature over distinct tokens (bit b votes
+    * ±1 by bit b of the token's 16-bit md5 hash), half-signature equality
+    * blocking, hamming ≤ 2, deterministic top-200 (cap logged in the name
+    * of the column `capped_to`-free contract: ORDER BY hamming, pair).
+    */
+  val simhash: GraftQuery = new GraftQuery {
+    val name = "dedup_simhash"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val ex = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+        .withColumn("v", hash16(col("w")))
+      val counters = ex.groupBy("doc_id").agg(
+        sum(when(shiftright(col("v"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
+        (1 until 16).map(b =>
+          sum(when(shiftright(col("v"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$b")): _*)
+      val sig = counters.select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"c$b") > 0, 1 << b).otherwise(0))
+          .reduce(_ + _).as("sig"))
+        .withColumn("hi", shiftright(col("sig"), 8))
+        .withColumn("lo", col("sig").bitwiseAND(255))
+      def block(k: String) = sig.as("a")
+        .join(sig.as("b"), col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      block("hi").unionByName(block("lo")).distinct()
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(200)
+    }
+
+    def oracle: Option[String] = {
+      val v = duckHash16("w")
+      val counters = (0 until 16)
+        .map(b => s"sum(CASE WHEN ($v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(", ")
+      val sigExpr = (0 until 16)
+        .map(b => s"(CASE WHEN c$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      Some(duckToksCte + s"""
+      , ex AS (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM toks),
+      counters AS (SELECT doc_id, $counters FROM ex GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, $sigExpr AS sig FROM counters),
+      sigb AS (SELECT doc_id, sig, sig >> 8 AS hi, sig & 255 AS lo FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM sigb a JOIN sigb b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        UNION
+        SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
+        FROM sigb a JOIN sigb b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
+      FROM pairs
+      WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 2
+      ORDER BY hamming, doc_a, doc_b LIMIT 200
+      """)
+    }
+  }
+
+  /** Char-5-gram Jaccard near-dup, language-blocked with a ±30 char length
+    * residual, threshold 0.6.
+    */
+  val ngramJaccard: GraftQuery = new GraftQuery {
+    val name = "dedup_ngram_jaccard"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val g = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          charShingles(lower(col("text")), 5).as("sg"))
+        .filter(size(col("sg")) > 0)
+      g.as("a")
+        .join(g.as("b"),
+          col("a.lang") === col("b.lang") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 30 &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", size(array_intersect(col("a.sg"), col("b.sg"))))
+        .withColumn("uni", size(col("a.sg")) + size(col("b.sg")) - col("inter"))
+        .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
+        .filter(col("jac_bp") >= 6000)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jac_bp"))
+        .orderBy("doc_a", "doc_b")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH g AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN length(text) < 5 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(generate_series(1, length(text)-4),
+                           i -> substr(lower(text), i, 5))) END AS sg
+        FROM documents),
+      gf AS (SELECT * FROM g WHERE len(sg) > 0),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sg, b.sg)) AS inter,
+               len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS uni
+        FROM gf a JOIN gf b
+          ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 30
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(floor(inter * 10000.0 / uni) AS BIGINT) AS jac_bp
+      FROM p WHERE floor(inter * 10000.0 / uni) >= 6000
+      ORDER BY doc_a, doc_b
+    """)
+  }
+
+  /** Embedding-cosine near-dup within label blocks (exact cosine in double
+    * precision, floor-scaled; ≥ 0.30).
+    */
+  val embeddingCosine: GraftQuery = new GraftQuery {
+    val name = "dedup_embedding_cosine"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      e.as("a")
+        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot",
+          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), _ + _))
+        .withColumn("cos_bp",
+          floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
+        .filter(col("cos_bp") >= 3000)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
+        .orderBy("vec_a", "vec_b")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * b.v[i])) AS dot,
+               a.nrm * b.nrm AS nn
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, CAST(floor(dot * 10000.0 / nn) AS BIGINT) AS cos_bp
+      FROM p WHERE floor(dot * 10000.0 / nn) >= 3000
+      ORDER BY vec_a, vec_b
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine)
+}

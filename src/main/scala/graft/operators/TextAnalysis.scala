@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (BASELINE.json north star; not in the reference's scope): per-document
+  * statistics, quality scoring, language identification, token counting,
+  * and fingerprinting over the `documents` table.
+  *
+  * Scale design: every query is a single narrow projection per document —
+  * no shuffle at all except the final deterministic ORDER BY (dropped in
+  * production use; it exists for oracle comparison). All expressions are
+  * built-in functions (whole-stage codegen), no UDFs. Ratios are emitted
+  * floor-scaled to basis points so values are integer-exact on any engine.
+  */
+object TextAnalysis {
+
+  /** Token/char statistics + quality score: length, punctuation/stopword
+    * ratios, whitespace token count and a BPE-ish chars/4 estimate.
+    */
+  val textStats: GraftQuery = new GraftQuery {
+    val name = "text_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+        .withColumn("char_ct", length(col("text")))
+        .withColumn("token_ct", size(col("ws")))
+        .withColumn("uniq_token_ct", size(array_distinct(col("ws"))))
+        .withColumn("bpe_token_ct", ceil(col("char_ct") / 4.0).cast("long"))
+        .withColumn("stop_ct",
+          size(filter(col("ws"), w => w.isin("the", "a", "of", "to", "and"))))
+        .withColumn("alnum_ct", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+        .withColumn("space_ct", col("char_ct") - length(regexp_replace(col("text"), " ", "")))
+        .withColumn("punct_ct", col("char_ct") - col("alnum_ct") - col("space_ct"))
+        .withColumn("avg_token_len_x100",
+          when(col("token_ct") > 0,
+            floor(col("alnum_ct") * lit(100.0) / col("token_ct"))).cast("long"))
+        .withColumn("stop_ratio_bp",
+          when(col("token_ct") > 0,
+            floor(col("stop_ct") * lit(10000.0) / col("token_ct"))).cast("long"))
+        .withColumn("quality_bp",
+          when(col("token_ct") > 0 && col("char_ct") > 0,
+            floor(lit(10000.0) * (
+              lit(0.3) * least(lit(1.0), col("token_ct") / lit(100.0)) +
+              lit(0.4) * (lit(1.0) - col("stop_ct") * lit(1.0) / col("token_ct")) +
+              lit(0.3) * (col("alnum_ct") * lit(1.0) / col("char_ct"))))).cast("long"))
+        .select("doc_id", "char_ct", "token_ct", "uniq_token_ct", "bpe_token_ct",
+          "stop_ct", "alnum_ct", "space_ct", "punct_ct",
+          "avg_token_len_x100", "stop_ratio_bp", "quality_bp")
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , s AS (
+        SELECT doc_id,
+               length(text) AS char_ct,
+               len(ws) AS token_ct,
+               len(list_distinct(ws)) AS uniq_token_ct,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_ct,
+               len(list_filter(ws, w -> w IN ('the','a','of','to','and'))) AS stop_ct,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_ct,
+               length(text) - length(regexp_replace(text, ' ', '', 'g')) AS space_ct
+        FROM toks)
+      SELECT doc_id, char_ct, token_ct, uniq_token_ct, bpe_token_ct, stop_ct,
+             alnum_ct, space_ct,
+             char_ct - alnum_ct - space_ct AS punct_ct,
+             CASE WHEN token_ct > 0
+                  THEN CAST(floor(alnum_ct * 100.0 / token_ct) AS BIGINT) END AS avg_token_len_x100,
+             CASE WHEN token_ct > 0
+                  THEN CAST(floor(stop_ct * 10000.0 / token_ct) AS BIGINT) END AS stop_ratio_bp,
+             CASE WHEN token_ct > 0 AND char_ct > 0
+                  THEN CAST(floor(10000.0 * (
+                         0.3 * least(1.0, token_ct / 100.0) +
+                         0.4 * (1.0 - stop_ct * 1.0 / token_ct) +
+                         0.3 * (alnum_ct * 1.0 / char_ct))) AS BIGINT) END AS quality_bp
+      FROM s ORDER BY doc_id
+    """)
+  }
+
+  /** Language ID by marker-token voting (n-gram-heuristic family): score per
+    * candidate language = count of that language's marker tokens; argmax
+    * with a fixed priority for ties, 'und' when no marker hits.
+    */
+  val langId: GraftQuery = new GraftQuery {
+    val name = "lang_id"
+
+    private val markers = Seq(
+      "en" -> Seq("the", "a", "of"),
+      "es" -> Seq("el", "la", "los"),
+      "fr" -> Seq("le", "les", "des"),
+      "de" -> Seq("der", "die", "und"))
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val base = Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+      val scored = markers.foldLeft(base) { case (df, (lg, ms)) =>
+        df.withColumn(s"s_$lg", size(filter(col("ws"), w => w.isin(ms: _*))))
+      }
+      val best = markers.map { case (lg, _) => col(s"s_$lg") }
+      val pred = markers.foldRight(lit("und")) { case ((lg, _), other) =>
+        when(col(s"s_$lg") > 0 && col(s"s_$lg") === greatest(best: _*), lg).otherwise(other)
+      }
+      scored
+        .withColumn("pred_lang", pred)
+        .select(col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_fr"),
+          col("s_de"), col("pred_lang"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , s AS (
+        SELECT doc_id, lang,
+               len(list_filter(ws, w -> w IN ('the','a','of'))) AS s_en,
+               len(list_filter(ws, w -> w IN ('el','la','los'))) AS s_es,
+               len(list_filter(ws, w -> w IN ('le','les','des'))) AS s_fr,
+               len(list_filter(ws, w -> w IN ('der','die','und'))) AS s_de
+        FROM toks)
+      SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+             CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  ELSE 'und' END AS pred_lang
+      FROM s ORDER BY doc_id
+    """)
+  }
+
+  /** Document fingerprinting: a whole-document normalized-text md5 plus a
+    * rolling word-5-gram min fingerprint (winnowing-style representative
+    * hash, stable under small edits far from the minimum).
+    */
+  val fingerprint: GraftQuery = new GraftQuery {
+    val name = "doc_fingerprint"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+        .withColumn("fp_md5", md5(array_join(col("ws"), " ")))
+        .withColumn("sg", wordShingles(col("ws"), 5))
+        .withColumn("fp_shingle_min",
+          when(size(col("sg")) > 0, array_min(transform(col("sg"), s => md5(s)))))
+        .select("doc_id", "fp_md5", "fp_shingle_min")
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , f AS (
+        SELECT doc_id,
+               md5(array_to_string(ws, ' ')) AS fp_md5,
+               CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(generate_series(1, len(ws)-4),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+               END AS sg
+        FROM toks)
+      SELECT doc_id, fp_md5,
+             CASE WHEN len(sg) > 0
+                  THEN list_aggregate(list_transform(sg, s -> md5(s)), 'min') END AS fp_shingle_min
+      FROM f ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint)
+}
