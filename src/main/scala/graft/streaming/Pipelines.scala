@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming pipelines mirroring the reference's app topology:
+  * each Flink app becomes one streaming query; the Kafka topics between
+  * apps become file-staged directories in this zero-egress environment
+  * (the transforms are source-agnostic — swap `readStream.parquet` for
+  * `readStream.format("kafka")` + `from_json` on a cluster).
+  */
+object Pipelines {
+
+  /** events schema as stored (ts = nanos long per TESTDATA parquet). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files (stand-in
+    * for the Kafka ODS topic — file-source streaming picks up new files per
+    * micro-batch, the staging-table pattern from SURVEY §7.1); normalizes
+    * ts exactly like the batch loader.
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** A1 as a live query: watermarked 10 s tumbling visitor-stats window
+    * (the reference's 11 s watermark; `RT/app/dws/VisitorStatsApp.java:129,146`).
+    * Append output emits each window once the watermark passes — the same
+    * "final rows only" contract the reference gets from tumble windows.
+    */
+  def visitorStatsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "11 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        approx_count_distinct(col("user_id")).as("uv_ct_approx"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("uv_ct_approx"), col("dur_sum"))
+
+  /** P6/K2-K5 as a live query: config-driven CDC routing inside
+    * foreachBatch. Kafka-routed tables append to `out/kafka/<sink_table>`;
+    * dim (hbase-routed) tables are upserted into `out/dim/<sink_table>`
+    * keyed by the config's pk — the reference's Phoenix `upsert into`
+    * (`RT/app/function/DimSinkFunction.java:22-76`) as a keep-latest merge.
+    */
+  def routeCdcBatch(batch: DataFrame, config: DataFrame, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cfg = config.collect() // config table is tiny by contract
+    val live = batch.filter(col("type") =!= "delete")
+    cfg.foreach { row =>
+      val (src, op, sinkType, sinkTable, cols, pk) = (
+        row.getAs[String]("source_table"), row.getAs[String]("operate_type"),
+        row.getAs[String]("sink_type"), row.getAs[String]("sink_table"),
+        row.getAs[String]("sink_columns").split(",").toSeq, row.getAs[String]("sink_pk"))
+      val routed = live
+        .filter(col("tableName") === src && col("type") === op)
+        .select(cols.map(c => element_at(col("after"), c).as(c)): _*)
+      if (sinkType == "kafka") {
+        routed.write.mode("append").parquet(s"$outDir/kafka/$sinkTable")
+      } else { // dim upsert: keep-latest by pk
+        val path = s"$outDir/dim/$sinkTable"
+        val merged =
+          if (new java.io.File(path).exists()) {
+            val existing = spark.read.parquet(path)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(pk)).orderBy(col("_prio").desc)
+            routed.withColumn("_prio", lit(1))
+              .unionByName(existing.withColumn("_prio", lit(0)), allowMissingColumns = true)
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1)
+              .drop("_prio", "_rn")
+          } else routed
+        val tmp = s"$outDir/dim/.staging_$sinkTable"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      }
+    }
+  }
+}

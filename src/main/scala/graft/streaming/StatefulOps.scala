@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Page-view log record (the reference's dwd_page_log shape: device id,
+  * previous page — empty/null marks a session entry — and event time).
+  */
+case class PageLog(mid: String, lastPageId: String, ts: Timestamp) {
+  def isEntry: Boolean = lastPageId == null || lastPageId.isEmpty
+}
+
+/** A detected jump-out (bounce): the session-entry record itself. */
+case class Bounce(mid: String, ts: Timestamp)
+
+/** A deduplicated first-visit-of-day record. */
+case class Visit(mid: String, day: String, ts: Timestamp)
+
+/** A page log with the claimed first-visit flag (BaseLogApp's is_new). */
+case class FlaggedLog(mid: String, lastPageId: String, ts: Timestamp, isNew: Boolean)
+
+private case class PendingEntry(tsMillis: Long)
+private case class LastVisit(day: String)
+private case class Seen(first: Boolean)
+
+/** Streaming stateful operators — the reference's CEP/state jobs rebuilt on
+  * `flatMapGroupsWithState` with event-time timeouts:
+  *
+  *  - [[StatefulOps.bounces]]: UserJumpDetailApp's CEP pattern
+  *    (`RT/app/dwd/UserJumpDetailApp.java:60-108`): a session entry is a
+  *    bounce if the next event within 10 s is also an entry (match path) or
+  *    if nothing arrives within 10 s (timeout path). Flink CEP's
+  *    matched+timed-out union becomes one state machine: the pending entry
+  *    is stored, a 10 s event-time timer is registered, and either a
+  *    follow-up event or the timer resolves it.
+  *  - [[StatefulOps.uniqueVisits]]: UniqueVisitApp's per-mid daily dedup
+  *    with 24 h TTL (`RT/app/dwd/UniqueVisitApp.java:52-90`): ValueState of
+  *    last-seen day, evicted by an end-of-day event-time timeout.
+  *  - [[StatefulOps.fixNewUserFlags]]: BaseLogApp's is_new fixup
+  *    (`RT/app/dwd/BaseLogApp.java:65-92`): first-ever record per mid keeps
+  *    is_new=1, later ones are rewritten to 0.
+  *
+  * Scale design: state is one tiny record per device id, partitioned by the
+  * groupByKey shuffle; timeouts bound state growth exactly like the
+  * reference's TTL. Each function also works in batch mode (Spark runs
+  * flatMapGroupsWithState over a static Dataset with NoTimeout semantics
+  * handled by the caller passing sorted groups).
+  */
+object StatefulOps {
+
+  val BounceWaitMs = 10000L
+
+  /** Streaming bounce detection. Input must carry a watermark on `ts` for
+    * the event-time timeout to fire (the reference uses 1 s bounded
+    * out-of-orderness; tests mirror that).
+    */
+  def bounces(logs: Dataset[PageLog]): Dataset[Bounce] = {
+    implicit val be = Encoders.product[Bounce]
+    implicit val pe = Encoders.product[PendingEntry]
+    logs.groupByKey(_.mid)(Encoders.STRING)
+      .flatMapGroupsWithState[PendingEntry, Bounce](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (mid, events, state) =>
+          val out = Seq.newBuilder[Bounce]
+          var pending: Option[Long] = state.getOption.map(_.tsMillis)
+          if (state.hasTimedOut) {
+            pending.foreach(p => out += Bounce(mid, new Timestamp(p)))
+            pending = None
+            state.remove()
+          } else {
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              pending match {
+                case Some(p) if t - p > BounceWaitMs =>
+                  out += Bounce(mid, new Timestamp(p))
+                  pending = if (e.isEntry) Some(t) else None
+                case Some(p) =>
+                  if (e.isEntry) { out += Bounce(mid, new Timestamp(p)); pending = Some(t) }
+                  else pending = None
+                case None =>
+                  if (e.isEntry) pending = Some(t)
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(PendingEntry(p))
+                state.setTimeoutTimestamp(p + BounceWaitMs)
+              case None => if (state.exists) state.remove()
+            }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming unique-visitor dedup: emits the first entry-record per
+    * (mid, day); state holds the last seen day with a 24 h event-time TTL.
+    */
+  def uniqueVisits(logs: Dataset[PageLog]): Dataset[Visit] = {
+    implicit val ve = Encoders.product[Visit]
+    implicit val le = Encoders.product[LastVisit]
+    logs.groupByKey(_.mid)(Encoders.STRING)
+      .flatMapGroupsWithState[LastVisit, Visit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (mid, events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[Visit]
+            var last: Option[String] = state.getOption.map(_.day)
+            var maxTs = 0L
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              // reference keeps only session entries with a fresh day
+              val dayStr =
+                e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (e.isEntry && !last.contains(dayStr)) {
+                out += Visit(mid, dayStr, e.ts)
+                last = Some(dayStr)
+              }
+            }
+            last.foreach { d =>
+              state.update(LastVisit(d))
+              state.setTimeoutTimestamp(maxTs + 24L * 3600 * 1000) // 24 h TTL
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming is_new fixup: passes every record through, rewriting the
+    * claimed first-visit flag to false for any mid already seen.
+    */
+  def fixNewUserFlags(logs: Dataset[FlaggedLog]): Dataset[FlaggedLog] = {
+    implicit val oe = Encoders.product[FlaggedLog]
+    implicit val se = Encoders.product[Seen]
+    logs.groupByKey(_.mid)(Encoders.STRING)
+      .flatMapGroupsWithState[Seen, FlaggedLog](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state) =>
+          if (state.hasTimedOut) Iterator.empty
+          else {
+            var seen = state.exists
+            val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
+              val fixed = e.copy(isNew = if (seen) false else e.isNew)
+              seen = true
+              fixed
+            }
+            state.update(Seen(true))
+            out.iterator
+          }
+      }
+  }
+}

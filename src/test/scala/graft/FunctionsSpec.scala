@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.Tokenizer
+import graft.operators.Multimodal
+
+/** Unit behavior of the dependency-free kernels. */
+class FunctionsSpec extends SparkSpec {
+
+  test("tokenizer: ascii reduces to lowercase alnum-run split") {
+    assert(Tokenizer.splitWords("Spark SQL, fast & simple!") ==
+      Seq("spark", "sql", "fast", "simple"))
+  }
+
+  test("tokenizer: CJK runs emit overlapping bigrams (max-word analog)") {
+    assert(Tokenizer.splitWords("大数据") == Seq("大数", "数据"))
+    assert(Tokenizer.splitWords("spark大数据engine") ==
+      Seq("spark", "大数", "数据", "engine"))
+    assert(Tokenizer.splitWords("中") == Seq("中"))
+  }
+
+  test("tokenizer: null/empty safe") {
+    assert(Tokenizer.splitWords(null) == Seq.empty)
+    assert(Tokenizer.splitWords("") == Seq.empty)
+    assert(Tokenizer.splitWords("!!!") == Seq.empty)
+  }
+
+  test("multimodal: stub decode is deterministic and shape-stable") {
+    val f = Multimodal.decodeFeatures("hello world".getBytes("UTF-8"))
+    assert(f.length == 8)
+    assert(f sameElements Multimodal.decodeFeatures("hello world".getBytes("UTF-8")))
+    assert(Multimodal.decodeFeatures(Array.emptyByteArray).forall(_ == 0.0))
+  }
+
+  test("multimodal: resize keeps every step-th byte") {
+    val b = Array[Byte](0, 1, 2, 3, 4, 5, 6)
+    assert(Multimodal.resize(b, 3).toSeq == Seq[Byte](0, 3, 6))
+  }
+
+  test("multimodal: partition-batched feature extraction") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == media.count())
+    assert(feats.columns.toSeq == Seq("media_id", "byte_ct", "features"))
+  }
+}

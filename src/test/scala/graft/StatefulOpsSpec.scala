@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Event-time fixtures from FIXTURES.md §7 driven through MemoryStream:
+  * bounce match path, bounce timeout path, follow-up page (no bounce),
+  * UV same-day dedup and midnight crossing, new-user fixup.
+  */
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Run a bounded stream of PageLog through a stateful op and collect. */
+  private def runStream[T](logs: Seq[PageLog], late: PageLog)(
+      f: org.apache.spark.sql.Dataset[PageLog] => org.apache.spark.sql.Dataset[T]): Seq[T] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PageLog]
+    val ds = f(mem.toDS().withWatermark("ts", "1 second").as[PageLog])
+    val qname = s"t${System.nanoTime()}"
+    val q = ds.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(logs: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every pending timeout
+      mem.addData(late)
+      q.processAllAvailable()
+      spark.table(qname).as[T](ds.encoder).collect().toSeq
+    } finally q.stop()
+  }
+
+  private val farFuture = PageLog("zz-no-op", "p", ts("2024-01-02 00:00:00"))
+
+  test("bounce: entry→entry within 10s marks the first as bounce (match path)") {
+    val logs = Seq(
+      PageLog("m1", "", ts("2024-01-01 00:00:00")),
+      PageLog("m1", "", ts("2024-01-01 00:00:05")),
+      PageLog("m1", "home", ts("2024-01-01 00:00:07")))
+    val got = runStream(logs, farFuture)(StatefulOps.bounces)
+    assert(got.filter(_.mid == "m1").map(_.ts.getTime) == Seq(ts("2024-01-01 00:00:00").getTime))
+  }
+
+  test("bounce: entry with silence ≥ 10s bounces via timeout path") {
+    val logs = Seq(PageLog("m2", "", ts("2024-01-01 00:00:00")))
+    val got = runStream(logs, farFuture)(StatefulOps.bounces)
+    assert(got.filter(_.mid == "m2").map(_.ts.getTime) == Seq(ts("2024-01-01 00:00:00").getTime))
+  }
+
+  test("bounce: entry followed by a page within 10s is NOT a bounce") {
+    val logs = Seq(
+      PageLog("m3", "", ts("2024-01-01 00:00:00")),
+      PageLog("m3", "home", ts("2024-01-01 00:00:06")))
+    val got = runStream(logs, farFuture)(StatefulOps.bounces)
+    assert(got.count(_.mid == "m3") == 0)
+  }
+
+  test("bounce: late second entry (>10s) bounces the first AND the second") {
+    val logs = Seq(
+      PageLog("m4", "", ts("2024-01-01 00:00:00")),
+      PageLog("m4", "", ts("2024-01-01 00:00:30")))
+    val got = runStream(logs, farFuture)(StatefulOps.bounces)
+    assert(got.filter(_.mid == "m4").map(_.ts.getTime).sorted ==
+      Seq(ts("2024-01-01 00:00:00").getTime, ts("2024-01-01 00:00:30").getTime))
+  }
+
+  test("uv dedup: second same-day entry dropped, next-day entry kept") {
+    val logs = Seq(
+      PageLog("u1", "", ts("2024-01-01 08:00:00")),
+      PageLog("u1", "", ts("2024-01-01 12:00:00")),
+      PageLog("u1", "", ts("2024-01-02 08:00:00")))
+    val got = runStream(logs, farFuture.copy(ts = ts("2024-01-03 00:00:00")))(StatefulOps.uniqueVisits)
+    assert(got.filter(_.mid == "u1").map(_.day).sorted == Seq("2024-01-01", "2024-01-02"))
+  }
+
+  test("uv dedup: non-entry records never count as visits") {
+    val logs = Seq(PageLog("u2", "detail", ts("2024-01-01 08:00:00")))
+    val got = runStream(logs, farFuture)(StatefulOps.uniqueVisits)
+    assert(got.count(_.mid == "u2") == 0)
+  }
+
+  test("new-user fixup: claimed is_new=1 rewritten to 0 for a seen mid") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FlaggedLog]
+    val ds = StatefulOps.fixNewUserFlags(mem.toDS())
+    val q = ds.writeStream.format("memory").queryName("nuf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        FlaggedLog("n1", "", ts("2024-01-01 00:00:00"), isNew = true),
+        FlaggedLog("n1", "", ts("2024-01-01 00:01:00"), isNew = true))
+      q.processAllAvailable()
+      val got = spark.table("nuf").as[FlaggedLog].collect()
+        .filter(_.mid == "n1").sortBy(_.ts.getTime).map(_.isNew).toSeq
+      assert(got == Seq(true, false))
+    } finally q.stop()
+  }
+}

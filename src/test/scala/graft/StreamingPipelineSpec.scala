@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.Pipelines
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming pipelines vs batch semantics + the CDC router's sinks. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming visitor stats (complete mode) equals batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("eventsdir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = Pipelines.visitorStatsStream(Pipelines.eventsStream(spark, dir.toString))
+    val q = stream.writeStream.format("memory").queryName("vss")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vss")
+      val batch = Pipelines.visitorStatsStream(Tables.load(spark, sf, "events"))
+      val g = got.orderBy("stt", "event_type").collect().toSeq
+      val b = batch.orderBy("stt", "event_type").collect().toSeq
+      assert(g == b)
+    } finally q.stop()
+  }
+
+  test("cdc router: kafka append + dim keep-latest upsert") {
+    val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
+    val cfg = Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,total_amount", "id"),
+      ("order_info", "update", "hbase", "dim_order_info", "id,total_amount", "id"))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns", "sink_pk")
+    def env(id: String, typ: String, amount: String) =
+      (("graft", "order_info", typ), Map("id" -> id, "total_amount" -> amount))
+    val batch1 = Seq(env("1", "insert", "10"), env("2", "update", "20"), env("3", "delete", "30"))
+      .map { case ((d, t, ty), m) => (d, t, ty, m) }
+      .toDF("database", "tableName", "type", "after")
+    Pipelines.routeCdcBatch(batch1, cfg, out)
+    val batch2 = Seq(env("2", "update", "25"), env("4", "insert", "40"))
+      .map { case ((d, t, ty), m) => (d, t, ty, m) }
+      .toDF("database", "tableName", "type", "after")
+    Pipelines.routeCdcBatch(batch2, cfg, out)
+
+    val kafka = spark.read.parquet(s"$out/kafka/dwd_order_info")
+    assert(kafka.select("id").as[String].collect().sorted.toSeq == Seq("1", "4"))
+    // delete filtered (id=3 never lands anywhere)
+    assert(!kafka.columns.contains("type"))
+    val dim = spark.read.parquet(s"$out/dim/dim_order_info")
+    val dimRows = dim.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("total_amount")).toMap
+    assert(dimRows == Map("2" -> "25")) // latest batch wins the upsert
+  }
+}
