@@ -18,18 +18,27 @@ object TextFunctions {
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Distinct word n-gram shingles joined by spaces; fewer than n tokens →
-    * empty array (guard needed: Spark `sequence(1,0)` would count DOWN).
-    * DuckDB: `CASE WHEN len(ws) < n THEN CAST([] AS VARCHAR[]) ELSE
-    * list_distinct(list_transform(generate_series(1, len(ws)-(n-1)), i -> ...))`.
+    * empty array. Built from `slice` + `zip_with` so no lambda references a
+    * COMPUTED outer expression — Spark evaluates higher-order-function
+    * lambdas interpreted and re-evaluates any captured expression once PER
+    * ELEMENT (a `transform(..., i => element_at(toks, i))` formulation made
+    * the tokenizer run ~50x per row). DuckDB mirror:
+    * `CASE WHEN len(ws) < n THEN CAST([] AS VARCHAR[]) ELSE
+    * list_distinct(list_transform(generate_series(1, len(ws)-(n-1)), i -> ...))`
+    * (DuckDB's lambdas don't have this trap).
     */
-  def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+  def wordShingles(toks: Column, n: Int): Column = {
+    val len = size(toks) - (n - 1)
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(len <= 0, array().cast("array<string>")).otherwise(array_distinct(joined))
+  }
 
   /** Distinct character n-gram shingles of a string (string shorter than n →
-    * empty). DuckDB mirror uses `substr(t, i, n)` in a `list_transform`.
+    * empty). IMPORTANT: pass a plain column reference (not a computed
+    * expression) — the per-position lambda would re-evaluate a computed
+    * input once per character; apply normalization per shingle afterwards.
+    * DuckDB mirror uses `substr(t, i, n)` in a `list_transform`.
     */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))
@@ -44,14 +53,21 @@ object TextFunctions {
   def hash16(c: Column): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("int")
 
-  /** DuckDB SQL fragment for [[hash16]] over SQL expression `x`. */
-  def duckHash16(x: String): String = {
-    val digits = (1 to 4).map { i =>
-      val w = math.pow(16, 4 - i).toInt
+  /** First 24 bits of md5(x) as an Int — shingle-set hashing (16M space). */
+  def hash24(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("int")
+
+  /** DuckDB SQL fragment: first `digits` hex chars of md5(`x`) as an int. */
+  def duckHashHex(x: String, digits: Int): String = {
+    val terms = (1 to digits).map { i =>
+      val w = math.pow(16, digits - i).toLong
       s"(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1) * $w"
     }
-    "(" + digits.mkString(" + ") + ")"
+    "(" + terms.mkString(" + ") + ")"
   }
+
+  /** DuckDB SQL fragment for [[hash16]] over SQL expression `x`. */
+  def duckHash16(x: String): String = duckHashHex(x, 4)
 
   /** Shared DuckDB CTE producing `toks(documents.*, ws)` — the oracle
     * counterpart of [[tokens]] over the documents table.
