@@ -184,37 +184,32 @@ object LogStats {
     """)
   }
 
-  /** A1+P8+T4: VisitorStats — three one-hot projections (pv/sv, uv, uj)
-    * unioned, then a 10 s tumbling window aggregation keyed by the `is_new`
-    * dimension, window bounds emitted as formatted stt/edt strings.
+  /** A1+P8+T4: VisitorStats — the reference unions three one-hot streams
+    * (pv/sv, uv, uj) before a 10 s tumbling window keyed by `is_new`. All
+    * three derive from the same enriched event row, so the union is
+    * algebraically a single-scan aggregation (each event contributes
+    * pv=1, sv=entry, uv=uv_flag, uj=bounce_flag, dur=value to the same
+    * (window, is_new) group) — one events scan instead of three at 100 TB.
+    * The DuckDB oracle keeps the literal 3-way-union formulation, so the
+    * hash match proves the rewrite equivalent.
     */
   val visitorStats: GraftQuery = new GraftQuery {
     val name = "visitor_stats"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val base = enriched(spark, sfDir)
-      def proj(pv: Column, uv: Column, sv: Column, uj: Column, dur: Column) =
-        Seq(col("ts"), col("is_new"), pv.as("pv"), uv.as("uv"), sv.as("sv"),
-          uj.as("uj"), dur.cast(DecimalType(18, 2)).as("dur"))
-      val pvRows = base.select(proj(lit(1), lit(0), col("entry_flag"), lit(0), col("value")): _*)
-      val uvRows = base.filter(col("uv_flag") === 1)
-        .select(proj(lit(0), lit(1), lit(0), lit(0), lit(0.0)): _*)
-      val ujRows = base.filter(col("bounce_flag") === 1)
-        .select(proj(lit(0), lit(0), lit(0), lit(1), lit(0.0)): _*)
-      pvRows.unionByName(uvRows).unionByName(ujRows)
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      enriched(spark, sfDir)
         .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
         .agg(
-          sum(col("uv")).cast("long").as("uv_ct"),
-          sum(col("pv")).cast("long").as("pv_ct"),
-          sum(col("sv")).cast("long").as("sv_ct"),
-          sum(col("uj")).cast("long").as("uj_ct"),
-          sum(col("dur")).cast(DecimalType(38, 2)).as("dur_sum"))
+          sum(col("uv_flag")).cast("long").as("uv_ct"),
+          count(lit(1)).as("pv_ct"),
+          sum(col("entry_flag")).cast("long").as("sv_ct"),
+          sum(col("bounce_flag")).cast("long").as("uj_ct"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("dur_sum"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
           date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
           col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
         .orderBy("stt", "is_new")
-    }
 
     def oracle: Option[String] = Some(enrichedOracleSql + """
       , u AS (
