@@ -12,7 +12,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
+      SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
