@@ -50,6 +50,25 @@ object Pipelines {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"), col("uv_ct_approx"), col("dur_sum"))
 
+  /** J1 as a live query: the stream-stream interval join building the
+    * order wide table (`RT/app/dwd/OrderWideApp.java:80-88`). Watermarks on
+    * BOTH sides plus the time-bound join condition let Spark evict join
+    * state — exactly the reference's ±bound state retention, but enforced
+    * by the engine. Inner join, append mode, inclusive bounds.
+    */
+  def orderWideStream(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // watermarks require TIMESTAMP (not NTZ); session is pinned UTC so the
+    // cast is lossless
+    val o = orders.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withWatermark("o_orderdate", "30 days")
+    val l = lineitem.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .withWatermark("l_shipdate", "30 days")
+    o.join(l, expr(
+      """o_orderkey = l_orderkey AND
+         l_shipdate >= o_orderdate - INTERVAL 60 DAYS AND
+         l_shipdate <= o_orderdate + INTERVAL 60 DAYS"""))
+  }
+
   /** P6/K2-K5 as a live query: config-driven CDC routing inside
     * foreachBatch. Kafka-routed tables append to `out/kafka/<sink_table>`;
     * dim (hbase-routed) tables are upserted into `out/dim/<sink_table>`

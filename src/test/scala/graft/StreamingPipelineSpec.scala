@@ -26,6 +26,32 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    def stage(name: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"stage_$name")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$name.parquet"), dir.resolve("part-0.parquet"))
+      dir.toString
+    }
+    val o = spark.readStream
+      .schema(Tables.load(spark, sf, "orders").schema).parquet(stage("orders"))
+    val l = spark.readStream
+      .schema(Tables.load(spark, sf, "lineitem").schema).parquet(stage("lineitem"))
+    val q = Pipelines.orderWideStream(o, l)
+      .writeStream.format("memory").queryName("ows").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ows").count()
+      val oB = Tables.load(spark, sf, "orders")
+      val lB = Tables.load(spark, sf, "lineitem")
+      val batch = oB.join(lB,
+        oB("o_orderkey") === lB("l_orderkey") &&
+          lB("l_shipdate") >= date_add(oB("o_orderdate"), -60) &&
+          lB("l_shipdate") <= date_add(oB("o_orderdate"), 60)).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("cdc router: kafka append + dim keep-latest upsert") {
     val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
     val cfg = Seq(
