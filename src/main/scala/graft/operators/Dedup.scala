@@ -273,14 +273,14 @@ object Dedup {
     val name = "dedup_embedding_cosine"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DotProductDouble.register(spark)
       val e = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
       e.as("a")
         .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot",
-          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), _ + _))
+        .withColumn("dot", expr("dot_double(a.v, b.v)"))
         .withColumn("cos_bp",
           floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
         .filter(col("cos_bp") >= 3000)

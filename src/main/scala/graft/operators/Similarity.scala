@@ -26,17 +26,21 @@ object Similarity {
   private val Planes = 6
   private val Dims = 64
 
-  /** vectors as double arrays + L2 norm. */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  /** vectors as double arrays + L2 norm (norm = sqrt of self-dot via the
+    * codegen'd [[graft.expressions.DotProductDouble]] — same left-to-right
+    * summation as the interpreted `aggregate` fold it replaces).
+    */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.DotProductDouble.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+  }
 
   private def cosBp(a: String, b: String) =
-    floor(
-      aggregate(zip_with(col(s"$a.v"), col(s"$b.v"), (x, y) => x * y), lit(0.0), _ + _) *
-        lit(10000.0) / (col(s"$a.nrm") * col(s"$b.nrm"))).cast("long")
+    floor(expr(s"dot_double($a.v, $b.v)") *
+      lit(10000.0) / (col(s"$a.nrm") * col(s"$b.nrm"))).cast("long")
 
   /** Brute-force cosine top-5 for each query vector (vec_id < 10). */
   val annTopK: GraftQuery = new GraftQuery {
