@@ -39,8 +39,8 @@ object ProductStats {
           sum(when(col("l_returnflag") === "N" && col("l_linestatus") === "O", 1).otherwise(0))
             .cast("long").as("click_ct"),
           sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long").as("refund_ct"),
-          countDistinct(col("l_orderkey")).as("order_ct"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_orderkey")))
+          AggMode.distinctCount(spark, col("l_orderkey")).as("order_ct"),
+          AggMode.distinctCount(spark, when(col("l_returnflag") === "R", col("l_orderkey")))
             .as("refund_order_ct"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sku_num"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))

@@ -44,7 +44,7 @@ object ProvinceStats {
           window(col("o_orderdate"), "1 day"),
           col("n_nationkey"), col("n_name"), col("r_name"))
         .agg(
-          countDistinct(col("o_orderkey")).as("order_count"),
+          AggMode.distinctCount(spark, col("o_orderkey")).as("order_count"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DecimalType(38, 2)).as("order_amount"))
         .select(
