@@ -69,6 +69,32 @@ object Pipelines {
          l_shipdate <= o_orderdate + INTERVAL 60 DAYS"""))
   }
 
+  /** J2 as a live query: payment⋈order with the asymmetric bound (payment
+    * only AFTER the order, up to +90 days — the reference's −15 min/0
+    * contract shape at date grain).
+    */
+  def paymentWideStream(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withWatermark("o_orderdate", "30 days")
+    val l = lineitem.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .withWatermark("l_shipdate", "30 days")
+    o.join(l, expr(
+      """o_orderkey = l_orderkey AND
+         l_shipdate >= o_orderdate AND
+         l_shipdate <= o_orderdate + INTERVAL 90 DAYS"""))
+  }
+
+  /** A4 as a live query: tokenizer UDF + explode + running word counts over
+    * a document stream (update/complete-mode aggregation — the word count
+    * has no event time, matching the reference's keyword table refresh).
+    */
+  def keywordStream(docs: DataFrame): DataFrame = {
+    graft.functions.Tokenizer.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "explode(split_words(text)) AS word")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("ct"), approx_count_distinct(col("doc_id")).as("doc_ct_approx"))
+  }
+
   /** P6/K2-K5 as a live query: config-driven CDC routing inside
     * foreachBatch. Kafka-routed tables append to `out/kafka/<sink_table>`;
     * dim (hbase-routed) tables are upserted into `out/dim/<sink_table>`

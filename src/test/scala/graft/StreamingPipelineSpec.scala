@@ -52,6 +52,51 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("payment stream join: shipments before the order are excluded") {
+    def stage(name: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pstage_$name")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$name.parquet"), dir.resolve("part-0.parquet"))
+      dir.toString
+    }
+    val o = spark.readStream
+      .schema(Tables.load(spark, sf, "orders").schema).parquet(stage("orders"))
+    val l = spark.readStream
+      .schema(Tables.load(spark, sf, "lineitem").schema).parquet(stage("lineitem"))
+    val q = Pipelines.paymentWideStream(o, l)
+      .writeStream.format("memory").queryName("pws").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pws")
+      assert(streamed.filter(col("l_shipdate") < col("o_orderdate")).count() == 0)
+      val oB = Tables.load(spark, sf, "orders")
+      val lB = Tables.load(spark, sf, "lineitem")
+      val batch = oB.join(lB,
+        oB("o_orderkey") === lB("l_orderkey") &&
+          lB("l_shipdate") >= oB("o_orderdate") &&
+          lB("l_shipdate") <= date_add(oB("o_orderdate"), 90)).count()
+      assert(streamed.count() == batch)
+    } finally q.stop()
+  }
+
+  test("streaming keyword counts equal the batch keyword stats") {
+    val dir = java.nio.file.Files.createTempDirectory("kwdocs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), dir.resolve("part-0.parquet"))
+    val docs = spark.readStream
+      .schema(Tables.load(spark, sf, "documents").schema).parquet(dir.toString)
+    val q = Pipelines.keywordStream(docs)
+      .writeStream.format("memory").queryName("kws").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kws").select("word", "ct")
+        .orderBy("word").collect().toSeq
+      val batch = graft.operators.KeywordStats.keywordStats.run(spark, sf)
+        .select("word", "ct").orderBy("word").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("cdc router: kafka append + dim keep-latest upsert") {
     val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
     val cfg = Seq(
