@@ -21,6 +21,14 @@ case class Visit(mid: String, day: String, ts: Timestamp)
 /** A page log with the claimed first-visit flag (BaseLogApp's is_new). */
 case class FlaggedLog(mid: String, lastPageId: String, ts: Timestamp, isNew: Boolean)
 
+/** A raw user event (the `events` table shape) with full-precision time. */
+case class RawEvent(user_id: Long, event_id: Long, ts: Timestamp, tsNs: Long)
+
+/** A bounce detected on the raw event stream (full-precision key). */
+case class UserBounce(user_id: Long, tsNs: Long)
+
+private case class SessionState(lastNs: Long, pendingNs: Long)
+
 private case class PendingEntry(tsMillis: Long)
 private case class LastVisit(day: String)
 private case class Seen(first: Boolean)
@@ -89,6 +97,49 @@ object StatefulOps {
                 state.setTimeoutTimestamp(p + BounceWaitMs)
               case None => if (state.exists) state.remove()
             }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming sessionization + bounce over the RAW event stream — the
+    * stateful twin of the batch `bounce` query (`LogStats`): an event is a
+    * session entry when the per-user gap exceeds 30 min; an entry bounces
+    * when no event follows within 10 min (follow-up event or event-time
+    * timer resolves it). Gap arithmetic uses full-precision nanos exactly
+    * like the batch lag/lead formulation, so the emitted bounce set is
+    * identical — asserted in `StreamingPipelineSpec` against the real
+    * events table.
+    */
+  def sessionBounces(events: Dataset[RawEvent]): Dataset[UserBounce] = {
+    implicit val ue = Encoders.product[UserBounce]
+    implicit val se = Encoders.product[SessionState]
+    val SessionGapNs = 1800L * 1000000000L
+    val WaitNs = 600L * 1000000000L
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, UserBounce](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state) =>
+          val out = Seq.newBuilder[UserBounce]
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
+          if (state.hasTimedOut) {
+            if (st.pendingNs >= 0) out += UserBounce(uid, st.pendingNs)
+            state.update(st.copy(pendingNs = -1L))
+          } else {
+            evs.toSeq.sortBy(e => (e.tsNs, e.event_id)).foreach { e =>
+              if (st.pendingNs >= 0 && e.tsNs - st.pendingNs > WaitNs) {
+                out += UserBounce(uid, st.pendingNs)
+                st = st.copy(pendingNs = -1L)
+              } else if (st.pendingNs >= 0) {
+                st = st.copy(pendingNs = -1L) // follow-up within wait: no bounce
+              }
+              val entry = st.lastNs == Long.MinValue || e.tsNs - st.lastNs > SessionGapNs
+              if (entry) st = st.copy(pendingNs = e.tsNs)
+              st = st.copy(lastNs = e.tsNs)
+            }
+            state.update(st)
+            if (st.pendingNs >= 0)
+              state.setTimeoutTimestamp(st.pendingNs / 1000000L + WaitNs / 1000000L + 1)
           }
           out.result().iterator
       }

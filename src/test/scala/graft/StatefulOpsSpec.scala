@@ -83,6 +83,37 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.count(_.mid == "u2") == 0)
   }
 
+  // IGNORED: RocksDBStateStoreProvider (required by transformWithState)
+  // hangs at first store creation in this container — see NOTES_ROUND1.md.
+  ignore("transformWithState UV dedup agrees with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val logs = Seq(
+      PageLog("t1", "", ts("2024-01-01 08:00:00")),
+      PageLog("t1", "", ts("2024-01-01 12:00:00")),
+      PageLog("t1", "", ts("2024-01-02 08:00:00")),
+      PageLog("t2", "page", ts("2024-01-01 09:00:00")),
+      PageLog("t3", "", ts("2024-01-01 10:00:00")))
+    // transformWithState requires the RocksDB state store (column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[PageLog]
+    val ds = UniqueVisitProcessor(mem.toDS())
+    val q = ds.writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(logs: _*)
+      q.processAllAvailable()
+      val tws = spark.table("tws").as[Visit].collect().map(v => (v.mid, v.day)).toSet
+      val fmgws = runStream(logs, farFuture.copy(ts = ts("2024-01-03 00:00:00")))(
+        StatefulOps.uniqueVisits).filter(_.mid != "zz-no-op").map(v => (v.mid, v.day)).toSet
+      assert(tws == fmgws)
+      assert(tws == Set(("t1", "2024-01-01"), ("t1", "2024-01-02"), ("t3", "2024-01-01")))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("new-user fixup: claimed is_new=1 rewritten to 0 for a seen mid") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[FlaggedLog]

@@ -97,6 +97,38 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization bounce set equals the batch bounce flags") {
+    import graft.streaming.{RawEvent, StatefulOps, UserBounce}
+    val dir = java.nio.file.Files.createTempDirectory("sessdocs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val raw = spark.readStream
+      .schema(graft.streaming.Pipelines.eventsSchema).parquet(dir.toString)
+      .withColumn("tsNs", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "ts", "tsNs")
+      .withWatermark("ts", "1 second")
+      .as[RawEvent]
+    val q = StatefulOps.sessionBounces(raw)
+      .writeStream.format("memory").queryName("sb").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every pending 10-min timer
+      spark.read.parquet(s"$sf/events.parquet").limit(1)
+        .withColumn("ts", lit(1735689600L * 1000000000L)) // 2025-01-01 in ns
+        .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val streamed = spark.table("sb").as[UserBounce].collect()
+        .filter(_.user_id >= 0).map(b => (b.user_id, b.tsNs)).toSet
+      val batch = graft.operators.LogStats.enriched(spark, sf)
+        .filter(col("bounce_flag") === 1)
+        .select(col("user_id"), col("ts_ns")).as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("cdc router: kafka append + dim keep-latest upsert") {
     val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
     val cfg = Seq(
