@@ -36,6 +36,15 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.resize(b, 3).toSeq == Seq[Byte](0, 3, 6))
   }
 
+  test("sinks: transient columns dropped, ts stamped (K3 contract)") {
+    val df = graft.operators.ProvinceStats.stats.run(spark, sf).limit(5)
+      .withColumn("orderIdSet", org.apache.spark.sql.functions.array())
+    val out = graft.sources.Sinks.forStatsSink(df, Seq("orderIdSet"))
+    assert(!out.columns.contains("orderIdSet"))
+    assert(out.columns.contains("ts"))
+    assert(out.count() == 5)
+  }
+
   test("multimodal: partition-batched feature extraction") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(spark, media)
