@@ -38,6 +38,19 @@ object Demo {
       .format("parquet").option("path", s"$work/out/dws_visitor_stats")
       .start()
 
+    // DWS: per-sku product stats over the detail stream
+    val liDir = s"$work/stage/lineitem"
+    Files.createDirectories(Paths.get(liDir))
+    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"), Paths.get(s"$liDir/part-0.parquet"))
+    val liSchema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val ps = Pipelines.productStatsStream(
+        spark.readStream.schema(liSchema).parquet(liDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt/product_stats")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/out/dws_product_stats")
+      .start()
+
     // DWD/DIM: CDC envelope stream routed by the config table
     val cdc = graft.operators.CdcRoute.envelope(spark, sfDir)
     val cfg = graft.operators.CdcRoute.config(spark)
@@ -55,12 +68,15 @@ object Demo {
       .start()
 
     vs.awaitTermination()
+    ps.awaitTermination()
     route.awaitTermination()
 
     val vsOut = spark.read.parquet(s"$work/out/dws_visitor_stats")
+    val psOut = spark.read.parquet(s"$work/out/dws_product_stats")
     val kafkaOut = spark.read.parquet(s"$work/out/kafka/dwd_order_info")
     val dimOut = spark.read.parquet(s"$work/out/dim/dim_order_info")
     println(s"DEMO_RESULT visitor_stats_windows=${vsOut.count()} " +
+      s"product_stats_rows=${psOut.count()} " +
       s"dwd_order_info=${kafkaOut.count()} dim_order_info=${dimOut.count()} workDir=$work")
     spark.stop()
   }

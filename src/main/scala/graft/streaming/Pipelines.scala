@@ -84,6 +84,27 @@ object Pipelines {
          l_shipdate <= o_orderdate + INTERVAL 90 DAYS"""))
   }
 
+  /** A2 as a live query: per-sku tumbling product stats over the detail
+    * stream (2-day watermark ≙ the reference's 2 s at date grain). Distinct
+    * order counts use HLL — exact `count(DISTINCT)` is not available in
+    * streaming aggregation, which is precisely the documented
+    * `AggMode` scale trade-off.
+    */
+  def productStatsStream(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .withWatermark("l_shipdate", "2 days")
+      .groupBy(window(col("l_shipdate"), "1 day"), col("l_partkey"))
+      .agg(
+        count(lit(1)).as("detail_ct"),
+        approx_count_distinct(col("l_orderkey")).as("order_ct_approx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("dt"),
+        col("l_partkey").as("sku_id"),
+        col("detail_ct"), col("order_ct_approx"), col("order_amount"))
+
   /** A4 as a live query: tokenizer UDF + explode + running word counts over
     * a document stream (update/complete-mode aggregation — the word count
     * has no event time, matching the reference's keyword table refresh).

@@ -79,6 +79,24 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming product stats (complete mode) equals the batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("psdocs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"), dir.resolve("part-0.parquet"))
+    val l = spark.readStream
+      .schema(Tables.load(spark, sf, "lineitem").schema).parquet(dir.toString)
+    val q = Pipelines.productStatsStream(l)
+      .writeStream.format("memory").queryName("pss")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pss").orderBy("dt", "sku_id").collect().toSeq
+      val batch = Pipelines.productStatsStream(Tables.load(spark, sf, "lineitem"))
+        .orderBy("dt", "sku_id").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming keyword counts equal the batch keyword stats") {
     val dir = java.nio.file.Files.createTempDirectory("kwdocs")
     java.nio.file.Files.copy(
