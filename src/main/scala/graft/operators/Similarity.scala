@@ -245,5 +245,77 @@ object Similarity {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(annTopK, annLsh, annRecall)
+  /** IVF-cell ANN — the second scale path: the corpus is partitioned into
+    * cells around 16 deterministic centers (the 16 lowest vec_ids — no
+    * training step, reproducible on any engine), each vector indexed under
+    * its best-cosine center; a query probes its top-2 cells (multi-probe
+    * IVF). All joins are equi-joins on the cell id. Top-3 per query.
+    */
+  val annIvf: GraftQuery = new GraftQuery {
+    val name = "ann_ivf"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = vecs(spark, sfDir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos_bp",
+          floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
+            .cast("long"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos_bp").desc, col("cid"))
+      val ranked = assign.withColumn("crank", row_number().over(wAssign))
+      val corpusCell = ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val queryProbe = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val scored = queryProbe.as("q")
+        .join(corpusCell.as("c"),
+          col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+        .withColumn("cos_bp", cosBp("q", "c"))
+      val w = Window.partitionBy(col("q.vec_id"))
+        .orderBy(col("cos_bp").desc, col("c.vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign AS (
+        SELECT n.vec_id, n.v, n.nrm, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * cents.cv[i])) * 10000.0 / (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      corpus AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      qp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked
+             WHERE crank <= 2 AND vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) AS cos_bp
+        FROM qp q JOIN corpus c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      fin AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_bp DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
+      FROM fin WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(annTopK, annLsh, annIvf, annRecall)
 }
