@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions makes the native expressions resolvable in a fresh
+  * session without explicit registration.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("withExtensions exposes native functions to SQL") {
+    // derive an isolated session; extensions apply at session creation
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val dot = s2.sql(
+        "SELECT dot_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+      assert(dot == 11.0)
+      val inter = s2.sql(
+        "SELECT sorted_int_intersect_size(array(1, 3, 5), array(3, 4, 5)) AS n").head.getInt(0)
+      assert(inter == 2)
+    } finally s2.stop()
+  }
+}
