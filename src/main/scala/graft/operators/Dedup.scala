@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *  - simhash: 16-bit signature; candidate pairs blocked on equality of
   *    either signature half (pigeonhole: hamming ≤ 2 ⟹ one half equal),
   *    verified by exact hamming distance. Equi-joins only.
-  *  - ngram_jaccard: char-5-gram Jaccard, candidates blocked by language
-  *    (residual length filter); at 100 TB the block key would gain a
-  *    length band. Output is the above-threshold pair list.
+  *  - ngram_jaccard: char-5-gram Jaccard over sampled int sketches,
+  *    candidates from a length-band equi-join (cross-language duplicates
+  *    share length, not language). Output is the above-threshold pair list.
   *  - embedding cosine: exact cosine within label blocks (IVF-style
   *    partition blocking); the ANN variants live in Similarity.scala.
   *
@@ -219,10 +219,10 @@ object Dedup {
         .filter(size(col("sg")) > 0)
         .withColumn("sz", size(col("sg")))
         .persist() // both join sides read it; avoids re-hashing every shingle
-      val a = g.withColumn("bucket", floor(col("n_chars") / 16))
+      val a = g.withColumn("bucket", floor(col("n_chars") / 11))
       val b = g.withColumn("bucket",
-        explode(array(floor(col("n_chars") / 16) - 1, floor(col("n_chars") / 16),
-          floor(col("n_chars") / 16) + 1)))
+        explode(array(floor(col("n_chars") / 11) - 1, floor(col("n_chars") / 11),
+          floor(col("n_chars") / 11) + 1)))
       a.as("a")
         .join(b.as("b"),
           col("a.bucket") === col("b.bucket") &&
