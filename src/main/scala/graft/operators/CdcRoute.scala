@@ -35,6 +35,7 @@ object CdcRoute {
         when(col("o_orderstatus") === "O", "insert")
           .when(col("o_orderstatus") === "P", "update")
           .otherwise("delete").as("type"),
+        col("o_orderkey").as("op_seq"), // change-log sequence stand-in
         map(
           lit("id"), col("o_orderkey").cast("string"),
           lit("user_id"), col("o_custkey").cast("string"),

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *    candidates only. The only join is the band-bucket equi-join, so cost
   *    is O(collisions), never O(n²).
   *  - simhash: 16-bit signature; candidate pairs blocked on equality of
-  *    either signature half (pigeonhole: hamming ≤ 2 ⟹ one half equal),
+  *    one of THREE signature blocks (6/5/5 bits — pigeonhole: hamming ≤ 2
+  *    can touch at most two blocks, so one block is always equal),
   *    verified by exact hamming distance. Equi-joins only.
   *  - ngram_jaccard: char-5-gram Jaccard over sampled int sketches,
   *    candidates from a length-band equi-join (cross-language duplicates
@@ -55,10 +56,9 @@ object Dedup {
       val docs = Tables.load(spark, sfDir, "documents")
       // persisted: referenced by the minhash explode AND both sides of the
       // Jaccard-verify join — without it the shingling runs three times
-      val sh = docs
+      val sh = graft.CacheRegistry.persist(docs
         .select(col("doc_id"), wordShingles(tokens(col("text")), 2).as("sg"))
-        .filter(size(col("sg")) > 0)
-        .persist()
+        .filter(size(col("sg")) > 0))
       // 9 hash functions from TWO md5 digests: disjoint 7-hex-char windows
       // of md5('a|'||s) || md5('b|'||s) — same LSH independence, 4.5x less
       // hashing than 9 salted digests (the explode stage is the hot path).
@@ -127,9 +127,9 @@ object Dedup {
   }
 
   /** SimHash near-dup: 16-bit signature over distinct tokens (bit b votes
-    * ±1 by bit b of the token's 16-bit md5 hash), half-signature equality
-    * blocking, hamming ≤ 2, deterministic top-200 (cap logged in the name
-    * of the column `capped_to`-free contract: ORDER BY hamming, pair).
+    * ±1 by bit b of the token's 16-bit md5 hash), 3-block (6/5/5 bit)
+    * equality blocking so every hamming ≤ 2 pair is generated, deterministic
+    * top-200 (ORDER BY hamming, pair).
     */
   val simhash: GraftQuery = new GraftQuery {
     val name = "dedup_simhash"
@@ -146,13 +146,14 @@ object Dedup {
       val sig = counters.select(col("doc_id"),
         (0 until 16).map(b => when(col(s"c$b") > 0, 1 << b).otherwise(0))
           .reduce(_ + _).as("sig"))
-        .withColumn("hi", shiftright(col("sig"), 8))
-        .withColumn("lo", col("sig").bitwiseAND(255))
+        .withColumn("b0", col("sig").bitwiseAND(63))          // bits 0-5
+        .withColumn("b1", shiftright(col("sig"), 6).bitwiseAND(31)) // bits 6-10
+        .withColumn("b2", shiftright(col("sig"), 11))         // bits 11-15
       def block(k: String) = sig.as("a")
         .join(sig.as("b"), col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      block("hi").unionByName(block("lo")).distinct()
+      block("b0").unionByName(block("b1")).unionByName(block("b2")).distinct()
         .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
         .filter(col("hamming") <= 2)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -173,14 +174,18 @@ object Dedup {
       counters AS (SELECT doc_id, $counters FROM ex GROUP BY doc_id),
       sig AS (
         SELECT doc_id, $sigExpr AS sig FROM counters),
-      sigb AS (SELECT doc_id, sig, sig >> 8 AS hi, sig & 255 AS lo FROM sig),
+      sigb AS (SELECT doc_id, sig, sig & 63 AS b0,
+                      (sig >> 6) & 31 AS b1, sig >> 11 AS b2 FROM sig),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.sig AS sig_a, b.sig AS sig_b
-        FROM sigb a JOIN sigb b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        FROM sigb a JOIN sigb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
         UNION
         SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
-        FROM sigb a JOIN sigb b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+        FROM sigb a JOIN sigb b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
+        FROM sigb a JOIN sigb b ON a.b2 = b.b2 AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,
              CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
       FROM pairs
@@ -192,7 +197,7 @@ object Dedup {
 
   /** Char-5-gram Jaccard near-dup with length-band blocking: near-dups at
     * Jaccard ≥ 0.6 have near-identical length, so candidates are generated
-    * by an EQUI-join on floor(n_chars/16) (one side exploded to its three
+    * by an EQUI-join on floor(n_chars/11) (one side exploded to its three
     * neighboring bands so boundary-straddling pairs are kept), then
     * residual-filtered to |Δlen| ≤ 10 and a size-ratio ≥ 0.6 bound
     * (Jaccard ≤ min/max of the distinct-shingle counts) BEFORE the
@@ -218,9 +223,9 @@ object Dedup {
             h => h % 4 === 0))).as("sg"))
         .filter(size(col("sg")) > 0)
         .withColumn("sz", size(col("sg")))
-        .persist() // both join sides read it; avoids re-hashing every shingle
-      val a = g.withColumn("bucket", floor(col("n_chars") / 11))
-      val b = g.withColumn("bucket",
+      val gp = graft.CacheRegistry.persist(g) // both join sides read it
+      val a = gp.withColumn("bucket", floor(col("n_chars") / 11))
+      val b = gp.withColumn("bucket",
         explode(array(floor(col("n_chars") / 11) - 1, floor(col("n_chars") / 11),
           floor(col("n_chars") / 11) + 1)))
       a.as("a")

@@ -77,9 +77,11 @@ object Multimodal {
         // text here, so chars ≡ bytes; a codec would sample real frames)
         .withColumn("txt", col("payload").cast("string"))
         .withColumn("sample_fp",
-          md5(array_join(
-            transform(sequence(lit(1), length(col("txt")), lit(16)),
-              i => col("txt").substr(i, lit(1))), "")))
+          when(length(col("txt")) > 0,
+            md5(array_join(
+              transform(sequence(lit(1), length(col("txt")), lit(16)),
+                i => col("txt").substr(i, lit(1))), "")))
+            .otherwise(md5(lit("")))) // empty payload: sequence(1,0) is illegal in Spark
         .select(col("media_id"), col("meta.kind").as("kind"),
           col("meta.width").as("width"), col("byte_ct"), col("frame_ct"),
           col("payload_md5"), col("sample_fp"))

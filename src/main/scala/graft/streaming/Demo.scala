@@ -28,7 +28,8 @@ object Demo {
     // stage the ODS "topics"
     val eventsDir = s"$work/stage/events"
     Files.createDirectories(Paths.get(eventsDir))
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$eventsDir/part-0.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$eventsDir/part-0.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
     // DWS: visitor stats over the event stream (11 s watermark, 10 s tumble)
     val vs = Pipelines.visitorStatsStream(Pipelines.eventsStream(spark, eventsDir))
@@ -41,7 +42,8 @@ object Demo {
     // DWS: per-sku product stats over the detail stream
     val liDir = s"$work/stage/lineitem"
     Files.createDirectories(Paths.get(liDir))
-    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"), Paths.get(s"$liDir/part-0.parquet"))
+    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"), Paths.get(s"$liDir/part-0.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val liSchema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
     val ps = Pipelines.productStatsStream(
         spark.readStream.schema(liSchema).parquet(liDir))
@@ -62,8 +64,8 @@ object Demo {
       .writeStream
       .option("checkpointLocation", s"$work/ckpt/cdc")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Pipelines.routeCdcBatch(batch, cfg, s"$work/out")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Pipelines.routeCdcBatch(batch, batchId, cfg, s"$work/out")
       }
       .start()
 
@@ -74,7 +76,7 @@ object Demo {
     val vsOut = spark.read.parquet(s"$work/out/dws_visitor_stats")
     val psOut = spark.read.parquet(s"$work/out/dws_product_stats")
     val kafkaOut = spark.read.parquet(s"$work/out/kafka/dwd_order_info")
-    val dimOut = spark.read.parquet(s"$work/out/dim/dim_order_info")
+    val dimOut = Pipelines.readDim(spark, s"$work/out", "dim_order_info").get
     println(s"DEMO_RESULT visitor_stats_windows=${vsOut.count()} " +
       s"product_stats_rows=${psOut.count()} " +
       s"dwd_order_info=${kafkaOut.count()} dim_order_info=${dimOut.count()} workDir=$work")

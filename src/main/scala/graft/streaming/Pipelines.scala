@@ -117,12 +117,21 @@ object Pipelines {
   }
 
   /** P6/K2-K5 as a live query: config-driven CDC routing inside
-    * foreachBatch. Kafka-routed tables append to `out/kafka/<sink_table>`;
-    * dim (hbase-routed) tables are upserted into `out/dim/<sink_table>`
-    * keyed by the config's pk — the reference's Phoenix `upsert into`
-    * (`RT/app/function/DimSinkFunction.java:22-76`) as a keep-latest merge.
+    * foreachBatch. The envelope must carry an `op_seq` column (change
+    * sequence from the source log) so same-key changes within one batch
+    * resolve deterministically. Sink contracts:
+    *
+    *  - kafka route: each micro-batch OVERWRITES `out/kafka/<table>/batch=<id>`
+    *    — a retried batch rewrites the same directory, so the append stream
+    *    is idempotent under foreachBatch's at-least-once replay.
+    *  - dim (hbase) route: keep-latest merge by the config pk — the
+    *    reference's Phoenix `upsert into`
+    *    (`RT/app/function/DimSinkFunction.java:22-76`) — published as a
+    *    versioned snapshot `out/dim/<table>/v<batchId>` with an atomically
+    *    moved `_LATEST` marker, so readers never observe a partial rewrite
+    *    and a replayed batch republishes the identical version.
     */
-  def routeCdcBatch(batch: DataFrame, config: DataFrame, outDir: String): Unit = {
+  def routeCdcBatch(batch: DataFrame, batchId: Long, config: DataFrame, outDir: String): Unit = {
     val spark = batch.sparkSession
     val cfg = config.collect() // config table is tiny by contract
     val live = batch.filter(col("type") =!= "delete")
@@ -133,26 +142,64 @@ object Pipelines {
         row.getAs[String]("sink_columns").split(",").toSeq, row.getAs[String]("sink_pk"))
       val routed = live
         .filter(col("tableName") === src && col("type") === op)
-        .select(cols.map(c => element_at(col("after"), c).as(c)): _*)
+        .select(col("op_seq") +: cols.map(c => element_at(col("after"), c).as(c)): _*)
       if (sinkType == "kafka") {
-        routed.write.mode("append").parquet(s"$outDir/kafka/$sinkTable")
-      } else { // dim upsert: keep-latest by pk
+        routed.drop("op_seq").write.mode("overwrite")
+          .parquet(s"$outDir/kafka/$sinkTable/batch=$batchId")
+      } else { // dim upsert: keep-latest by pk, within-batch latest by op_seq
         val path = s"$outDir/dim/$sinkTable"
-        val merged =
-          if (new java.io.File(path).exists()) {
-            val existing = spark.read.parquet(path)
+        val wNew = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk)).orderBy(col("op_seq").desc)
+        val newest = routed.withColumn("_rn", row_number().over(wNew))
+          .filter(col("_rn") === 1).drop("_rn", "op_seq")
+        val merged = readDim(spark, outDir, sinkTable) match {
+          case Some(existing) =>
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col(pk)).orderBy(col("_prio").desc)
-            routed.withColumn("_prio", lit(1))
+            newest.withColumn("_prio", lit(1))
               .unionByName(existing.withColumn("_prio", lit(0)), allowMissingColumns = true)
               .withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1)
               .drop("_prio", "_rn")
-          } else routed
-        val tmp = s"$outDir/dim/.staging_$sinkTable"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          case None => newest
+        }
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$path/$version")
+        publishMarker(path, version)
+        pruneVersions(path, version)
       }
     }
+  }
+
+  /** Read a dim table at its last atomically published version. */
+  def readDim(spark: SparkSession, outDir: String,
+      table: String): Option[DataFrame] = {
+    val path = s"$outDir/dim/$table"
+    val marker = java.nio.file.Paths.get(s"$path/_LATEST")
+    if (java.nio.file.Files.exists(marker))
+      Some(spark.read.parquet(s"$path/${java.nio.file.Files.readString(marker).trim}"))
+    else None
+  }
+
+  private def publishMarker(path: String, version: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/._LATEST.tmp")
+    java.nio.file.Files.writeString(tmp, version)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Best-effort cleanup of superseded snapshot versions. */
+  private def pruneVersions(path: String, keep: String): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != keep)
+      .foreach { old =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(old)
+      }
   }
 }

@@ -5,10 +5,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 
 /** UV dedup on the Spark 4 `transformWithState` API — the modern
   * counterpart of [[StatefulOps.uniqueVisits]]: a `ValueState[String]` of
-  * the last seen day with a declarative 24 h TTL (the reference's
-  * `StateTtlConfig` OnCreateAndWrite, `RT/app/dwd/UniqueVisitApp.java:67-70`,
-  * maps 1:1 onto `TTLConfig` here, vs. the hand-rolled timeout in the
-  * flatMapGroupsWithState version). NOTE: requires the RocksDB state
+  * the last seen day. The reference's 24 h `StateTtlConfig`
+  * (`RT/app/dwd/UniqueVisitApp.java:67-70`) would map onto
+  * `TTLConfig(Duration.ofHours(24))`; TTL is currently DISABLED
+  * (`TTLConfig.NONE`, unbounded state) while the RocksDB provider issue
+  * below is open — the flatMapGroupsWithState twin carries the tested
+  * eviction. NOTE: requires the RocksDB state
   * store provider, whose native init hangs in this build container — the
   * cross-check spec is ignored until that is resolved; the
   * flatMapGroupsWithState implementation is the tested path.

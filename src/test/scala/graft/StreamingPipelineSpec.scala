@@ -147,29 +147,33 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("cdc router: kafka append + dim keep-latest upsert") {
+  test("cdc router: idempotent kafka batches + seq-ordered dim upsert") {
     val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
     val cfg = Seq(
       ("order_info", "insert", "kafka", "dwd_order_info", "id,total_amount", "id"),
       ("order_info", "update", "hbase", "dim_order_info", "id,total_amount", "id"))
       .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns", "sink_pk")
-    def env(id: String, typ: String, amount: String) =
-      (("graft", "order_info", typ), Map("id" -> id, "total_amount" -> amount))
-    val batch1 = Seq(env("1", "insert", "10"), env("2", "update", "20"), env("3", "delete", "30"))
-      .map { case ((d, t, ty), m) => (d, t, ty, m) }
-      .toDF("database", "tableName", "type", "after")
-    Pipelines.routeCdcBatch(batch1, cfg, out)
-    val batch2 = Seq(env("2", "update", "25"), env("4", "insert", "40"))
-      .map { case ((d, t, ty), m) => (d, t, ty, m) }
-      .toDF("database", "tableName", "type", "after")
-    Pipelines.routeCdcBatch(batch2, cfg, out)
+    def env(seq: Long, id: String, typ: String, amount: String) =
+      ("graft", "order_info", typ, seq, Map("id" -> id, "total_amount" -> amount))
+    val cols = Seq("database", "tableName", "type", "op_seq", "after")
+    // batch 0: includes TWO updates for id=2 — op_seq decides the winner
+    val batch1 = Seq(
+      env(1, "1", "insert", "10"), env(2, "2", "update", "20"),
+      env(3, "2", "update", "21"), env(4, "3", "delete", "30"))
+      .toDF(cols: _*)
+    Pipelines.routeCdcBatch(batch1, 0L, cfg, out)
+    // replayed batch 0 (foreachBatch at-least-once): must be idempotent
+    Pipelines.routeCdcBatch(batch1, 0L, cfg, out)
+    val batch2 = Seq(env(5, "2", "update", "25"), env(6, "4", "insert", "40"))
+      .toDF(cols: _*)
+    Pipelines.routeCdcBatch(batch2, 1L, cfg, out)
 
     val kafka = spark.read.parquet(s"$out/kafka/dwd_order_info")
+    // replay did not duplicate; delete (id=3) filtered everywhere
     assert(kafka.select("id").as[String].collect().sorted.toSeq == Seq("1", "4"))
-    // delete filtered (id=3 never lands anywhere)
     assert(!kafka.columns.contains("type"))
-    val dim = spark.read.parquet(s"$out/dim/dim_order_info")
+    val dim = Pipelines.readDim(spark, out, "dim_order_info").get
     val dimRows = dim.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("total_amount")).toMap
-    assert(dimRows == Map("2" -> "25")) // latest batch wins the upsert
+    assert(dimRows == Map("2" -> "25")) // within-batch seq then latest batch win
   }
 }
