@@ -125,5 +125,37 @@ object AdsQueries {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(trademarkTopN, category3TopN, spuStats, newReturning)
+  /** GMV by order-priority tier with status one-hot counters (the P10
+    * builder pattern on the order dimension: conditional counts per
+    * status code, like the reference's appraise-code checks).
+    */
+  val priorityGmv: GraftQuery = new GraftQuery {
+    val name = "ads_priority_gmv"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          count(lit(1)).as("order_ct"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("finished_ct"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("open_ct"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("gmv"))
+        .withColumn("finished_ratio_bp",
+          floor(col("finished_ct") * lit(10000.0) / col("order_ct")).cast("long"))
+        .orderBy("priority")
+
+    def oracle: Option[String] = Some("""
+      SELECT o_orderpriority AS priority,
+             count(*) AS order_ct,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_ct,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_ct,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS gmv,
+             CAST(floor(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS finished_ratio_bp
+      FROM orders GROUP BY 1 ORDER BY priority
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(trademarkTopN, category3TopN, spuStats, newReturning, priorityGmv)
 }
