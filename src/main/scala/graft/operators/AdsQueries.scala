@@ -3,7 +3,6 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** ADS layer — the publisher's MyBatis query suite (A5/A6,
   * `PUB/mapper/ProductStatsMapper.java:15-41`, `VisitorStatsMapper.java:12-25`):
@@ -28,21 +27,20 @@ object AdsQueries {
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand").as("tm_name"))
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("order_amount"),
+          Money.sumCents(col("l_extendedprice")).as("order_amount_cents"),
           countDistinct(col("l_orderkey")).as("order_ct"))
-        .filter(col("order_amount") > 0)
-        .orderBy(col("order_amount").desc, col("tm_name"))
+        .filter(col("order_amount_cents") > 0)
+        .orderBy(col("order_amount_cents").desc, col("tm_name"))
         .limit(10)
     }
 
     def oracle: Option[String] = Some("""
       SELECT p_brand AS tm_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents,
              count(DISTINCT l_orderkey) AS order_ct
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
-      ORDER BY order_amount DESC, tm_name LIMIT 10
+      ORDER BY order_amount_cents DESC, tm_name LIMIT 10
     """)
   }
 
@@ -56,21 +54,20 @@ object AdsQueries {
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_type").as("category3_name"))
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("order_amount"),
+          Money.sumCents(col("l_extendedprice")).as("order_amount_cents"),
           countDistinct(col("l_orderkey")).as("order_ct"))
-        .filter(col("order_amount") > 0)
-        .orderBy(col("order_amount").desc, col("category3_name"))
+        .filter(col("order_amount_cents") > 0)
+        .orderBy(col("order_amount_cents").desc, col("category3_name"))
         .limit(10)
     }
 
     def oracle: Option[String] = Some("""
       SELECT p_type AS category3_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents,
              count(DISTINCT l_orderkey) AS order_ct
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
-      ORDER BY order_amount DESC, category3_name LIMIT 10
+      ORDER BY order_amount_cents DESC, category3_name LIMIT 10
     """)
   }
 
@@ -86,8 +83,7 @@ object AdsQueries {
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_size").as("spu_id"))
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("order_amount"),
+          Money.sumCents(col("l_extendedprice")).as("order_amount_cents"),
           countDistinct(col("l_orderkey")).as("order_ct"),
           countDistinct(col("l_partkey")).as("sku_ct"))
         .orderBy("spu_id")
@@ -95,7 +91,7 @@ object AdsQueries {
 
     def oracle: Option[String] = Some("""
       SELECT p_size AS spu_id,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents,
              count(DISTINCT l_orderkey) AS order_ct,
              count(DISTINCT l_partkey) AS sku_ct
       FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -139,8 +135,7 @@ object AdsQueries {
           count(lit(1)).as("order_ct"),
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("finished_ct"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("open_ct"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("gmv"))
+          Money.sumCents(col("o_totalprice")).as("gmv_cents"))
         .withColumn("finished_ratio_bp",
           floor(col("finished_ct") * lit(10000.0) / col("order_ct")).cast("long"))
         .orderBy("priority")
@@ -150,7 +145,7 @@ object AdsQueries {
              count(*) AS order_ct,
              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_ct,
              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_ct,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS gmv,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS gmv_cents,
              CAST(floor(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS finished_ratio_bp
       FROM orders GROUP BY 1 ORDER BY priority
     """)

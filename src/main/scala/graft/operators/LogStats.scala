@@ -4,7 +4,6 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Behavior-log suite over `events` — the reference's BaseLogApp /
   * UniqueVisitApp / UserJumpDetailApp / VisitorStatsApp chain re-expressed
@@ -96,7 +95,7 @@ object LogStats {
           count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("user_ct"),
           sum(col("k")).as("k_sum"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("value_sum"))
+          Money.sumCents(col("value")).as("value_sum_x100"))
         .orderBy("route")
 
     def oracle: Option[String] = Some("""
@@ -109,7 +108,7 @@ object LogStats {
              count(*) AS cnt,
              count(DISTINCT user_id) AS user_ct,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_sum_x100
       FROM events
       GROUP BY 1 ORDER BY route
     """)
@@ -204,11 +203,11 @@ object LogStats {
           count(lit(1)).as("pv_ct"),
           sum(col("entry_flag")).cast("long").as("sv_ct"),
           sum(col("bounce_flag")).cast("long").as("uj_ct"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("dur_sum"))
+          Money.sumCents(col("value")).as("dur_sum_x100"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
           date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
-          col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+          col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum_x100"))
         .orderBy("stt", "is_new")
 
     def oracle: Option[String] = Some(enrichedOracleSql + """
@@ -227,7 +226,7 @@ object LogStats {
              CAST(sum(pv) AS BIGINT) AS pv_ct,
              CAST(sum(sv) AS BIGINT) AS sv_ct,
              CAST(sum(uj) AS BIGINT) AS uj_ct,
-             CAST(sum(dur) AS DECIMAL(38,2)) AS dur_sum
+             CAST(sum(dur) * 100 AS BIGINT) AS dur_sum_x100
       FROM u GROUP BY 1, 2, 3 ORDER BY stt, is_new
     """)
   }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Order/payment wide tables — the reference's OrderWideApp / PaymentWideApp:
   *
@@ -46,8 +45,7 @@ object OrderWide {
         .agg(
           count(lit(1)).as("wide_ct"),
           countDistinct(col("o_orderkey")).as("order_ct"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("detail_amount"))
+          Money.sumCents(col("l_extendedprice")).as("detail_amount_cents"))
         .orderBy("create_month")
     }
 
@@ -55,7 +53,7 @@ object OrderWide {
       SELECT strftime(o_orderdate, '%Y-%m') AS create_month,
              count(*) AS wide_ct,
              count(DISTINCT o_orderkey) AS order_ct,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS detail_amount
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS detail_amount_cents
       FROM orders JOIN lineitem
         ON o_orderkey = l_orderkey
        AND l_shipdate >= o_orderdate - INTERVAL 60 DAY
@@ -82,8 +80,7 @@ object OrderWide {
         .agg(
           count(lit(1)).as("payment_ct"),
           countDistinct(col("o_orderkey")).as("order_ct"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("payment_amount"))
+          Money.sumCents(col("l_extendedprice")).as("payment_amount_cents"))
         .orderBy("pay_month")
     }
 
@@ -91,7 +88,7 @@ object OrderWide {
       SELECT strftime(l_shipdate, '%Y-%m') AS pay_month,
              count(*) AS payment_ct,
              count(DISTINCT o_orderkey) AS order_ct,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS payment_amount
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS payment_amount_cents
       FROM orders JOIN lineitem
         ON o_orderkey = l_orderkey
        AND l_shipdate >= o_orderdate
@@ -134,8 +131,7 @@ object OrderWide {
           countDistinct(col("s_suppkey")).as("supplier_ct"),
           min(col("order_age_years")).as("min_age_years"),
           max(col("order_age_years")).as("max_age_years"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("amount"))
+          Money.sumCents(col("l_extendedprice")).as("amount_cents"))
         .orderBy("region_name", "tm_name")
     }
 
@@ -146,7 +142,7 @@ object OrderWide {
              count(DISTINCT s.s_suppkey) AS supplier_ct,
              CAST(min(floor(date_diff('day', o.o_orderdate, DATE '2026-01-01') / 365)) AS BIGINT) AS min_age_years,
              CAST(max(floor(date_diff('day', o.o_orderdate, DATE '2026-01-01') / 365)) AS BIGINT) AS max_age_years,
-             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS amount
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS amount_cents
       FROM orders o
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        AND l.l_shipdate >= o.o_orderdate - INTERVAL 60 DAY

@@ -3,7 +3,6 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Product theme-wide aggregation — the reference's ProductStatsApp:
   *
@@ -42,15 +41,14 @@ object ProductStats {
           AggMode.distinctCount(spark, col("l_orderkey")).as("order_ct"),
           AggMode.distinctCount(spark, when(col("l_returnflag") === "R", col("l_orderkey")))
             .as("refund_order_ct"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sku_num"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("order_amount"))
+          Money.sumCents(col("l_quantity")).as("sku_num_x100"),
+          Money.sumCents(col("l_extendedprice")).as("order_amount_cents"))
       agg.join(p, agg("l_partkey") === p("p_partkey"), "left")
         .select(
           col("dt"), col("l_partkey").as("sku_id"), col("p_name").as("sku_name"),
           col("p_brand").as("tm_name"), col("p_type").as("category3_name"),
           col("click_ct"), col("refund_ct"), col("order_ct"), col("refund_order_ct"),
-          col("sku_num"), col("order_amount"))
+          col("sku_num_x100"), col("order_amount_cents"))
         .orderBy("dt", "sku_id")
     }
 
@@ -61,13 +59,13 @@ object ProductStats {
                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS refund_ct,
                count(DISTINCT l_orderkey) AS order_ct,
                count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END) AS refund_order_ct,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sku_num,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sku_num_x100,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents
         FROM lineitem GROUP BY 1, 2)
       SELECT agg.dt, agg.l_partkey AS sku_id, p.p_name AS sku_name,
              p.p_brand AS tm_name, p.p_type AS category3_name,
              agg.click_ct, agg.refund_ct, agg.order_ct, agg.refund_order_ct,
-             agg.sku_num, agg.order_amount
+             agg.sku_num_x100, agg.order_amount_cents
       FROM agg LEFT JOIN part p ON agg.l_partkey = p.p_partkey
       ORDER BY dt, sku_id
     """)

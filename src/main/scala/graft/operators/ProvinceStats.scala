@@ -3,7 +3,6 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Province theme-wide aggregation — the reference's ProvinceStatsSQLApp
   * (`RT/app/dws/ProvinceStatsSQLApp.java:69-89`): tumbling window over the
@@ -15,8 +14,8 @@ import org.apache.spark.sql.types.DecimalType
   * and `region` are broadcast (dimension tables stay small at any scale);
   * `customer` joins by key — at 100 TB that is a shuffle hash join on
   * `o_custkey`, the natural co-partitioning for this query. Money is summed
-  * as DECIMAL so results are exact and order-independent (bit-identical to
-  * the oracle regardless of partitioning).
+  * as DECIMAL (exact, order-independent) and emitted as BIGINT cents
+  * ([[Money.sumCents]]) so the verify hash is representation-stable.
   */
 object ProvinceStats {
 
@@ -45,15 +44,14 @@ object ProvinceStats {
           col("n_nationkey"), col("n_name"), col("r_name"))
         .agg(
           AggMode.distinctCount(spark, col("o_orderkey")).as("order_count"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("order_amount"))
+          Money.sumCents(col("o_totalprice")).as("order_amount_cents"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
           date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
           col("n_nationkey").as("province_id"),
           col("n_name").as("province_name"),
           col("r_name").as("region_name"),
-          col("order_count"), col("order_amount"))
+          col("order_count"), col("order_amount_cents"))
         .orderBy("stt", "province_id")
 
     def oracle: Option[String] = Some("""
@@ -63,7 +61,7 @@ object ProvinceStats {
              n.n_name AS province_name,
              r.r_name AS region_name,
              count(DISTINCT o.o_orderkey) AS order_count,
-             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -86,9 +84,9 @@ object ProvinceStats {
       stats.run(spark, sfDir)
         .groupBy(col("province_id"), col("province_name"), col("region_name"))
         .agg(
-          sum(col("order_amount")).cast(DecimalType(38, 2)).as("order_amount"),
+          sum(col("order_amount_cents")).cast("long").as("order_amount_cents"),
           sum(col("order_count")).as("order_count"))
-        .select("province_id", "province_name", "region_name", "order_amount", "order_count")
+        .select("province_id", "province_name", "region_name", "order_amount_cents", "order_count")
         .orderBy("province_id")
 
     def oracle: Option[String] = Some("""
@@ -96,14 +94,14 @@ object ProvinceStats {
         SELECT date_trunc('day', o.o_orderdate) AS stt,
                n.n_nationkey AS province_id, n.n_name AS province_name, r.r_name AS region_name,
                count(DISTINCT o.o_orderkey) AS order_count,
-               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS order_amount
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS order_amount_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2, 3, 4)
       SELECT province_id, province_name, region_name,
-             CAST(sum(order_amount) AS DECIMAL(38,2)) AS order_amount,
+             CAST(sum(order_amount_cents) AS BIGINT) AS order_amount_cents,
              CAST(sum(order_count) AS BIGINT) AS order_count
       FROM stats
       GROUP BY 1, 2, 3

@@ -3,7 +3,6 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Row-level parity evidence: most queries aggregate before comparison so
   * verify output stays small; these two return RAW rows so the oracle gate
@@ -36,9 +35,9 @@ object RowParity {
           col("n_name").as("province_name"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("split_total_amount"),
-          col("l_quantity").cast(DecimalType(18, 2)).as("sku_num"))
-        .orderBy("order_id", "detail_no", "ship_date", "split_total_amount")
+          Money.cents(col("l_extendedprice")).as("split_total_amount_cents"),
+          Money.cents(col("l_quantity")).as("sku_num_x100"))
+        .orderBy("order_id", "detail_no", "ship_date", "split_total_amount_cents")
     }
 
     def oracle: Option[String] = Some("""
@@ -48,8 +47,8 @@ object RowParity {
              n.n_name AS province_name,
              strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
              strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
-             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS split_total_amount,
-             CAST(l.l_quantity AS DECIMAL(18,2)) AS sku_num
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS split_total_amount_cents,
+             CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS sku_num_x100
       FROM orders o
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        AND l.l_shipdate >= o.o_orderdate - INTERVAL 60 DAY
@@ -57,7 +56,7 @@ object RowParity {
       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       WHERE o.o_orderkey % 97 = 0
-      ORDER BY order_id, detail_no, ship_date, split_total_amount
+      ORDER BY order_id, detail_no, ship_date, split_total_amount_cents
     """)
   }
 

@@ -53,7 +53,7 @@ object SqlSurface {
           FROM ev_enriched GROUP BY day)
         SELECT day, CAST(uv_ct AS BIGINT) AS uv_ct, pv_ct,
                CAST(sv_ct AS BIGINT) AS sv_ct, CAST(uj_ct AS BIGINT) AS uj_ct,
-               CAST(dur_sum AS DECIMAL(38,2)) AS dur_sum,
+               CAST(dur_sum * 100 AS BIGINT) AS dur_sum_x100,
                CASE WHEN sv_ct > 0 THEN CAST(floor(pv_ct * 100.0 / sv_ct) AS BIGINT) END AS pv_per_visit_x100,
                CASE WHEN sv_ct > 0 THEN CAST(floor(uj_ct * 10000.0 / sv_ct) AS BIGINT) END AS bounce_rate_bp,
                CASE WHEN sv_ct > 0 THEN CAST(floor(CAST(dur_sum AS DOUBLE) * 100.0 / sv_ct) AS BIGINT) END AS avg_dur_x100
@@ -70,7 +70,7 @@ object SqlSurface {
         FROM ev GROUP BY day)
       SELECT day, CAST(uv_ct AS BIGINT) AS uv_ct, pv_ct,
              CAST(sv_ct AS BIGINT) AS sv_ct, CAST(uj_ct AS BIGINT) AS uj_ct,
-             CAST(dur_sum AS DECIMAL(38,2)) AS dur_sum,
+             CAST(dur_sum * 100 AS BIGINT) AS dur_sum_x100,
              CASE WHEN sv_ct > 0 THEN CAST(floor(pv_ct * 100.0 / sv_ct) AS BIGINT) END AS pv_per_visit_x100,
              CASE WHEN sv_ct > 0 THEN CAST(floor(uj_ct * 10000.0 / sv_ct) AS BIGINT) END AS bounce_rate_bp,
              CASE WHEN sv_ct > 0 THEN CAST(floor(CAST(dur_sum AS DOUBLE) * 100.0 / sv_ct) AS BIGINT) END AS avg_dur_x100

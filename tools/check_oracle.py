@@ -7,12 +7,21 @@ Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same testdata
 parquet tables, and compares: column names (sorted), row count, and values
 (rows sorted canonically). Exits nonzero on any mismatch.
+
+Canonicalization is driver-faithful: the Spark output is read with
+pandas/pyarrow, which preserves parquet DECIMAL as decimal.Decimal, while the
+oracle side comes out of DuckDB as float64 — so a DECIMAL output column will
+(correctly) mismatch here exactly as it does in the driver's hash gate, even
+when the numeric values are equal. Final verify schemas must therefore avoid
+DECIMAL (emit BIGINT cents — see graft.operators.Money).
 """
+import decimal
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 
 def canon(v):
@@ -22,6 +31,9 @@ def canon(v):
         if math.isnan(v):
             return "nan"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # keep Decimal distinct from float on purpose (driver parity)
+        return f"decimal:{v}"
     return str(v)
 
 
@@ -43,7 +55,7 @@ def main():
     failed = []
     for name, sql in sorted(oracles.items()):
         try:
-            got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failed.append(name)
