@@ -53,18 +53,31 @@ object TextFunctions {
   def hash16(c: Column): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("int")
 
+  /** 16-bit window `win` (0-based) of md5(x) as an Int: hex chars
+    * [4·win+1, 4·win+4]. One digest yields 8 independent 16-bit hashes —
+    * the 64-bit simhash reads windows 0-3.
+    */
+  def hash16Win(c: Column, win: Int): Column =
+    conv(substring(md5(c), 4 * win + 1, 4), 16, 10).cast("int")
+
   /** First 24 bits of md5(x) as an Int — shingle-set hashing (16M space). */
   def hash24(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("int")
 
-  /** DuckDB SQL fragment: first `digits` hex chars of md5(`x`) as an int. */
-  def duckHashHex(x: String, digits: Int): String = {
+  /** DuckDB SQL fragment: `digits` hex chars of hex-string expr `hexExpr`
+    * starting at 0-based char `offset`, as an int.
+    */
+  def duckHexWindow(hexExpr: String, offset: Int, digits: Int): String = {
     val terms = (1 to digits).map { i =>
       val w = math.pow(16, digits - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${offset + i}, 1)) - 1) * $w"
     }
     "(" + terms.mkString(" + ") + ")"
   }
+
+  /** DuckDB SQL fragment: first `digits` hex chars of md5(`x`) as an int. */
+  def duckHashHex(x: String, digits: Int): String =
+    duckHexWindow(s"md5($x)", 0, digits)
 
   /** DuckDB SQL fragment for [[hash16]] over SQL expression `x`. */
   def duckHash16(x: String): String = duckHashHex(x, 4)

@@ -126,10 +126,19 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup: 16-bit signature over distinct tokens (bit b votes
-    * ±1 by bit b of the token's 16-bit md5 hash), 3-block (6/5/5 bit)
-    * equality blocking so every hamming ≤ 2 pair is generated, deterministic
-    * top-200 (ORDER BY hamming, pair).
+  /** SimHash near-dup: 64-bit signature over distinct tokens, held as FOUR
+    * 16-bit block values s0..s3 (block k's bit b votes ±1 by bit b of md5
+    * window k of the token — one digest per token yields all 64 bits).
+    * Candidate pairs are blocked on equality of one of the four blocks —
+    * pigeonhole: hamming ≤ 3 flips at most three blocks, so one block is
+    * always equal (the Manku/Jarvelin-style 64-bit near-dup scheme) — then
+    * verified by exact hamming = Σ bit_count(s_k ⊕ s'_k). Equi-joins only.
+    *
+    * 100 TB design: each block key ranges over 65 536 values AND correlates
+    * with content, so bucket cardinality grows with the corpus instead of
+    * saturating (the round-1 16-bit/64-bucket variant degraded toward
+    * O(n²/64)); the four block joins shuffle on fine keys and the verify
+    * runs on collisions only.
     */
   val simhash: GraftQuery = new GraftQuery {
     val name = "dedup_simhash"
@@ -138,58 +147,58 @@ object Dedup {
       val docs = Tables.load(spark, sfDir, "documents")
       val ex = docs
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
-        .withColumn("v", hash16(col("w")))
+        .select(col("doc_id") +:
+          (0 until 4).map(k => hash16Win(col("w"), k).as(s"v$k")): _*)
       val counters = ex.groupBy("doc_id").agg(
-        sum(when(shiftright(col("v"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
-        (1 until 16).map(b =>
-          sum(when(shiftright(col("v"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$b")): _*)
-      val sig = counters.select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"c$b") > 0, 1 << b).otherwise(0))
-          .reduce(_ + _).as("sig"))
-        .withColumn("b0", col("sig").bitwiseAND(63))          // bits 0-5
-        .withColumn("b1", shiftright(col("sig"), 6).bitwiseAND(31)) // bits 6-10
-        .withColumn("b2", shiftright(col("sig"), 11))         // bits 11-15
-      def block(k: String) = sig.as("a")
-        .join(sig.as("b"), col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      block("b0").unionByName(block("b1")).unionByName(block("b2")).distinct()
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("hamming") <= 2)
+        sum(when(col("v0").bitwiseAND(1) === 1, 1).otherwise(-1)).as("c_0_0"),
+        (for (k <- 0 until 4; b <- 0 until 16; if k + b > 0) yield
+          sum(when(shiftright(col(s"v$k"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"c_${k}_$b")): _*)
+      val sig = counters.select(col("doc_id") +:
+        (0 until 4).map(k =>
+          (0 until 16).map(b => when(col(s"c_${k}_$b") > 0, 1 << b).otherwise(0))
+            .reduce(_ + _).as(s"s$k")): _*)
+      def block(k: Int) = sig.as("a")
+        .join(sig.as("b"), col(s"a.s$k") === col(s"b.s$k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+          (0 until 4).flatMap(j =>
+            Seq(col(s"a.s$j").as(s"sa$j"), col(s"b.s$j").as(s"sb$j"))): _*)
+      (0 until 4).map(block).reduce(_ unionByName _).distinct()
+        .withColumn("hamming",
+          (0 until 4).map(j => bit_count(col(s"sa$j").bitwiseXOR(col(s"sb$j"))))
+            .reduce(_ + _))
+        .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(200)
     }
 
     def oracle: Option[String] = {
-      val v = duckHash16("w")
-      val counters = (0 until 16)
-        .map(b => s"sum(CASE WHEN ($v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
-        .mkString(", ")
-      val sigExpr = (0 until 16)
-        .map(b => s"(CASE WHEN c$b > 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
+      val counters = (for (k <- 0 until 4; b <- 0 until 16) yield {
+        val v = duckHexWindow("hh", 4 * k, 4)
+        s"sum(CASE WHEN ($v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c_${k}_$b"
+      }).mkString(", ")
+      val sigs = (0 until 4).map { k =>
+        (0 until 16).map(b => s"(CASE WHEN c_${k}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ") + s" AS s$k"
+      }.mkString(", ")
+      val pairCols = (0 until 4)
+        .map(j => s"a.s$j AS sa$j, b.s$j AS sb$j").mkString(", ")
+      val blockArms = (0 until 4).map(k =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $pairCols
+            FROM sig a JOIN sig b ON a.s$k = b.s$k AND a.doc_id < b.doc_id""")
+        .mkString("\n        UNION\n        ")
+      val ham = (0 until 4)
+        .map(j => s"bit_count(CAST(xor(sa$j, sb$j) AS BIGINT))").mkString(" + ")
       Some(duckToksCte + s"""
-      , ex AS (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM toks),
+      , ex AS (SELECT doc_id, md5(unnest(list_distinct(ws))) AS hh FROM toks),
       counters AS (SELECT doc_id, $counters FROM ex GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id, $sigExpr AS sig FROM counters),
-      sigb AS (SELECT doc_id, sig, sig & 63 AS b0,
-                      (sig >> 6) & 31 AS b1, sig >> 11 AS b2 FROM sig),
+      sig AS (SELECT doc_id, $sigs FROM counters),
       pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.sig AS sig_a, b.sig AS sig_b
-        FROM sigb a JOIN sigb b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-        UNION
-        SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
-        FROM sigb a JOIN sigb b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig
-        FROM sigb a JOIN sigb b ON a.b2 = b.b2 AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b,
-             CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
+        $blockArms)
+      SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
       FROM pairs
-      WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 2
+      WHERE $ham <= 3
       ORDER BY hamming, doc_a, doc_b LIMIT 200
       """)
     }
