@@ -65,21 +65,59 @@ object Relevance {
   /** Exact discrete percentiles of `value` per event type: the value at
     * position ceil(q*n) in the (value, event_id) total order — positional,
     * so the doubles are actual input values, bit-equal on any engine.
+    *
+    * Scale design — two-pass distributed positional selection, NOT a
+    * per-type window sort (a `row_number` partitioned by ~5 event types
+    * would sort the whole table on ≤5 reducers):
+    *   1. per-type stats (n, vmin, vmax), broadcast back;
+    *   2. order-preserving linear bucketing into K buckets → per-bucket
+    *      counts (one shuffle on the fine (type, bucket) key) → cumulative
+    *      counts over ≤K rows per type;
+    *   3. locate the bucket holding global rank ceil(q·n) and the rank
+    *      offset inside it, then rank ONLY that bucket's rows (~n/K of the
+    *      data) to pick the element.
+    * Bucket skew only affects slice size, never correctness — the oracle is
+    * the simple single-window formulation, proving the rewrite equivalent.
+    * K is the slice-size lever: raise it (or recurse) if n/K outgrows a
+    * partition at the target scale.
     */
   val percentiles: GraftQuery = new GraftQuery {
     val name = "event_value_percentiles"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      val wn = Window.partitionBy(col("event_type"))
-      def pick(q: Double) =
-        max(when(col("rn") === greatest(lit(1L), ceil(col("n") * lit(q))), col("value")))
-      Tables.load(spark, sfDir, "events")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      val K = 4096
+      val e = Tables.load(spark, sfDir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+      val eb = e.join(broadcast(stats), "event_type")
+        .withColumn("bucket",
+          when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+            least(lit(K - 1L),
+              floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * K))))
+      val bucketCts = eb.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = bucketCts.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      val targets = stats
+        .select(col("event_type"), col("n"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        .withColumn("r", greatest(lit(1L), ceil(col("n") * col("q"))))
+      val hit = targets.join(cum, Seq("event_type"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .withColumn("off", col("r") - (col("cum") - col("cnt")))
+        .select(col("event_type"), col("q"), col("bucket"), col("off"))
+      val picked = eb.join(broadcast(hit), Seq("event_type", "bucket"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("event_type"), col("q"))
+            .orderBy(col("value"), col("event_id"))).cast("long"))
+        .filter(col("rn") === col("off"))
+        .groupBy("event_type").agg(
+          max(when(col("q") === 0.5, col("value"))).as("p50"),
+          max(when(col("q") === 0.9, col("value"))).as("p90"),
+          max(when(col("q") === 0.99, col("value"))).as("p99"))
+      stats.select(col("event_type"), col("n"))
+        .join(picked, Seq("event_type"))
         .orderBy("event_type")
     }
 
