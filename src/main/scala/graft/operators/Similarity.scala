@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import graft.functions.TextFunctions.duckHash16
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,8 +22,60 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Plane count is THE scale lever for the LSH path: buckets = 2^planes,
+    * expected bucket size = corpus/2^planes, so size it as
+    * planes ≈ log2(corpus_size / target_bucket_rows). 6 planes (64 buckets)
+    * fits the 500-2000-vector test corpora; a 10^9-vector corpus wants ~20.
+    * Everything below is generic in the plane count ([[annLshWith]]) — the
+    * registered `ann_lsh` instantiates the test-scale default.
+    */
   private val Planes = 6
   private val Dims = 64
+
+  /** Hyperplane weights w(p,d) = hash16(s"${p}_${d}") - 32767.5 — derived
+    * from md5 so the Spark side, the DuckDB oracle and every executor agree
+    * on the model without shipping one (plane matrix is a few KB of
+    * literals, broadcast inside the plan itself).
+    */
+  private def planeWeights(planes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, Dims) { (p, d0) =>
+      val hex = md.digest(s"${p}_${d0 + 1}".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      Integer.parseInt(hex, 16).toDouble - 32767.5
+    }
+  }
+
+  /** Sign-bucket of `v` over `planes` literal hyperplanes, as ONE codegen'd
+    * projection — no posexplode, no plane join, no per-plane groupBy (the
+    * round-1 formulation shuffled the corpus twice to compute these dots).
+    * Each plane dot uses [[graft.expressions.DotProductDouble]], whose
+    * left-to-right summation is bit-identical to the oracle's `list_sum`
+    * fold, so the sign — and hence the bucket — matches cross-engine.
+    */
+  private def bucketCol(planes: Int): Column = {
+    val w = planeWeights(planes)
+    (0 until planes).map { p =>
+      val arr = w(p).map(x => s"${x}D").mkString(",")
+      when(expr(s"dot_double(v, array($arr))") > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[bucketCol]] as a `buckets(vec_id, bucket)` CTE body
+    * (expects CTE `e(vec_id, v)` in scope).
+    */
+  private def duckBucketsCte(planes: Int): String = {
+    val w = planeWeights(planes)
+    val terms = (0 until planes).map { p =>
+      val arr = w(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dims), i -> v[i] * ($arr)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"buckets AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM e)"
+  }
+
+  /** DuckDB multi-probe list: own bucket + all hamming-1 neighbors. */
+  private def duckProbeList(planes: Int): String =
+    "[bucket" + (0 until planes).map(p => s", xor(bucket, ${1L << p})").mkString + "]"
 
   /** vectors as double arrays + L2 norm (norm = sqrt of self-dot via the
     * codegen'd [[graft.expressions.DotProductDouble]] — same left-to-right
@@ -82,36 +133,22 @@ object Similarity {
     """)
   }
 
-  /** Multi-probe LSH ANN: 6 deterministic pseudo-random hyperplanes; each
-    * query probes its own sign bucket plus the 6 hamming-1 neighbor buckets
-    * (~11% of the corpus), lifting recall several-fold over single-bucket
-    * probing while the candidate search stays an EQUI-join on the bucket
-    * id. Top-3 per query.
+  /** Multi-probe LSH ANN, generic in the plane count: each query probes its
+    * own sign bucket plus the `planes` hamming-1 neighbor buckets
+    * ((planes+1)/2^planes of the corpus), lifting recall several-fold over
+    * single-bucket probing while the candidate search stays an EQUI-join on
+    * the bucket id. Bucket assignment is one shuffle-free projection over
+    * the literal plane matrix. Top-3 per query.
     */
-  val annLsh: GraftQuery = new GraftQuery {
+  def annLshWith(planes: Int): GraftQuery = new GraftQuery {
     val name = "ann_lsh"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      // hyperplane weights w(p,d) ∈ [-32767.5, 32767.5], derived from md5
-      val planes = broadcast(
-        (0 until Planes).flatMap(p => (1 to Dims).map(d => (p, d))).toDF("p", "d")
-          .withColumn("w",
-            conv(substring(md5(concat_ws("_", col("p"), col("d"))), 1, 4), 16, 10)
-              .cast("double") - lit(32767.5)))
       val e = vecs(spark, sfDir)
-      val byDim = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .withColumn("d", col("pos") + 1)
-      val buckets = byDim.join(planes, "d")
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("x") * col("w")).as("dot"))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("dot") > 0, expr("CAST(power(2, p) AS BIGINT)")).otherwise(0L))
-          .as("bucket"))
-      val withBucket = e.join(buckets, "vec_id")
+      val withBucket = e.withColumn("bucket", bucketCol(planes))
       val q = withBucket.filter(col("vec_id") < 10)
         .withColumn("probe", explode(array(
-          col("bucket") +: (0 until Planes).map(p =>
+          col("bucket") +: (0 until planes).map(p =>
             col("bucket").bitwiseXOR(lit(1L << p))): _*)))
       val scored = q.as("q")
         .join(withBucket.as("c"),
@@ -127,28 +164,15 @@ object Similarity {
         .orderBy("query_id", "rank")
     }
 
-    def oracle: Option[String] = {
-      val w = duckHash16("CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
-      Some(s"""
-      WITH planes AS (
-        SELECT p, d, $w - 32767.5 AS w
-        FROM generate_series(0, ${Planes - 1}) t1(p), generate_series(1, $Dims) t2(d)),
-      e AS (
+    def oracle: Option[String] = Some(s"""
+      WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      byd AS (
-        SELECT vec_id, d, v[d] AS x FROM e, generate_series(1, $Dims) t(d)),
-      dots AS (
-        SELECT vec_id, p, sum(x * w) AS dot
-        FROM byd JOIN planes USING (d) GROUP BY 1, 2),
-      buckets AS (
-        SELECT vec_id,
-               CAST(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
-        FROM dots GROUP BY 1),
+      ${duckBucketsCte(planes)},
       qp AS (
-        SELECT vec_id, unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8), xor(bucket,16), xor(bucket,32)]) AS probe
+        SELECT vec_id, unnest(${duckProbeList(planes)}) AS probe
         FROM buckets WHERE vec_id < 10),
       nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
       scored AS (
@@ -164,8 +188,10 @@ object Similarity {
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
       """)
-    }
   }
+
+  /** The registered LSH query at the test-scale plane count. */
+  val annLsh: GraftQuery = annLshWith(Planes)
 
   /** ANN quality metric as a first-class query: recall@3 of the LSH search
     * against the brute-force ground truth, per query vector. The join keys
@@ -192,27 +218,15 @@ object Similarity {
     }
 
     def oracle: Option[String] = {
-      val w = duckHash16("CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
       Some(s"""
-      WITH planes AS (
-        SELECT p, d, $w - 32767.5 AS w
-        FROM generate_series(0, ${Planes - 1}) t1(p), generate_series(1, $Dims) t2(d)),
-      e AS (
+      WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      byd AS (
-        SELECT vec_id, d, v[d] AS x FROM e, generate_series(1, $Dims) t(d)),
-      dots AS (
-        SELECT vec_id, p, sum(x * w) AS dot
-        FROM byd JOIN planes USING (d) GROUP BY 1, 2),
-      buckets AS (
-        SELECT vec_id,
-               CAST(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
-        FROM dots GROUP BY 1),
+      ${duckBucketsCte(Planes)},
       qp AS (
-        SELECT vec_id, unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8), xor(bucket,16), xor(bucket,32)]) AS probe
+        SELECT vec_id, unnest(${duckProbeList(Planes)}) AS probe
         FROM buckets WHERE vec_id < 10),
       nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
       brute AS (
