@@ -151,6 +151,53 @@ object AdsQueries {
     """)
   }
 
+  /** Dict-code broadcast dim + appraise-ratio metrics — the reference turns
+    * the `base_dic` dimension into a constant dict
+    * (`RT/common/GmallConstant.java:24-27`: 1201 good / 1202 soso / 1203
+    * bad) and one-hot counts good comments per product
+    * (`RT/app/dws/ProductStatsApp.java:228-248`). Here the appraise code is
+    * `l_returnflag`, the dict is an in-code table broadcast-joined against
+    * the fact (the dict-dim join pattern — at 100 TB the dict stays a
+    * broadcast, never a shuffle), and the publisher's good-comment ratio is
+    * floor-scaled to basis points.
+    */
+  val appraiseRatio: GraftQuery = new GraftQuery {
+    val name = "ads_appraise_ratio"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val dict = Seq(("N", "appraise_good", 1), ("A", "appraise_soso", 0),
+        ("R", "appraise_bad", 0)).toDF("code", "code_name", "is_good")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      l.join(broadcast(dict), l("l_returnflag") === dict("code"))
+        .join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand").as("tm_name"))
+        .agg(
+          count(lit(1)).as("comment_ct"),
+          sum(col("is_good")).cast("long").as("good_comment_ct"),
+          countDistinct(when(col("code_name") === "appraise_bad", col("l_orderkey")))
+            .as("bad_order_ct"))
+        .withColumn("good_ratio_bp",
+          floor(col("good_comment_ct") * lit(10000.0) / col("comment_ct")).cast("long"))
+        .orderBy("tm_name")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH dict(code, code_name, is_good) AS (
+        VALUES ('N', 'appraise_good', 1), ('A', 'appraise_soso', 0),
+               ('R', 'appraise_bad', 0))
+      SELECT p_brand AS tm_name,
+             count(*) AS comment_ct,
+             CAST(sum(is_good) AS BIGINT) AS good_comment_ct,
+             count(DISTINCT CASE WHEN code_name = 'appraise_bad' THEN l_orderkey END) AS bad_order_ct,
+             CAST(floor(sum(is_good) * 10000.0 / count(*)) AS BIGINT) AS good_ratio_bp
+      FROM lineitem JOIN dict ON l_returnflag = code
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY tm_name
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(trademarkTopN, category3TopN, spuStats, newReturning, priorityGmv)
+    Seq(trademarkTopN, category3TopN, spuStats, newReturning, priorityGmv, appraiseRatio)
 }
