@@ -38,13 +38,22 @@ object LogStats {
       .withColumn("rn_user", row_number().over(w))
       .withColumn("prev_gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
       .withColumn("next_gap_ns", lead(col("ts_ns"), 1).over(w) - col("ts_ns"))
-      .withColumn("uv_flag",
-        when(lag(col("day"), 1).over(w).isNull ||
-             lag(col("day"), 1).over(w) =!= col("day"), 1).otherwise(0))
       .withColumn("first_day", min(col("day")).over(wu))
       .withColumn("is_new", when(col("day") === col("first_day"), 1).otherwise(0))
       .withColumn("entry_flag",
         when(col("prev_gap_ns").isNull || col("prev_gap_ns") > SessionGapNs, 1).otherwise(0))
+      // UV counts a user's first SESSION-ENTRY of each day — the reference's
+      // UniqueVisitApp filters lastPageId-empty records before the per-day
+      // dedup (`RT/app/dwd/UniqueVisitApp.java:52-90`), and the streaming
+      // uniqueVisits op matches (batch/streaming equivalence is spec-checked
+      // on the real events table).
+      .withColumn("prev_entry_day",
+        last(when(col("entry_flag") === 1, col("day")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("uv_flag",
+        when(col("entry_flag") === 1 &&
+             (col("prev_entry_day").isNull || col("prev_entry_day") =!= col("day")), 1)
+          .otherwise(0))
       .withColumn("bounce_flag",
         when(col("entry_flag") === 1 &&
              (col("next_gap_ns").isNull || col("next_gap_ns") > BounceWaitNs), 1).otherwise(0))
@@ -59,7 +68,6 @@ object LogStats {
         row_number() OVER w AS rn_user,
         tsn - lag(tsn) OVER w AS prev_gap_ns,
         lead(tsn) OVER w - tsn AS next_gap_ns,
-        CASE WHEN lag(day) OVER w IS NULL OR lag(day) OVER w <> day THEN 1 ELSE 0 END AS uv_flag,
         min(day) OVER (PARTITION BY user_id) AS first_day
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
@@ -68,11 +76,19 @@ object LogStats {
         CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
         CASE WHEN prev_gap_ns IS NULL OR prev_gap_ns > 1800000000000 THEN 1 ELSE 0 END AS entry_flag
       FROM x
-    ), ev AS (
+    ), en2 AS (
       SELECT en.*,
+        last_value(CASE WHEN entry_flag = 1 THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_entry_day
+      FROM en
+    ), ev AS (
+      SELECT en2.*,
+        CASE WHEN entry_flag = 1 AND (prev_entry_day IS NULL OR prev_entry_day <> day)
+             THEN 1 ELSE 0 END AS uv_flag,
         CASE WHEN entry_flag = 1 AND (next_gap_ns IS NULL OR next_gap_ns > 600000000000)
              THEN 1 ELSE 0 END AS bounce_flag
-      FROM en
+      FROM en2
     )"""
 
   /** P1+P4: parse the JSON `props` payload, route records by type (the

@@ -8,20 +8,34 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends SparkSpec {
 
   test("withExtensions exposes native functions to SQL") {
-    // derive an isolated session; extensions apply at session creation
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.expressions.GraftExtensions)
-      .getOrCreate()
+    // getOrCreate() returns any already-active session (silently ignoring
+    // extensions), so clear the active/default sessions first — and restore
+    // them after — to deterministically exercise the extensions path. The
+    // derived session shares the JVM-wide SparkContext, so it must NOT be
+    // stopped (that would kill the context for the remaining suites).
+    spark.sparkContext // ensure the shared session/context exists first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.expressions.GraftExtensions)
+        .getOrCreate()
       val dot = s2.sql(
         "SELECT dot_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
       assert(dot == 11.0)
       val inter = s2.sql(
         "SELECT sorted_int_intersect_size(array(1, 3, 5), array(3, 4, 5)) AS n").head.getInt(0)
       assert(inter == 2)
-    } finally s2.stop()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }

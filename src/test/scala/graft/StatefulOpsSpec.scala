@@ -83,6 +83,26 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.count(_.mid == "u2") == 0)
   }
 
+  test("uv: batch uv_flag equals streaming uniqueVisits on the real events table") {
+    import org.apache.spark.sql.functions._
+    val en = graft.operators.LogStats.enriched(spark, sf)
+      .select(col("user_id"), col("ts"), col("entry_flag"), col("day"), col("uv_flag"))
+      .collect()
+    val batch = en.groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) => d -> rows.map(_.getAs[Int]("uv_flag").toLong).sum }
+      .filter(_._2 > 0)
+    val logs = en.map { r =>
+      PageLog(r.getAs[Long]("user_id").toString,
+        if (r.getAs[Int]("entry_flag") == 1) "" else "home",
+        r.getAs[java.sql.Timestamp]("ts"))
+    }.toSeq
+    val got = runStream(logs, farFuture.copy(ts = ts("2024-03-01 00:00:00")))(
+      StatefulOps.uniqueVisits)
+    val streamed = got.filter(_.mid != "zz-no-op")
+      .groupBy(_.day).map { case (d, v) => d -> v.size.toLong }
+    assert(streamed == batch)
+  }
+
   // IGNORED: RocksDBStateStoreProvider (required by transformWithState)
   // hangs at first store creation in this container — see NOTES_ROUND1.md.
   ignore("transformWithState UV dedup agrees with flatMapGroupsWithState") {
