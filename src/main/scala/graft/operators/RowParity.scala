@@ -17,8 +17,13 @@ object RowParity {
     val name = "order_wide_rows"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // the ~1% keyspace sample is applied to BOTH join inputs up front
+      // (o_orderkey = l_orderkey makes the predicates equivalent) so the
+      // join shuffles 1% of each table, not 100% filtered afterwards
       val o = Tables.load(spark, sfDir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
       val l = Tables.load(spark, sfDir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(97)) === 0)
       val c = Tables.load(spark, sfDir, "customer")
       val n = Tables.load(spark, sfDir, "nation")
       o.join(l,
@@ -27,7 +32,6 @@ object RowParity {
             l("l_shipdate") <= date_add(o("o_orderdate"), 60))
         .join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
-        .filter(pmod(col("o_orderkey"), lit(97)) === 0) // deterministic ~1% sample
         .select(
           col("o_orderkey").as("order_id"),
           col("l_linenumber").as("detail_no"),
