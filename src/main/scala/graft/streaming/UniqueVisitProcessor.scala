@@ -1,26 +1,30 @@
 package graft.streaming
 
+import java.time.Duration
+
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
 
 /** UV dedup on the Spark 4 `transformWithState` API — the modern
   * counterpart of [[StatefulOps.uniqueVisits]]: a `ValueState[String]` of
   * the last seen day. The reference's 24 h `StateTtlConfig`
-  * (`RT/app/dwd/UniqueVisitApp.java:67-70`) would map onto
-  * `TTLConfig(Duration.ofHours(24))`; TTL is currently DISABLED
-  * (`TTLConfig.NONE`, unbounded state) while the RocksDB provider issue
-  * below is open — the flatMapGroupsWithState twin carries the tested
-  * eviction. NOTE: requires the RocksDB state
-  * store provider, whose native init hangs in this build container — the
-  * cross-check spec is ignored until that is resolved; the
-  * flatMapGroupsWithState implementation is the tested path.
+  * (`RT/app/dwd/UniqueVisitApp.java:67-70`) maps onto
+  * `TTLConfig(Duration.ofHours(24))` in the [[UniqueVisitProcessor.withTtl]]
+  * wiring. Requires the RocksDB state store provider (column families).
+  *
+  * Round-1 note resolved: the documented "RocksDB native init hang" was
+  * actually `TimeMode.ProcessingTime()` making the micro-batch engine
+  * re-trigger indefinitely (`processAllAvailable` never drained) — RocksDB
+  * itself initializes fine (`graft.tools.RocksProbe`). The no-timer wiring
+  * uses `TimeMode.None` and is spec-tested; the TTL'd wiring needs
+  * processing-time mode and therefore a real trigger cadence, so it is the
+  * production shape, not the test-harness one.
   */
-class UniqueVisitProcessor extends StatefulProcessor[String, PageLog, Visit] {
+class UniqueVisitProcessor(ttl: TTLConfig) extends StatefulProcessor[String, PageLog, Visit] {
   @transient private var lastDay: ValueState[String] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    lastDay = getHandle.getValueState[String]("lastDay", Encoders.STRING,
-      TTLConfig.NONE)
+    lastDay = getHandle.getValueState[String]("lastDay", Encoders.STRING, ttl)
 
   override def handleInputRows(mid: String, rows: Iterator[PageLog],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Visit] = {
@@ -38,11 +42,24 @@ class UniqueVisitProcessor extends StatefulProcessor[String, PageLog, Visit] {
 }
 
 object UniqueVisitProcessor {
-  /** Wire the processor onto a PageLog stream (processing-time TTL mode). */
+  /** No-timer wiring (unbounded state): deterministic under
+    * `processAllAvailable`, used by the cross-check spec.
+    */
   def apply(logs: Dataset[PageLog]): Dataset[Visit] = {
     implicit val ve = Encoders.product[Visit]
     logs.groupByKey(_.mid)(Encoders.STRING)
-      .transformWithState(new UniqueVisitProcessor,
+      .transformWithState(new UniqueVisitProcessor(TTLConfig.NONE),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Production wiring with the reference's 24 h state TTL (processing-time
+    * mode — state for idle devices is evicted by the engine, the
+    * `StateTtlConfig` contract).
+    */
+  def withTtl(logs: Dataset[PageLog], ttl: Duration = Duration.ofHours(24)): Dataset[Visit] = {
+    implicit val ve = Encoders.product[Visit]
+    logs.groupByKey(_.mid)(Encoders.STRING)
+      .transformWithState(new UniqueVisitProcessor(TTLConfig(ttl)),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }
