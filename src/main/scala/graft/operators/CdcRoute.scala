@@ -90,5 +90,62 @@ object CdcRoute {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(route)
+  /** S3 startup phases — the reference runs its CDC source with
+    * `StartupOptions.initial()` (`RT/app/dwd/BaseDBApp.java:76`): a
+    * snapshot of every existing row (Debezium READ op → type `read`)
+    * precedes the incremental change stream. Modeled with a phase-ordered
+    * change sequence: snapshot records carry op_seq 0, stream records their
+    * log position, and the materialized table state is keep-latest per key
+    * with deletes dropping the row. Stream updates rewrite the amount, so
+    * the checksum proves precedence (a snapshot row only survives where no
+    * later change touched the key). The keep-latest window partitions on
+    * the table key — a fine key at any scale.
+    */
+  val snapshotStream: GraftQuery = new GraftQuery {
+    val name = "cdc_snapshot_stream"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(spark, sfDir, "orders")
+      val snap = o.select(
+        col("o_orderkey").as("id"), lit("read").as("type"),
+        lit(0L).as("op_seq"), col("o_totalprice").as("total_amount"))
+      val strm = o.filter(pmod(col("o_orderkey"), lit(3)) === 0).select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderstatus") === "O", "insert")
+          .when(col("o_orderstatus") === "P", "update")
+          .otherwise("delete").as("type"),
+        col("o_orderkey").as("op_seq"),
+        (col("o_totalprice") * lit(2)).as("total_amount"))
+      val w = Window.partitionBy(col("id")).orderBy(col("op_seq").desc)
+      snap.unionByName(strm)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("type").as("final_op"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          Money.sumCents(col("total_amount")).as("amount_cents"))
+        .orderBy("final_op")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH snap AS (
+        SELECT o_orderkey AS id, 'read' AS type, 0 AS op_seq,
+               o_totalprice AS total_amount
+        FROM orders),
+      strm AS (
+        SELECT o_orderkey, CASE o_orderstatus WHEN 'O' THEN 'insert'
+                                              WHEN 'P' THEN 'update'
+                                              ELSE 'delete' END,
+               o_orderkey, o_totalprice * 2
+        FROM orders WHERE o_orderkey % 3 = 0),
+      u AS (SELECT * FROM snap UNION ALL SELECT * FROM strm),
+      r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY op_seq DESC) AS rn FROM u)
+      SELECT type AS final_op, count(*) AS cnt,
+             CAST(sum(CAST(total_amount AS DECIMAL(18,2))) * 100 AS BIGINT) AS amount_cents
+      FROM r WHERE rn = 1 GROUP BY 1 ORDER BY final_op
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(route, snapshotStream)
 }

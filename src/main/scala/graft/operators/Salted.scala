@@ -17,7 +17,11 @@ object Salted {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
-    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+    // salt = murmur3 of the full row: deterministic under retries and
+    // re-partitioning (monotonically_increasing_id is not), spreading a hot
+    // key across salts as long as any column varies; fully identical rows
+    // share a salt, which only caps the spread, never the correctness
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keys.map(col): _*)
