@@ -115,7 +115,9 @@ object CdcRoute {
         when(col("o_orderstatus") === "O", "insert")
           .when(col("o_orderstatus") === "P", "update")
           .otherwise("delete").as("type"),
-        col("o_orderkey").as("op_seq"),
+        // +1 keeps stream op_seqs strictly after the snapshot's 0 (orderkey
+        // 0 exists in the testdata; a tie would make keep-latest arbitrary)
+        (col("o_orderkey") + 1).as("op_seq"),
         (col("o_totalprice") * lit(2)).as("total_amount"))
       val w = Window.partitionBy(col("id")).orderBy(col("op_seq").desc)
       snap.unionByName(strm)
@@ -137,7 +139,7 @@ object CdcRoute {
         SELECT o_orderkey, CASE o_orderstatus WHEN 'O' THEN 'insert'
                                               WHEN 'P' THEN 'update'
                                               ELSE 'delete' END,
-               o_orderkey, o_totalprice * 2
+               o_orderkey + 1, o_totalprice * 2
         FROM orders WHERE o_orderkey % 3 = 0),
       u AS (SELECT * FROM snap UNION ALL SELECT * FROM strm),
       r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY op_seq DESC) AS rn FROM u)

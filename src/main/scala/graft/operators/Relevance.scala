@@ -88,8 +88,10 @@ object Relevance {
       val K = 4096
       val e = Tables.load(spark, sfDir, "events")
         .select(col("event_type"), col("value"), col("event_id"))
-      val stats = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+      // persisted: ~5 rows, but three consumers (bucket projection, targets,
+      // final join) would each rescan the full events table to rebuild it
+      val stats = graft.CacheRegistry.persist(e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax")))
       val eb = e.join(broadcast(stats), "event_type")
         .withColumn("bucket",
           when(col("vmax") === col("vmin"), lit(0L)).otherwise(
