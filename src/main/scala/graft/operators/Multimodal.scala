@@ -26,6 +26,30 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         struct(col("source").as("kind"), col("n_chars").as("width")).as("meta"))
 
+  /** Raw-file ingestion: a directory of media files through Spark's
+    * built-in `binaryFile` source, normalized to the same
+    * (media_id, payload, meta) contract as [[mediaTable]] — so every
+    * downstream operator (decode, resize, stats) is layout-agnostic.
+    * `pathGlobFilter` prunes by extension WITHOUT reading payloads, and
+    * the file-status `length` feeds metadata-only filters; media_id is the
+    * stable 64-bit hash of the path (no driver-side listing involved).
+    * At 100 TB this is the standard one-file-one-row staging read; Spark
+    * parallelizes over files and packs small ones per task via
+    * `maxPartitionBytes`/`filesOpenCostInBytes`.
+    */
+  def binaryFileTable(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        struct(
+          regexp_extract(col("path"), "\\.([^./]+)$", 1).as("kind"),
+          col("length").cast("long").as("width")).as("meta"),
+        col("path"))
+
   /** STUB decode kernel: a real deployment would decode image/audio bytes
     * here (e.g. JavaCV); this deterministic fake derives "features" from the
     * raw bytes so the pipeline shape (binary → fixed-width feature vector)

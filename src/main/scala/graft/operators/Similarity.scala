@@ -83,10 +83,14 @@ object Similarity {
     */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.DotProductDouble.register(spark)
-    Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+    // shared: ann_recall composes the brute-force and LSH queries, so the
+    // normalized-vector frame is read by several plans per session
+    graft.CacheRegistry.shared(s"vecs:$sfDir") {
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+    }
   }
 
   private def cosBp(a: String, b: String) =

@@ -36,6 +36,23 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.resize(b, 3).toSeq == Seq[Byte](0, 3, 6))
   }
 
+  test("multimodal: binaryFile ingestion normalizes to the media contract") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("binmedia")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), "fake-jpeg-bytes".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.wav"), "fake-wave".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "not media".getBytes("UTF-8"))
+    val media = Multimodal.binaryFileTable(spark, dir.toString, "*.{jpg,wav}")
+    val rows = media.select(col("meta.kind"), col("meta.width"), col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1)
+    // glob pruned the .txt; kind from extension; width from file length
+    assert(rows.toSeq == Seq(("jpg", 15L, "fake-jpeg-bytes"), ("wav", 9L, "fake-wave")))
+    // the decode kernel runs unchanged on the binaryFile-sourced frame
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 2 && feats.forall(_.getAs[Seq[Double]]("features").length == 8))
+  }
+
   test("sinks: transient columns dropped, ts stamped (K3 contract)") {
     val df = graft.operators.ProvinceStats.stats.run(spark, sf).limit(5)
       .withColumn("orderIdSet", org.apache.spark.sql.functions.array())
