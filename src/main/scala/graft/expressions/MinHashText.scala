@@ -1,0 +1,119 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `word_bigrams(text)` — distinct word-bigram shingles of the lowercased
+  * alnum-run tokenization, in one JVM pass. Bit-identical to
+  * `wordShingles(tokens(text), 2)`
+  * (`filter(split(lower(text),'[^a-z0-9]+'), t -> t <> '')` then
+  * space-joined neighbor pairs, distinct, first-occurrence order).
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigrams.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.WordBigrams.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordBigrams {
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("[^a-z0-9]+", -1).filter(_.nonEmpty)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length - 1) {
+      seen.add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigrams", exprs => WordBigrams(exprs(0)), "built-in")
+}
+
+/** `minhash9(shingles)` — the 9-hash min-signature of a shingle array in
+  * ONE pass, no explode, no aggregation: for each shingle the two salted
+  * digests `md5('a|'||s) || md5('b|'||s)` yield nine disjoint 7-hex-char
+  * windows; the output is the per-window lexicographic minimum. Replaces
+  * explode → md5 projection → 9-way min groupBy (a full shuffle of the
+  * exploded shingle set) with map-side-only work — at scale the signature
+  * stage costs one scan, and only the tiny (doc, band, sig) table
+  * shuffles.
+  */
+case class MinHash9(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash9.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHash9.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash9 {
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val SaltA = "a|".getBytes("UTF-8")
+  private val SaltB = "b|".getBytes("UTF-8")
+
+  private def hex(d: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < d.length) {
+      sb.append(hexDigits((d(i) >> 4) & 0xf)).append(hexDigits(d(i) & 0xf))
+      i += 1
+    }
+  }
+
+  def compute(sg: ArrayData): ArrayData = {
+    val n = sg.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[String](9)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      val s = sg.getUTF8String(i).getBytes
+      sb.setLength(0)
+      md.update(SaltA); md.update(s); hex(md.digest(), sb)
+      md.update(SaltB); md.update(s); hex(md.digest(), sb)
+      val hh = sb.toString
+      var w = 0
+      while (w < 9) {
+        val win = hh.substring(w * 7, w * 7 + 7)
+        if (mins(w) == null || win.compareTo(mins(w)) < 0) mins(w) = win
+        w += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash9", exprs => MinHash9(exprs(0)), "built-in")
+}

@@ -53,28 +53,33 @@ object Dedup {
     val name = "dedup_minhash_lsh"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.WordBigrams.register(spark)
+      graft.expressions.MinHash9.register(spark)
       val docs = Tables.load(spark, sfDir, "documents")
-      // persisted: referenced by the minhash explode AND both sides of the
-      // Jaccard-verify join — without it the shingling runs three times
+      // persisted: referenced by the signature projection AND both sides of
+      // the Jaccard-verify join — without it the shingling runs three times
       val sh = graft.CacheRegistry.persist(docs
-        .select(col("doc_id"), wordShingles(tokens(col("text")), 2).as("sg"))
+        .select(col("doc_id"), expr("word_bigrams(text)").as("sg"))
         .filter(size(col("sg")) > 0))
       // 9 hash functions from TWO md5 digests: disjoint 7-hex-char windows
       // of md5('a|'||s) || md5('b|'||s) — same LSH independence, 4.5x less
-      // hashing than 9 salted digests (the explode stage is the hot path).
-      val ex = sh.select(col("doc_id"), explode(col("sg")).as("s"))
-        .withColumn("hh", concat(md5(concat(lit("a|"), col("s"))),
-          md5(concat(lit("b|"), col("s")))))
-      val mh = ex.groupBy("doc_id").agg(
-        min(substring(col("hh"), 1, 7)).as("h1"),
-        (2 to 9).map(i => min(substring(col("hh"), (i - 1) * 7 + 1, 7)).as(s"h$i")): _*)
-      // persisted: both sides of the band self-join read it — without it the
-      // whole shingle-explode + 9-way min aggregation runs twice
+      // hashing than 9 salted digests. The whole signature is ONE codegen'd
+      // pass per doc (MinHash9): no shingle explode, no 9-way min groupBy —
+      // map-side-only signature computation; only the tiny
+      // (doc, band, sig) table ever shuffles.
+      val mh = sh.select(col("doc_id"), expr("minhash9(sg)").as("hs"))
+      // persisted: both sides of the band self-join read it
       val bands = graft.CacheRegistry.persist(
         mh.select(col("doc_id"), explode(array(
-            struct(lit(1).as("band"), concat(col("h1"), col("h2"), col("h3")).as("sig")),
-            struct(lit(2).as("band"), concat(col("h4"), col("h5"), col("h6")).as("sig")),
-            struct(lit(3).as("band"), concat(col("h7"), col("h8"), col("h9")).as("sig")))).as("b"))
+            struct(lit(1).as("band"),
+              concat(element_at(col("hs"), 1), element_at(col("hs"), 2),
+                element_at(col("hs"), 3)).as("sig")),
+            struct(lit(2).as("band"),
+              concat(element_at(col("hs"), 4), element_at(col("hs"), 5),
+                element_at(col("hs"), 6)).as("sig")),
+            struct(lit(3).as("band"),
+              concat(element_at(col("hs"), 7), element_at(col("hs"), 8),
+                element_at(col("hs"), 9)).as("sig")))).as("b"))
           .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig")))
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -239,13 +244,14 @@ object Dedup {
       // 25% sketch): integer intersections are ~10x cheaper than string
       // ones and the sketch Jaccard concentrates tightly around the true
       // value for the array sizes involved — the scale lever for the
-      // pairwise verify stage.
+      // pairwise verify stage. The whole sketch is one codegen'd
+      // expression (NgramSketchHash) — the equivalent HOF chain walked an
+      // interpreted expression tree per character position.
       graft.expressions.SortedIntIntersectSize.register(spark)
+      graft.expressions.NgramSketchHash.register(spark)
       val g = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          array_sort(array_distinct(filter(
-            transform(charShingles(col("text"), 5), s => hash24(lower(s))),
-            h => h % 4 === 0))).as("sg"))
+          expr("ngram_sketch_hash(text)").as("sg"))
         .filter(size(col("sg")) > 0)
         .withColumn("sz", size(col("sg")))
       val gp = graft.CacheRegistry.persist(g) // candidate meta + array lookup

@@ -36,6 +36,39 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.resize(b, 3).toSeq == Seq[Byte](0, 3, 6))
   }
 
+  test("native sketch expressions equal their HOF formulations on real docs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    graft.expressions.NgramSketchHash.register(spark)
+    graft.expressions.WordBigrams.register(spark)
+    graft.expressions.MinHash9.register(spark)
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val both = docs.select(
+      expr("ngram_sketch_hash(text)").as("native_sk"),
+      array_sort(array_distinct(filter(
+        transform(charShingles(col("text"), 5), s => hash24(lower(s))),
+        h => h % 4 === 0))).as("hof_sk"),
+      expr("word_bigrams(text)").as("native_bg"),
+      wordShingles(tokens(col("text")), 2).as("hof_bg"))
+    assert(both.filter(col("native_sk") =!= col("hof_sk")).count() == 0)
+    assert(both.filter(col("native_bg") =!= col("hof_bg")).count() == 0)
+    // minhash9 equals the explode + 9-way min aggregation
+    val viaAgg = docs
+      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("s"))
+      .withColumn("hh", concat(md5(concat(lit("a|"), col("s"))),
+        md5(concat(lit("b|"), col("s")))))
+      .groupBy("doc_id")
+      .agg(min(substring(col("hh"), 1, 7)).as("h1"),
+        (2 to 9).map(i => min(substring(col("hh"), (i - 1) * 7 + 1, 7)).as(s"h$i")): _*)
+      .select(col("doc_id"), array((1 to 9).map(i => col(s"h$i")): _*).as("agg_hs"))
+    val viaExpr = docs.select(col("doc_id"),
+      expr("minhash9(word_bigrams(text))").as("hs"))
+      .filter(size(col("hs")) > 0)
+    val joined = viaExpr.join(viaAgg, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("hs") =!= col("agg_hs")).count() == 0)
+  }
+
   test("multimodal: binaryFile ingestion normalizes to the media contract") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("binmedia")
