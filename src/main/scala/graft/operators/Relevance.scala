@@ -25,10 +25,12 @@ object Relevance {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val tf = docs
+      // persisted: feeds both the df aggregation and the score join —
+      // without it the tokenize-explode-groupBy pipeline runs twice
+      val tf = graft.CacheRegistry.persist(docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
         .withColumn("score_x1000",
