@@ -105,6 +105,35 @@ object Pipelines {
         col("l_partkey").as("sku_id"),
         col("detail_ct"), col("order_ct_approx"), col("order_amount"))
 
+  /** A3 as a live query: the SQL-form tumbling province aggregation over
+    * the order stream with stream-static dim enrichment (dims broadcast —
+    * the reference's ProvinceStatsSQLApp topology). Exact COUNT(DISTINCT)
+    * is unavailable in streaming aggregation, so the distinct order count
+    * is HLL — the documented AggMode trade-off; money is emitted as BIGINT
+    * cents like the batch twin.
+    */
+  def provinceStatsStream(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val o = orders.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withWatermark("o_orderdate", "1 day")
+    o.join(customer, o("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(window(col("o_orderdate"), "1 day"),
+        col("n_nationkey"), col("n_name"), col("r_name"))
+      .agg(
+        count(lit(1)).as("order_ct"),
+        approx_count_distinct(col("o_orderkey")).as("order_ct_approx"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long")
+          .as("order_amount_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("n_nationkey").as("province_id"), col("n_name").as("province_name"),
+        col("r_name").as("region_name"),
+        col("order_ct"), col("order_ct_approx"), col("order_amount_cents"))
+  }
+
   /** A4 as a live query: tokenizer UDF + explode + running word counts over
     * a document stream (update/complete-mode aggregation — the word count
     * has no event time, matching the reference's keyword table refresh).

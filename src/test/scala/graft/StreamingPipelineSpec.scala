@@ -176,4 +176,55 @@ class StreamingPipelineSpec extends SparkSpec {
     val dimRows = dim.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("total_amount")).toMap
     assert(dimRows == Map("2" -> "25")) // within-batch seq then latest batch win
   }
+
+  test("streaming province stats (complete mode) equals batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("ordersdir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/orders.parquet"), dir.resolve("part-0.parquet"))
+    val oStream = spark.readStream
+      .schema(Tables.load(spark, sf, "orders").schema).parquet(dir.toString)
+    val c = Tables.load(spark, sf, "customer")
+    val n = Tables.load(spark, sf, "nation")
+    val r = Tables.load(spark, sf, "region")
+    val q = Pipelines.provinceStatsStream(oStream, c, n, r)
+      .writeStream.format("memory").queryName("pss")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pss").orderBy("stt", "province_id").collect().toSeq
+      val batch = Pipelines
+        .provinceStatsStream(Tables.load(spark, sf, "orders"), c, n, r)
+        .orderBy("stt", "province_id").collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("dim DDL evolution: a new sink column appears mid-stream (K5)") {
+    // the config table is re-read per micro-batch (the reference streams
+    // table_process via CDC), so widening sink_columns between batches is
+    // the dynamic-DDL path: the keep-latest merge unions by name with
+    // missing columns allowed, and earlier rows surface NULL for the new
+    // column — no rewrite of existing dim data.
+    val out = java.nio.file.Files.createTempDirectory("cdcevo").toString
+    def cfg(cols: String) =
+      Seq(("order_info", "update", "hbase", "dim_evo", cols, "id"))
+        .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns", "sink_pk")
+    def env(seq: Long, id: String, m: Map[String, String]) =
+      ("graft", "order_info", "update", seq, m)
+    val cols = Seq("database", "tableName", "type", "op_seq", "after")
+    Pipelines.routeCdcBatch(
+      Seq(env(1, "1", Map("id" -> "1", "total_amount" -> "10"))).toDF(cols: _*),
+      0L, cfg("id,total_amount"), out)
+    Pipelines.routeCdcBatch(
+      Seq(env(2, "2", Map("id" -> "2", "total_amount" -> "20", "order_priority" -> "1-URGENT")))
+        .toDF(cols: _*),
+      1L, cfg("id,total_amount,order_priority"), out)
+    val dim = Pipelines.readDim(spark, out, "dim_evo").get
+    assert(dim.columns.toSet == Set("id", "total_amount", "order_priority"))
+    val rows = dim.collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("total_amount"), Option(r.getAs[String]("order_priority"))))
+      .toMap
+    assert(rows == Map("1" -> (("10", None)), "2" -> (("20", Some("1-URGENT")))))
+  }
 }
