@@ -180,15 +180,21 @@ object Dedup {
           when(shiftright(col(s"L_${k}_${b % 4}"), 16 * (b / 4))
               .bitwiseAND(lit(0xFFFFL)) * 2 > col("n"), lit(1L << (16 * k + b)))
             .otherwise(lit(0L))).reduce(_ bitwiseOR _).as("sig")))
-      def block(k: Int) = sig.as("a")
-        .join(sig.as("b"),
-          shiftright(col("a.sig"), 16 * k).bitwiseAND(lit(0xFFFFL)) ===
-            shiftright(col("b.sig"), 16 * k).bitwiseAND(lit(0xFFFFL)) &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      // one (block_id, block_val) table instead of four separate self-joins:
+      // same candidate set (match on ANY block), but a single join stage and
+      // a single shuffle on the fine (block, value) key
+      val blocks = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("b"),
+          shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.b").as("b"), col("bk.v").as("v"))
+      blocks.as("a")
+        .join(blocks.as("c"),
+          col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+            col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("c.sig"))).as("hamming"))
         .filter(col("hamming") <= 3)
-      (0 until 4).map(block).reduce(_ unionByName _).distinct()
+        .distinct()
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(200)
