@@ -42,7 +42,14 @@ class FunctionsSpec extends SparkSpec {
     graft.expressions.NgramSketchHash.register(spark)
     graft.expressions.WordBigrams.register(spark)
     graft.expressions.MinHash9.register(spark)
+    import spark.implicits._
+    // real docs PLUS adversarial rows: multibyte chars (substring must be
+    // char-based, not byte-based), case folding, short/empty strings
+    val edge = Seq("大数据引擎大数据引擎", "ÄÖÜ straße ÄÖÜ straße", "ab", "",
+      "ONE two THREE four FIVE six").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id() + 100000)
     val docs = Tables.load(spark, sf, "documents").limit(50)
+      .select("doc_id", "text").unionByName(edge.select("doc_id", "text"))
     val both = docs.select(
       expr("ngram_sketch_hash(text)").as("native_sk"),
       array_sort(array_distinct(filter(
