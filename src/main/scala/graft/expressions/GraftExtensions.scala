@@ -25,5 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntIntersectSize].getName, "sorted_int_intersect_size"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_sketch_hash"),
+      new ExpressionInfo(classOf[NgramSketchHash].getName, "ngram_sketch_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NgramSketchHash(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "word_bigrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordBigrams(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash9"),
+      new ExpressionInfo(classOf[MinHash9].getName, "minhash9"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash9(exprs(0))))
   }
 }

@@ -31,6 +31,15 @@ class ExtensionsSpec extends SparkSpec {
       val inter = s2.sql(
         "SELECT sorted_int_intersect_size(array(1, 3, 5), array(3, 4, 5)) AS n").head.getInt(0)
       assert(inter == 2)
+      val bigrams = s2.sql(
+        "SELECT word_bigrams('one two three') AS b").head.getSeq[String](0)
+      assert(bigrams == Seq("one two", "two three"))
+      val sig = s2.sql(
+        "SELECT minhash9(word_bigrams('one two three')) AS s").head.getSeq[String](0)
+      assert(sig.length == 9 && sig.forall(_.length == 7))
+      val sk = s2.sql(
+        "SELECT ngram_sketch_hash('hello world hello') AS k").head.getSeq[Int](0)
+      assert(sk == sk.sorted && sk.forall(h => h % 4 == 0))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
