@@ -254,13 +254,7 @@ object Dedup {
       // expression (NgramSketchHash) — the equivalent HOF chain walked an
       // interpreted expression tree per character position.
       graft.expressions.SortedIntIntersectSize.register(spark)
-      graft.expressions.NgramSketchHash.register(spark)
-      val g = Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          expr("ngram_sketch_hash(text)").as("sg"))
-        .filter(size(col("sg")) > 0)
-        .withColumn("sz", size(col("sg")))
-      val gp = graft.CacheRegistry.persist(g) // candidate meta + array lookup
+      val gp = ngramSketches(spark, sfDir) // candidate meta + array lookup
       // LIGHT candidate join: only (doc_id, n_chars, sz) rides the band
       // shuffle (the b side is tripled by the neighbor-band explode — with
       // the sketch arrays attached that tripled the dominant shuffle); the
@@ -363,6 +357,123 @@ object Dedup {
     """)
   }
 
+  /** The 24-bit sampled char-5-gram sketch table (doc_id, n_chars, sg, sz),
+    * session-shared: computing it is ~40M md5 calls at sf0.1 (one per
+    * 5-gram position) and BOTH the ngram dedup and the contamination check
+    * consume the identical frame.
+    */
+  private def ngramSketches(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.NgramSketchHash.register(spark)
+    graft.CacheRegistry.shared(s"ngram_sk:$sfDir") {
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("ngram_sketch_hash(text)").as("sg"))
+        .filter(size(col("sg")) > 0)
+        .withColumn("sz", size(col("sg")))
+    }
+  }
+
+  /** Benchmark-contamination check — the training-pipeline op that flags
+    * corpus documents sharing a large n-gram footprint with an evaluation
+    * set. Shape: the (small) benchmark set's sorted sketches BROADCAST
+    * against the corpus, overlap via the codegen'd two-pointer intersect —
+    * one map-only pass over the corpus, zero shuffles before the final
+    * sort (an inverted-index explode+groupBy variant measured 8 s at sf0.1
+    * because common n-gram hashes fan out; the broadcast-intersect is
+    * ~0.5 s and scales as corpus × |bench|). The flag is relative
+    * (overlap / doc sketch size) so long documents aren't over-flagged.
+    * Benchmark = doc_id < 20 (deterministic stand-in for an eval set).
+    */
+  val contamination: GraftQuery = new GraftQuery {
+    val name = "contamination_ngram"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.SortedIntIntersectSize.register(spark)
+      val g = ngramSketches(spark, sfDir)
+      val bench = g.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("sg").as("sg_b"))
+      g.filter(col("doc_id") >= 20)
+        .crossJoin(broadcast(bench))
+        .withColumn("overlap", expr("sorted_int_intersect_size(sg, sg_b)").cast("long"))
+        .withColumn("overlap_bp",
+          floor(col("overlap") * lit(10000.0) / size(col("sg"))).cast("long"))
+        .filter(col("overlap_bp") >= 2500)
+        .select(col("doc_id"), col("bench_id"), col("overlap"), col("overlap_bp"))
+        .orderBy("doc_id", "bench_id")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH g0 AS (
+        SELECT doc_id, CASE WHEN length(text) < 5 THEN CAST([] AS VARCHAR[])
+               ELSE list_distinct(list_transform(generate_series(1, length(text)-4),
+                      i -> substr(lower(text), i, 5))) END AS sg0
+        FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_filter(
+                 list_transform(sg0, s -> ${duckHashHex("s", 6)}), h -> h % 4 = 0)) AS sg
+        FROM g0),
+      gf AS (SELECT doc_id, sg, len(sg) AS sz FROM g WHERE len(sg) > 0),
+      bench AS (SELECT doc_id AS bench_id, unnest(sg) AS hh FROM gf WHERE doc_id < 20),
+      corp AS (SELECT doc_id, sz, unnest(sg) AS hh FROM gf WHERE doc_id >= 20),
+      ov AS (
+        SELECT doc_id, bench_id, sz, count(*) AS overlap
+        FROM corp JOIN bench USING (hh) GROUP BY 1, 2, 3)
+      SELECT doc_id, bench_id, CAST(overlap AS BIGINT) AS overlap,
+             CAST(floor(overlap * 10000.0 / sz) AS BIGINT) AS overlap_bp
+      FROM ov WHERE floor(overlap * 10000.0 / sz) >= 2500
+      ORDER BY doc_id, bench_id
+    """)
+  }
+
+  /** Embedding near-dup WITHOUT a data-provided block key: sign-bucket LSH
+    * blocking over the same deterministic hyperplanes as the ANN path, then
+    * exact cosine on within-bucket pairs only. This is the scale path when
+    * no label column exists to block on ([[embeddingCosine]]'s stated
+    * assumption): candidates fall from O(n²) to Σ bucket², and the plane
+    * count grows bucket cardinality with the corpus (same lever as
+    * [[Similarity.annLshWith]]). Sign-bucket equality keeps ~60/2160 of
+    * candidate pairs above the 0.30 threshold here vs 111 under exact
+    * label blocking — LSH trades recall for unblocked scale; raise planes
+    * + hamming-1 probing to recover recall at size.
+    */
+  val embeddingLsh: GraftQuery = new GraftQuery {
+    val name = "dedup_embedding_lsh"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Similarity.vecs(spark, sfDir)
+        .withColumn("bucket", Similarity.bucketCol(6))
+      e.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr("dot_double(a.v, b.v)"))
+        .withColumn("cos_bp",
+          floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
+        .filter(col("cos_bp") >= 3000)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
+        .orderBy("vec_a", "vec_b")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      ${Similarity.duckBucketsCte(6)},
+      nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+      p AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * c.v[i])) AS dot,
+               a.nrm * c.nrm AS nn
+        FROM nb a JOIN nb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT vec_a, vec_b, CAST(floor(dot * 10000.0 / nn) AS BIGINT) AS cos_bp
+      FROM p WHERE floor(dot * 10000.0 / nn) >= 3000
+      ORDER BY vec_a, vec_b
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
+      embeddingLsh, contamination)
 }

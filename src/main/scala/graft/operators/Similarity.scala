@@ -37,7 +37,7 @@ object Similarity {
     * on the model without shipping one (plane matrix is a few KB of
     * literals, broadcast inside the plan itself).
     */
-  private def planeWeights(planes: Int): Array[Array[Double]] = {
+  private[operators] def planeWeights(planes: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, Dims) { (p, d0) =>
       val hex = md.digest(s"${p}_${d0 + 1}".getBytes("UTF-8"))
@@ -53,7 +53,7 @@ object Similarity {
     * left-to-right summation is bit-identical to the oracle's `list_sum`
     * fold, so the sign — and hence the bucket — matches cross-engine.
     */
-  private def bucketCol(planes: Int): Column = {
+  private[operators] def bucketCol(planes: Int): Column = {
     val w = planeWeights(planes)
     (0 until planes).map { p =>
       val arr = w(p).map(x => s"${x}D").mkString(",")
@@ -64,7 +64,7 @@ object Similarity {
   /** DuckDB mirror of [[bucketCol]] as a `buckets(vec_id, bucket)` CTE body
     * (expects CTE `e(vec_id, v)` in scope).
     */
-  private def duckBucketsCte(planes: Int): String = {
+  private[operators] def duckBucketsCte(planes: Int): String = {
     val w = planeWeights(planes)
     val terms = (0 until planes).map { p =>
       val arr = w(p).mkString("[", ", ", "]")
@@ -81,7 +81,7 @@ object Similarity {
     * codegen'd [[graft.expressions.DotProductDouble]] — same left-to-right
     * summation as the interpreted `aggregate` fold it replaces).
     */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.DotProductDouble.register(spark)
     // shared: ann_recall composes the brute-force and LSH queries, so the
     // normalized-vector frame is read by several plans per session
