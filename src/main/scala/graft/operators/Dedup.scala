@@ -98,10 +98,20 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }
 
-    def oracle: Option[String] = {
-      val mins = (1 to 9)
-        .map(i => s"min(substr(hh, ${(i - 1) * 7 + 1}, 7)) AS h$i").mkString(", ")
-      Some(duckToksCte + s"""
+    def oracle: Option[String] = Some(duckMinhashCtes + """
+      SELECT doc_a, doc_b, CAST(floor(inter * 10000.0 / uni) AS BIGINT) AS jac_bp
+      FROM v WHERE floor(inter * 10000.0 / uni) >= 5000
+      ORDER BY doc_a, doc_b
+      """)
+  }
+
+  /** Shared DuckDB CTE chain for the minhash pipeline up to the verified
+    * candidate table `v(doc_a, doc_b, inter, uni)`.
+    */
+  private def duckMinhashCtes: String = {
+    val mins = (1 to 9)
+      .map(i => s"min(substr(hh, ${(i - 1) * 7 + 1}, 7)) AS h$i").mkString(", ")
+    duckToksCte + s"""
       , sh AS (
         SELECT doc_id,
                CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
@@ -126,12 +136,7 @@ object Dedup {
                len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) AS uni
         FROM cand
         JOIN shf sa ON doc_a = sa.doc_id
-        JOIN shf sb ON doc_b = sb.doc_id)
-      SELECT doc_a, doc_b, CAST(floor(inter * 10000.0 / uni) AS BIGINT) AS jac_bp
-      FROM v WHERE floor(inter * 10000.0 / uni) >= 5000
-      ORDER BY doc_a, doc_b
-      """)
-    }
+        JOIN shf sb ON doc_b = sb.doc_id)"""
   }
 
   /** SimHash near-dup: packed 64-bit signature over distinct tokens (bit
@@ -473,7 +478,68 @@ object Dedup {
     """)
   }
 
+  /** Near-dup CLUSTER formation — the keep-one-per-cluster step every
+    * dedup pipeline ends with: connected components over the verified
+    * minhash pair graph via iterative min-label propagation. Each
+    * iteration is a distributed join + min-aggregation; the driver only
+    * reads a convergence COUNTER (no data is collected), and the iteration
+    * count is bounded by the cluster diameter — near-dup clusters are
+    * shallow by construction (pairs share ≥50% shingles), so a handful of
+    * rounds closes; path-doubling (joining labels to labels) is the
+    * documented upgrade if deep chains ever appear. The keeper is the
+    * cluster's min doc id, matching [[exact]]'s min-id convention. Oracle:
+    * DuckDB recursive-CTE transitive closure over the same pair graph.
+    */
+  val clusters: GraftQuery = new GraftQuery {
+    val name = "dedup_clusters"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pairs = minhashLsh.run(spark, sfDir).select("doc_a", "doc_b")
+      val edges = graft.CacheRegistry.persist(pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      var labels = graft.CacheRegistry.persist(
+        edges.select(col("doc_a").as("doc")).distinct()
+          .withColumn("label", col("doc")))
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbor = edges
+          .join(labels, edges("doc_b") === labels("doc"))
+          .select(edges("doc_a").as("doc"), col("label"))
+        val next = graft.CacheRegistry.persist(
+          labels.unionByName(viaNeighbor)
+            .groupBy("doc").agg(min("label").as("label")))
+        changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "doc")
+          .filter(col("label") =!= col("prev")).count()
+        labels = next
+      }
+      labels
+        .select(col("doc").as("doc_id"), col("label").as("cluster_id"),
+          (col("doc") === col("label")).cast("long").as("is_keeper"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(
+      duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+      , dup AS (
+        SELECT doc_a, doc_b FROM v WHERE floor(inter * 10000.0 / uni) >= 5000),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      lbl AS (
+        SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        FROM reach GROUP BY s)
+      SELECT doc_id, cluster_id,
+             CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM lbl ORDER BY doc_id
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
-      embeddingLsh, contamination)
+      embeddingLsh, contamination, clusters)
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions.duckHashHex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * Reproducibility is the contract: the keep/drop decision is a pure
+  * function of the record key (md5-derived, engine-portable), never engine
+  * RNG — re-running the pipeline, on any cluster, selects the identical
+  * sample, and downstream joins against previously sampled snapshots stay
+  * consistent.
+  */
+object Sampling {
+
+  /** Per-stratum sampling rates in basis points — a tiny config table
+    * broadcast into the decision join (the dict-dim pattern): even-numbered
+    * sources keep 25%, odd-numbered 75%.
+    */
+  private val rateRows: Seq[(String, Int)] =
+    Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 2500 else 7500))
+
+  /** Stratified sampling: keep a document iff
+    * `md5_24(doc_id) mod 10000 < rate_bp(source)`. One scan, broadcast
+    * rate join, no shuffle before the per-stratum accounting — at 100 TB
+    * the decision is a codegen'd projection. Output is the per-stratum
+    * audit: population, sample size, configured rate, realized rate and a
+    * kept-id checksum proving the exact selection cross-engine.
+    */
+  val stratified: GraftQuery = new GraftQuery {
+    val name = "sample_stratified"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val rates = rateRows.toDF("source", "rate_bp")
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 10000)
+        .join(broadcast(rates), "source")
+        .withColumn("keep", (col("h") < col("rate_bp")).cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("population_ct"),
+          sum(col("keep")).cast("long").as("sample_ct"),
+          min(col("rate_bp")).cast("long").as("rate_bp"),
+          sum(when(col("keep") === 1, col("doc_id"))).cast("long").as("kept_id_sum"))
+        .withColumn("realized_bp",
+          floor(col("sample_ct") * lit(10000.0) / col("population_ct")).cast("long"))
+        .orderBy("source")
+    }
+
+    def oracle: Option[String] = {
+      val vals = rateRows.map { case (s, r) => s"('$s', $r)" }.mkString(", ")
+      Some(s"""
+      WITH rates(source, rate_bp) AS (VALUES $vals),
+      d AS (
+        SELECT doc_id, documents.source, rate_bp,
+               ${duckHashHex("CAST(doc_id AS VARCHAR)", 6)} % 10000 AS h
+        FROM documents JOIN rates ON documents.source = rates.source),
+      k AS (SELECT *, CASE WHEN h < rate_bp THEN 1 ELSE 0 END AS keep FROM d)
+      SELECT source,
+             count(*) AS population_ct,
+             CAST(sum(keep) AS BIGINT) AS sample_ct,
+             CAST(min(rate_bp) AS BIGINT) AS rate_bp,
+             CAST(sum(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+             CAST(floor(sum(keep) * 10000.0 / count(*)) AS BIGINT) AS realized_bp
+      FROM k GROUP BY source ORDER BY source
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(stratified)
+}
