@@ -161,5 +161,54 @@ object TextAnalysis {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint)
+  /** PII redaction — the scrubbing pass a training pipeline runs before
+    * release: emails and international-format phone numbers replaced by
+    * typed placeholders, with per-doc match counts and an md5 of the
+    * REDACTED text proving the transformation byte-identical across
+    * engines. The testdata is synthetic and PII-free, so deterministic
+    * contact footers are appended first (both engines build the identical
+    * input) — the operator is the regex pipeline, not the footer. One
+    * narrow projection, codegen'd, no shuffle but the final ORDER BY.
+    * Patterns avoid constructs where Java regex and RE2 (DuckDB) diverge
+    * (no backreferences, no lookaround).
+    */
+  val piiRedact: GraftQuery = new GraftQuery {
+    val name = "pii_redact"
+
+    private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    private val PhonePat = "\\+[0-9]{7,}"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("raw",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call +1555"), col("doc_id"), lit(" now")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(EmailPat), lit(0)))
+            .cast("long").as("email_ct"),
+          size(regexp_extract_all(col("raw"), lit(PhonePat), lit(0)))
+            .cast("long").as("phone_ct"),
+          md5(regexp_replace(
+            regexp_replace(col("raw"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>")).as("clean_md5"))
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some("""
+      WITH r AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call +1555' || CAST(doc_id AS VARCHAR) || ' now' AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS email_ct,
+             CAST(len(regexp_extract_all(raw, '\+[0-9]{7,}')) AS BIGINT) AS phone_ct,
+             md5(regexp_replace(regexp_replace(raw,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\+[0-9]{7,}', '<PHONE>', 'g')) AS clean_md5
+      FROM r ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint, piiRedact)
 }
