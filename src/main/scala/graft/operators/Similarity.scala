@@ -335,5 +335,76 @@ object Similarity {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(annTopK, annLsh, annIvf, annRecall)
+  /** recall@3 for the IVF-cell path — the same first-class quality metric
+    * as [[annRecall]], so the two scale paths are directly comparable on
+    * any corpus (97% vs 23% on the near-orthogonal test vectors).
+    */
+  val annRecallIvf: GraftQuery = new GraftQuery {
+    val name = "ann_recall_ivf"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val truth = annTopK.run(spark, sfDir).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = annIvf.run(spark, sfDir)
+        .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
+      truth
+        .join(got, col("query_id") === col("g_query") &&
+          col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("truth_k"),
+          count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp", floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign AS (
+        SELECT n.vec_id, n.v, n.nrm, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * cents.cv[i])) * 10000.0 / (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      corpus AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      qp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked
+             WHERE crank <= 2 AND vec_id < 10),
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM qp q JOIN corpus c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN ivf l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf)
 }

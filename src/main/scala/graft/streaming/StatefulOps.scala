@@ -27,6 +27,9 @@ case class RawEvent(user_id: Long, event_id: Long, ts: Timestamp, tsNs: Long)
 /** A bounce detected on the raw event stream (full-precision key). */
 case class UserBounce(user_id: Long, tsNs: Long)
 
+/** A document entering the ingest pipeline: content fingerprint + id. */
+case class DocRecord(fp: String, docId: Long, ts: Timestamp)
+
 private case class SessionState(lastNs: Long, pendingNs: Long)
 
 private case class PendingEntry(tsMillis: Long)
@@ -199,6 +202,33 @@ object StatefulOps {
             }
             state.update(Seen(true))
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup at INGEST — the LLM-pipeline counterpart of the
+    * batch `dedup_exact` query: the first record per content fingerprint
+    * passes (earliest (ts, docId) inside a batch, the batch dedup's min-id
+    * convention), every later duplicate is dropped by a Seen marker keyed
+    * on the fingerprint. State is one boolean per DISTINCT document — at
+    * 100 TB that is the dedup index itself, sharded by the groupByKey
+    * hash; bound it with an event-time TTL when the dedup window is finite
+    * (the [[uniqueVisits]] timeout pattern applies unchanged).
+    */
+  def dedupeStream(recs: Dataset[DocRecord]): Dataset[DocRecord] = {
+    implicit val de = Encoders.product[DocRecord]
+    implicit val se = Encoders.product[Seen]
+    recs.groupByKey(_.fp)(Encoders.STRING)
+      .flatMapGroupsWithState[Seen, DocRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state) =>
+          if (state.hasTimedOut) Iterator.empty
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator.single(events.minBy(e => (e.ts.getTime, e.docId)))
+            state.update(Seen(true))
+            out
           }
       }
   }

@@ -83,6 +83,29 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.count(_.mid == "u2") == 0)
   }
 
+  test("streaming ingest dedup keeps exactly the batch dedup_exact keepers") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .limit(100)
+      .collect()
+      .map(r => DocRecord(r.getString(0), r.getLong(1), ts("2024-01-01 00:00:00")))
+    val mem = MemoryStream[DocRecord]
+    val q = StatefulOps.dedupeStream(mem.toDS())
+      .writeStream.format("memory").queryName("ddp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.toIndexedSeq: _*) // full replay: every record now a duplicate
+      q.processAllAvailable()
+      val kept = spark.table("ddp").as[DocRecord].collect().map(_.docId).sorted.toSeq
+      val batchKeepers = docs.groupBy(_.fp).values.map(_.map(_.docId).min).toSeq.sorted
+      assert(kept == batchKeepers)
+    } finally q.stop()
+  }
+
   test("uv: batch uv_flag equals streaming uniqueVisits on the real events table") {
     import org.apache.spark.sql.functions._
     val en = graft.operators.LogStats.enriched(spark, sf)
