@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -406,5 +407,122 @@ object Similarity {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf)
+  /** IVF with ONE Lloyd refinement iteration — upgrades [[annIvf]]'s
+    * deterministic seed centers (lowest vec_ids) toward real k-means while
+    * staying bit-reproducible cross-engine: the refined "centroid" is the
+    * per-dimension DECIMAL SUM of the cell's members (exact under any
+    * partitioning), NOT the mean — cosine is scale-invariant, so the sum
+    * vector points exactly where the mean does and no engine-specific
+    * decimal-division rounding ever enters. Assignment, re-assignment and
+    * the top-2-cell probe are the same equi-join shapes as [[annIvf]];
+    * the refinement adds one explode + fine-key (cell, dim) aggregation.
+    *
+    * Honest caveat: on the NEAR-ORTHOGONAL synthetic test vectors there is
+    * no cluster structure to recover, so one Lloyd step is neutral to
+    * slightly negative (recall@3 0.90 vs 0.97 seeded, sf0.001); the
+    * machinery matters for real, clustered corpora — this query proves the
+    * refinement loop runs exactly and reproducibly at scale.
+    */
+  val annIvfRefined: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_refined"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = vecs(spark, sfDir)
+      val seeds = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val assign0 = e.crossJoin(broadcast(seeds))
+        .withColumn("ccos_bp",
+          floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
+            .cast("long"))
+      val w0 = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
+      val cells0 = assign0.withColumn("crank", row_number().over(w0))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      // refined center = per-dimension exact DECIMAL sum of the cell
+      val refined = cells0
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(27, 10))).as("s"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          p => p.getField("s").cast("double")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+        .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
+      val assign1 = e.crossJoin(broadcast(refined))
+        .withColumn("ccos_bp",
+          floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
+            .cast("long"))
+      val ranked = assign1.withColumn("crank", row_number().over(w0))
+      val corpusCell = ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val queryProbe = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val scored = queryProbe.as("q")
+        .join(corpusCell.as("c"),
+          col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+        .withColumn("cos_bp", cosBp("q", "c"))
+      val w = Window.partitionBy(col("q.vec_id"))
+        .orderBy(col("cos_bp").desc, col("c.vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      seeds AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign0 AS (
+        SELECT n.vec_id, n.v, n.nrm, seeds.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * seeds.cv[i])) * 10000.0 / (n.nrm * seeds.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN seeds),
+      cells0 AS (
+        SELECT vec_id, v, nrm, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos_bp DESC, cid) AS crank
+          FROM assign0)
+        WHERE crank = 1),
+      dims AS (
+        SELECT cell, d, sum(CAST(v[d] AS DECIMAL(27,10))) AS s
+        FROM cells0, generate_series(1, 64) t(d) GROUP BY cell, d),
+      refined AS (
+        SELECT cell AS cid, list(CAST(s AS DOUBLE) ORDER BY d) AS cv FROM dims GROUP BY cell),
+      refinedn AS (
+        SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM refined),
+      assign1 AS (
+        SELECT n.vec_id, n.v, n.nrm, r.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * r.cv[i])) * 10000.0 / (n.nrm * r.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN refinedn r),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign1),
+      corpus AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      qp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked
+             WHERE crank <= 2 AND vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) AS cos_bp
+        FROM qp q JOIN corpus c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      fin AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_bp DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
+      FROM fin WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined)
 }
