@@ -279,6 +279,57 @@ object LogStats {
     """)
   }
 
+  /** Native session-window aggregation — Spark's `session_window` merges a
+    * user's events closer than the 30-minute gap into one session (end =
+    * last event + gap), the first-class form of the gap heuristics the
+    * enriched view derives with lag(). The oracle reconstructs sessions by
+    * gap-splitting over a cumulative entry counter; `session_window` opens
+    * a new session at gap ≥ 30 min while the split uses the same ≥ at
+    * micros precision (the testdata has no exact-30-minute micros gap, so
+    * the boundary convention cannot diverge). Scale shape: one shuffle on
+    * user_id, sessions assembled inside the aggregation.
+    */
+  val sessionStats: GraftQuery = new GraftQuery {
+    val name = "session_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("ev_ct"),
+          Money.sumCents(col("value")).as("value_sum_x100"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("ev_ct"), col("value_sum_x100"))
+        .orderBy("user_id", "stt")
+
+    def oracle: Option[String] = Some("""
+      WITH x AS (
+        SELECT user_id, ts, value, epoch_us(ts) AS tsu FROM events),
+      g AS (
+        SELECT x.*, CASE WHEN tsu - lag(tsu) OVER w IS NULL
+                          OR tsu - lag(tsu) OVER w >= 1800000000
+                         THEN 1 ELSE 0 END AS new_session
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      s AS (
+        SELECT g.*, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+      agg AS (
+        SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts,
+               count(*) AS ev_ct,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_sum_x100
+        FROM s GROUP BY 1, 2)
+      SELECT user_id,
+             strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(end_ts + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+             ev_ct, value_sum_x100
+      FROM agg ORDER BY user_id, stt
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(logSplit, newUserFix, uniqueVisit, bounce, visitorStats, hourlyVisitors)
+    Seq(logSplit, newUserFix, uniqueVisit, bounce, visitorStats, hourlyVisitors,
+      sessionStats)
 }
