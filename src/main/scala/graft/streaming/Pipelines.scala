@@ -134,6 +134,22 @@ object Pipelines {
         col("order_ct"), col("order_ct_approx"), col("order_amount_cents"))
   }
 
+  /** Native session windows as a live query: watermarked `session_window`
+    * aggregation per user — Structured Streaming assembles and emits each
+    * session once the watermark passes its end (append mode), the engine
+    * analog of the reference's gap-based sessionization heuristics.
+    */
+  def sessionStatsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "11 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("ev_ct"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("ev_ct"), col("value_sum"))
+
   /** A4 as a live query: tokenizer UDF + explode + running word counts over
     * a document stream (update/complete-mode aggregation — the word count
     * has no event time, matching the reference's keyword table refresh).

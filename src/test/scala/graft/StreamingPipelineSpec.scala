@@ -177,6 +177,22 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(dimRows == Map("2" -> "25")) // within-batch seq then latest batch win
   }
 
+  test("streaming session windows (complete mode) equal batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("sessdir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val stream = Pipelines.sessionStatsStream(Pipelines.eventsStream(spark, dir.toString))
+    val q = stream.writeStream.format("memory").queryName("sss")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sss").orderBy("user_id", "stt").collect().toSeq
+      val batch = Pipelines.sessionStatsStream(Tables.load(spark, sf, "events"))
+        .orderBy("user_id", "stt").collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming province stats (complete mode) equals batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("ordersdir")
     java.nio.file.Files.copy(
