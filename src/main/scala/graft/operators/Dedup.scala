@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, over `documents`
   * and `embeddings`: exact, MinHash+LSH, SimHash, n-gram Jaccard and
-  * embedding-cosine near-dup. Each is the standard scale path:
+  * embedding-cosine near-dup (label- and LSH-blocked), plus the
+  * cluster-formation and benchmark-contamination steps. The headline
+  * paths:
   *
   *  - exact: one hash-groupBy shuffle, keeps the min doc id per group.
   *  - minhash_lsh: shingle → k salted min-hashes → band signatures →
   *    equi-join on (band, signature) → exact Jaccard verify on the
   *    candidates only. The only join is the band-bucket equi-join, so cost
   *    is O(collisions), never O(n²).
-  *  - simhash: 16-bit signature; candidate pairs blocked on equality of
-  *    one of THREE signature blocks (6/5/5 bits — pigeonhole: hamming ≤ 2
-  *    can touch at most two blocks, so one block is always equal),
-  *    verified by exact hamming distance. Equi-joins only.
+  *  - simhash: packed 64-bit signature; candidate pairs blocked on
+  *    equality of one of FOUR 16-bit blocks (pigeonhole: hamming ≤ 3 can
+  *    touch at most three blocks, so one block is always equal), verified
+  *    by exact hamming distance. Equi-joins only.
   *  - ngram_jaccard: char-5-gram Jaccard over sampled int sketches,
   *    candidates from a length-band equi-join (cross-language duplicates
   *    share length, not language). Output is the above-threshold pair list.
@@ -145,7 +147,7 @@ object Dedup {
     * Candidate pairs are blocked on equality of one of the four 16-bit
     * signature blocks —
     * pigeonhole: hamming ≤ 3 flips at most three blocks, so one block is
-    * always equal (the Manku/Jarvelin-style 64-bit near-dup scheme) — then
+    * always equal (the Manku-Jain-Sarma-style 64-bit near-dup scheme) — then
     * verified by exact hamming = Σ bit_count(s_k ⊕ s'_k). Equi-joins only.
     *
     * 100 TB design: each block key ranges over 65 536 values AND correlates
