@@ -51,4 +51,39 @@ class PropertySpec extends SparkSpec {
       assert(Multimodal.resize(b, 1).toSeq == b.toSeq)
     }
   }
+
+  test("ngram sketch: sorted, distinct, sampled, substring-monotone") {
+    import org.apache.spark.unsafe.types.UTF8String
+    randomStrings(150).foreach { s =>
+      val sk = graft.expressions.NgramSketchHash.compute(UTF8String.fromString(s))
+      val arr = sk.toIntArray()
+      assert(arr.toSeq == arr.toSeq.sorted, s"unsorted for: ${s.take(40)}")
+      assert(arr.distinct.length == arr.length)
+      assert(arr.forall(h => h % 4 == 0 && h >= 0 && h < (1 << 24)))
+      // every shingle of a PREFIX also appears in the full string's sketch
+      if (s.length > 6) {
+        val prefix = graft.expressions.NgramSketchHash
+          .compute(UTF8String.fromString(s.substring(0, s.length - 1))).toIntArray()
+        assert(prefix.forall(arr.contains), s"prefix not subset for: ${s.take(40)}")
+      }
+    }
+  }
+
+  test("minhash9: 9 fixed-width windows, permutation-invariant, monotone min") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(sh: Seq[String]) = {
+      val in = new GenericArrayData(sh.map(x => UTF8String.fromString(x): Any).toArray)
+      graft.expressions.MinHash9.compute(in)
+    }
+    val shingles = Seq("a b", "b c", "c d", "d e", "e f")
+    val full = (0 until 9).map(sig(shingles).getUTF8String(_).toString)
+    assert(full.forall(_.length == 7))
+    // order of the shingle set never changes the signature
+    val shuffled = (0 until 9).map(sig(rnd.shuffle(shingles)).getUTF8String(_).toString)
+    assert(full == shuffled)
+    // adding a shingle can only keep or LOWER each window minimum
+    val more = (0 until 9).map(sig(shingles :+ "f g").getUTF8String(_).toString)
+    assert(full.zip(more).forall { case (f, m) => m <= f })
+  }
 }
