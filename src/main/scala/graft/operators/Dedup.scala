@@ -499,9 +499,12 @@ object Dedup {
       val pairs = minhashLsh.run(spark, sfDir).select("doc_a", "doc_b")
       val edges = graft.CacheRegistry.persist(pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      // seed with the direct-neighborhood minimum (one propagation round
+      // folded into the init aggregation)
       var labels = graft.CacheRegistry.persist(
-        edges.select(col("doc_a").as("doc")).distinct()
-          .withColumn("label", col("doc")))
+        edges.groupBy(col("doc_a").as("doc"))
+          .agg(min(col("doc_b")).as("mn"))
+          .select(col("doc"), least(col("doc"), col("mn")).as("label")))
       var changed = 1L
       while (changed > 0) {
         val viaNeighbor = edges
