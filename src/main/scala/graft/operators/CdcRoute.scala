@@ -95,8 +95,11 @@ object CdcRoute {
     * snapshot of every existing row (Debezium READ op → type `read`)
     * precedes the incremental change stream. Modeled with a phase-ordered
     * change sequence: snapshot records carry op_seq 0, stream records their
-    * log position, and the materialized table state is keep-latest per key
-    * with deletes dropping the row. Stream updates rewrite the amount, so
+    * log position, and the materialized table state is keep-latest per key —
+    * a key whose latest change is a delete is RETAINED and surfaced under
+    * final_op='delete' (a downstream sink would drop it at apply time; the
+    * query reports the routing decision, not the post-apply table).
+    * Stream updates rewrite the amount, so
     * the checksum proves precedence (a snapshot row only survives where no
     * later change touched the key). The keep-latest window partitions on
     * the table key — a fine key at any scale.

@@ -165,27 +165,32 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
         .select(col("doc_id") +:
           (0 until 4).map(k => hash16Win(col("w"), k).as(s"v$k")): _*)
-      // 64 per-bit one-counters packed 4-per-long at 16-bit spacing (token
-      // count per doc < 65536, so lanes never carry): 16 packed sums + a
-      // count instead of 64 sum(CASE) aggregates — same signature, ~4x less
-      // generated aggregate code. Bit b of block k lives in lane b/4 of
-      // packed column (k, b%4); the sign criterion c_b > 0 over ±1 votes is
-      // equivalently 2*ones_b > n.
+      // 64 per-bit one-counters packed 3-per-long at 20-bit spacing: 24
+      // packed sums + a count instead of 64 sum(CASE) aggregates — same
+      // signature, ~3x less generated aggregate code. Bit b of block k
+      // lives in lane b/6 of packed column (k, b%6); the sign criterion
+      // c_b > 0 over ±1 votes is equivalently 2*ones_b > n. Safe bound:
+      // lanes never carry while distinct-token count per doc < 2^20
+      // (~1M; the binding constraint), and the top lane (bits 40..59)
+      // stays clear of the Long sign bit until 2^23 — so the ANSI-mode
+      // sum(long) can't overflow before a carry would corrupt the packing
+      // anyway. (The previous 4-lane/16-bit layout overflowed ANSI sum at
+      // 32768 tokens, half its documented carry bound.)
       def packedLane(k: Int, g: Int): Column =
-        (0 until 4).map { t =>
-          shiftleft(shiftright(col(s"v$k").cast("long"), 4 * t + g).bitwiseAND(1), 16 * t)
+        (0 until 3).filter(t => g + 6 * t < 16).map { t =>
+          shiftleft(shiftright(col(s"v$k").cast("long"), g + 6 * t).bitwiseAND(1), 20 * t)
         }.reduce(_ + _)
       val agg = ex.groupBy("doc_id").agg(
         count(lit(1)).as("n"),
-        (for (k <- 0 until 4; g <- 0 until 4) yield
+        (for (k <- 0 until 4; g <- 0 until 6) yield
           sum(packedLane(k, g)).as(s"L_${k}_$g")): _*)
       // one packed 64-bit signature column: OR of distinct bit values (no
       // additive overflow semantics at bit 63), XOR+bit_count gives hamming
       // in a single op, 16-bit block extraction keys the pigeonhole joins
       val sig = graft.CacheRegistry.persist(agg.select(col("doc_id"),
         (for (k <- 0 until 4; b <- 0 until 16) yield
-          when(shiftright(col(s"L_${k}_${b % 4}"), 16 * (b / 4))
-              .bitwiseAND(lit(0xFFFFL)) * 2 > col("n"), lit(1L << (16 * k + b)))
+          when(shiftright(col(s"L_${k}_${b % 6}"), 20 * (b / 6))
+              .bitwiseAND(lit(0xFFFFFL)) * 2 > col("n"), lit(1L << (16 * k + b)))
             .otherwise(lit(0L))).reduce(_ bitwiseOR _).as("sig")))
       // one (block_id, block_val) table instead of four separate self-joins:
       // same candidate set (match on ANY block), but a single join stage and
@@ -369,7 +374,7 @@ object Dedup {
     * 5-gram position) and BOTH the ngram dedup and the contamination check
     * consume the identical frame.
     */
-  private def ngramSketches(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def ngramSketches(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.NgramSketchHash.register(spark)
     graft.CacheRegistry.shared(s"ngram_sk:$sfDir") {
       Tables.load(spark, sfDir, "documents")
@@ -480,17 +485,62 @@ object Dedup {
     """)
   }
 
+  /** Min-label propagation WITH PATH DOUBLING over a symmetric edge table
+    * `(doc_a, doc_b)`: each round takes, per node, the min of its own
+    * label, its neighbors' labels (one hop along an edge) and its label's
+    * label (one hop along the pointer graph — the doubling step that makes
+    * pointer reach grow geometrically). Rounds until convergence are
+    * therefore ≤ ⌈log₂(diameter)⌉ + 1 (the +1 is the fixpoint-detection
+    * round) instead of the diameter itself — the difference between 6 and
+    * 10⁶ rounds on a pathological duplication chain at corpus scale. The
+    * driver reads only a convergence counter per round; each round
+    * eagerly unpersists the previous label frame so cached state is two
+    * frames, not O(rounds). Returns (labels(doc, label), rounds).
+    */
+  private[graft] def propagateLabels(edges: DataFrame): (DataFrame, Int) = {
+    // Each round is localCheckpoint'ed (eager): the label frame references
+    // ITSELF three times per round (union + neighbor join + pointer
+    // self-join), so without lineage truncation the logical plan grows ~4x
+    // per round and planning OOMs long before the data does. The
+    // checkpointed RDDs are small (one (doc,label) row per node) and the
+    // ContextCleaner releases them as the frames go out of scope.
+    // seed with the direct-neighborhood minimum (one propagation round
+    // folded into the init aggregation)
+    var labels = edges.groupBy(col("doc_a").as("doc"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc"), least(col("doc"), col("mn")).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      val viaNeighbor = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .select(edges("doc_a").as("doc"), col("label"))
+      // path doubling: label(label(doc)) — every label is a node present
+      // in `labels` (labels covers all of doc_a, edges are symmetric), so
+      // the self-join always resolves
+      val viaPointer = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.doc"))
+        .select(col("x.doc").as("doc"), col("y.label").as("label"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaPointer)
+        .groupBy("doc").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    (labels, rounds)
+  }
+
   /** Near-dup CLUSTER formation — the keep-one-per-cluster step every
     * dedup pipeline ends with: connected components over the verified
-    * minhash pair graph via iterative min-label propagation. Each
-    * iteration is a distributed join + min-aggregation; the driver only
-    * reads a convergence COUNTER (no data is collected), and the iteration
-    * count is bounded by the cluster diameter — near-dup clusters are
-    * shallow by construction (pairs share ≥50% shingles), so a handful of
-    * rounds closes; path-doubling (joining labels to labels) is the
-    * documented upgrade if deep chains ever appear. The keeper is the
-    * cluster's min doc id, matching [[exact]]'s min-id convention. Oracle:
-    * DuckDB recursive-CTE transitive closure over the same pair graph.
+    * minhash pair graph via [[propagateLabels]] (min-label propagation
+    * with path doubling, rounds ≤ ⌈log₂ diameter⌉+1 — spec-asserted on a
+    * 50-link chain in DedupSpec). The keeper is the cluster's min doc id,
+    * matching [[exact]]'s min-id convention. Oracle: DuckDB recursive-CTE
+    * transitive closure over the same pair graph.
     */
   val clusters: GraftQuery = new GraftQuery {
     val name = "dedup_clusters"
@@ -499,25 +549,7 @@ object Dedup {
       val pairs = minhashLsh.run(spark, sfDir).select("doc_a", "doc_b")
       val edges = graft.CacheRegistry.persist(pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-      // seed with the direct-neighborhood minimum (one propagation round
-      // folded into the init aggregation)
-      var labels = graft.CacheRegistry.persist(
-        edges.groupBy(col("doc_a").as("doc"))
-          .agg(min(col("doc_b")).as("mn"))
-          .select(col("doc"), least(col("doc"), col("mn")).as("label")))
-      var changed = 1L
-      while (changed > 0) {
-        val viaNeighbor = edges
-          .join(labels, edges("doc_b") === labels("doc"))
-          .select(edges("doc_a").as("doc"), col("label"))
-        val next = graft.CacheRegistry.persist(
-          labels.unionByName(viaNeighbor)
-            .groupBy("doc").agg(min("label").as("label")))
-        changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "doc")
-          .filter(col("label") =!= col("prev")).count()
-        labels = next
-      }
+      val (labels, _) = propagateLabels(edges)
       labels
         .select(col("doc").as("doc_id"), col("label").as("cluster_id"),
           (col("doc") === col("label")).cast("long").as("is_keeper"))

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
 object Relevance {
 
   /** Top-3 TF-IDF terms per document: tf(d,w) * ln(N/df(w)), floor-scaled.
-    * One explode pass feeds both the tf and df aggregations; df and the
-    * corpus size join back on the word key (broadcast at any realistic
-    * vocabulary size).
+    * One explode pass feeds both the tf and df aggregations; df joins back
+    * as a plain shuffle join on the word key — the distinct-token table
+    * grows with the corpus (10^8+ rows at 100 TB), so no broadcast hint:
+    * AQE promotes the join to broadcast only when df actually fits.
     */
   val tfidfTop: GraftQuery = new GraftQuery {
     val name = "tfidf_top_terms"
@@ -32,7 +33,7 @@ object Relevance {
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+      val scored = tf.join(df, "word").crossJoin(broadcast(n))
         .withColumn("score_x1000",
           floor(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * lit(1000.0))
             .cast("long"))
@@ -88,7 +89,11 @@ object Relevance {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val K = 4096
+      // invariant: percentiles are over NON-NULL values (both engines filter
+      // them here) — a NULL value would otherwise get a NULL bucket and drop
+      // out of the (type, bucket) equi-joins, silently shifting every rank
       val e = Tables.load(spark, sfDir, "events")
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"), col("event_id"))
       // persisted: ~5 rows, but three consumers (bucket projection, targets,
       // final join) would each rescan the full events table to rebuild it
@@ -130,7 +135,7 @@ object Relevance {
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
       SELECT event_type, count(*) AS n,
              max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.5) AS BIGINT)) THEN value END) AS p50,
              max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.9) AS BIGINT)) THEN value END) AS p90,

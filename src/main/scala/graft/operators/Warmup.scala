@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Materializes the session-shared frames ([[graft.CacheRegistry.shared]])
+  * outside any per-query timer. Three frames are shared across the suite —
+  * the enriched-events derivation (seven log queries), the normalized
+  * embedding vectors (six ANN queries) and the char-5-gram sketches (ngram
+  * dedup + contamination). Without an explicit warmup, whichever query a
+  * harness happens to run first against each frame is charged its full
+  * build cost, making per-query timings order-dependent.
+  */
+object Warmup {
+
+  /** Build and persist every shared frame for `sfDir`; returns seconds
+    * spent so harnesses can report the cost as its own line item.
+    */
+  def sharedFrames(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    LogStats.enriched(spark, sfDir).count()
+    Similarity.vecs(spark, sfDir).count()
+    Dedup.ngramSketches(spark, sfDir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+}

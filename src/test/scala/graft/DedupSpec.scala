@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup internals that the DuckDB oracle can't see: the ROUND COUNT of
+  * the connected-components label propagation. The oracle proves the final
+  * labels; this spec proves the logarithmic convergence that makes the
+  * operator viable on a deep duplication chain at corpus scale.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def chainEdges(ids: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val e = ids.toDF("doc_a", "doc_b")
+    e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  test("path doubling closes a 50-link chain in ≤ ⌈log₂ d⌉+1 rounds") {
+    // worst case for plain min-label propagation: a single path graph,
+    // diameter 50 → 50 rounds without doubling
+    val d = 50
+    val edges = chainEdges((0L until d.toLong).map(i => (i, i + 1)))
+    val (labels, rounds) = operators.Dedup.propagateLabels(edges)
+    try {
+      val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == d + 1)
+      assert(out.values.forall(_ == 0L), "every chain node must label to the min id")
+      val bound = math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 1
+      assert(rounds <= bound, s"took $rounds rounds, bound is $bound (diameter $d)")
+    } finally CacheRegistry.clear()
+  }
+
+  test("propagation keeps components separate") {
+    val edges = chainEdges(
+      (0L until 5L).map(i => (i, i + 1)) ++ (100L until 108L).map(i => (i, i + 1)))
+    val (labels, _) = operators.Dedup.propagateLabels(edges)
+    try {
+      val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 5L).forall(out(_) == 0L))
+      assert((100L to 108L).forall(out(_) == 100L))
+    } finally CacheRegistry.clear()
+  }
+}
