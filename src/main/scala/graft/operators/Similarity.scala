@@ -423,6 +423,73 @@ object Similarity {
     * machinery matters for real, clustered corpora — this query proves the
     * refinement loop runs exactly and reproducibly at scale.
     */
+  /** Cross join each vector against the (small, broadcast) center table
+    * and rank centers per vector by floor-scaled cosine — `crank = 1` is
+    * the vector's cell, `crank <= p` its p-cell probe set.
+    */
+  private def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
+    e.crossJoin(broadcast(centers))
+      .withColumn("ccos_bp",
+        floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
+          .cast("long"))
+      .withColumn("crank", row_number().over(w))
+  }
+
+  private def assignCells(e: DataFrame, centers: DataFrame): DataFrame =
+    cellRanked(e, centers).filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+
+  /** One Lloyd refinement: center = per-dimension exact DECIMAL SUM of the
+    * cell's members (not the mean — cosine is scale-invariant, so the sum
+    * points exactly where the mean does and no engine-specific
+    * decimal-division rounding enters). Explode + fine-key (cell, dim)
+    * aggregation; cells that lose every member drop out, as in k-means.
+    */
+  private def refineCenters(cells: DataFrame): DataFrame = cells
+    .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+    .groupBy(col("cell"), col("pos"))
+    .agg(sum(col("x").cast(DecimalType(27, 10))).as("s"))
+    .groupBy(col("cell"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+      p => p.getField("s").cast("double")).as("cv"))
+    .select(col("cell").as("cid"), col("cv"))
+    .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
+
+  /** Up to `iters` Lloyd iterations from `seeds`: assign every vector to
+    * its best-cosine center, recompute centers as exact DECIMAL sums,
+    * repeat. The driver reads only a per-iteration CONVERGENCE COUNTER
+    * (count of vectors whose cell changed); when it hits zero the loop
+    * stops early — result-identical to running the remaining iterations,
+    * since an unchanged assignment reproduces the same sums and therefore
+    * the same centers (this is what keeps the fixed-unroll SQL oracle
+    * exact). Center frames are 16-row localCheckpoints, so plan lineage
+    * stays flat across iterations. Returns (centers, iterationsRun).
+    */
+  private[graft] def lloydCenters(e: DataFrame, seeds: DataFrame,
+      iters: Int): (DataFrame, Int) = {
+    var centers = seeds
+    var prev: DataFrame = null
+    var ran = 0
+    var converged = false
+    while (!converged && ran < iters) {
+      val cells = assignCells(e, centers)
+        .localCheckpoint(true)
+      val changed =
+        if (prev == null) 1L
+        else cells.select(col("vec_id"), col("cell"))
+          .join(prev.withColumnRenamed("cell", "pcell"), "vec_id")
+          .filter(col("cell") =!= col("pcell")).count()
+      if (changed == 0) converged = true
+      else {
+        centers = refineCenters(cells).localCheckpoint(true)
+        prev = cells.select(col("vec_id"), col("cell"))
+        ran += 1
+      }
+    }
+    (centers, ran)
+  }
+
   val annIvfRefined: GraftQuery = new GraftQuery {
     val name = "ann_ivf_refined"
 
@@ -430,29 +497,8 @@ object Similarity {
       val e = vecs(spark, sfDir)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assign0 = e.crossJoin(broadcast(seeds))
-        .withColumn("ccos_bp",
-          floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
-            .cast("long"))
-      val w0 = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
-      val cells0 = assign0.withColumn("crank", row_number().over(w0))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      // refined center = per-dimension exact DECIMAL sum of the cell
-      val refined = cells0
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x").cast(DecimalType(27, 10))).as("s"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          p => p.getField("s").cast("double")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"))
-        .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
-      val assign1 = e.crossJoin(broadcast(refined))
-        .withColumn("ccos_bp",
-          floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
-            .cast("long"))
-      val ranked = assign1.withColumn("crank", row_number().over(w0))
+      val (refined, _) = lloydCenters(e, seeds, 1)
+      val ranked = cellRanked(e, refined)
       val corpusCell = ranked.filter(col("crank") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
       val queryProbe = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
@@ -523,6 +569,209 @@ object Similarity {
     """)
   }
 
+  /** Signal amplitude of the planted-cluster fixture, in 1/16 units: each
+    * cluster's 8 signature dimensions carry SignalUnits/16 = 10.0 on top
+    * of uniform md5 jitter in [0, 16) — high enough SNR that the true
+    * top-3 neighbors are always cluster mates, so cell purity alone
+    * decides recall.
+    */
+  private val SignalUnits = 160
+
+  /** Deterministic PLANTED-CLUSTER vectors derived from the embeddings
+    * table's vec_ids (testdata embeddings are near-orthogonal — no cluster
+    * structure for k-means to recover, so the refinement gain needs a
+    * fixture with real structure). Cluster of vec v = v % 8; dims
+    * 8k..8k+7 carry the cluster-k signal; every dim adds two md5 hex
+    * digits of (vec_id:dim) as jitter. All values are exact multiples of
+    * 1/16 (dyadic), and the construction is pure SQL mirrored verbatim in
+    * DuckDB, so both engines build bit-identical doubles.
+    */
+  private[graft] def clusteredVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.DotProductDouble.register(spark)
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"))
+      .withColumn("v", expr(s"""
+        transform(sequence(1, 64), d ->
+          CAST((CASE WHEN (d - 1) div 8 = vec_id % 8 THEN $SignalUnits ELSE 0 END)
+            + (instr('0123456789abcdef', substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(d AS STRING))), 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(d AS STRING))), 2, 1)) - 1)
+            AS DOUBLE) / 16e0)"""))
+      .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+  }
+
+  /** DuckDB twin of [[clusteredVecs]] as a `e(vec_id, v)` CTE body. */
+  private def duckClusteredVecs: String = s"""
+        SELECT vec_id,
+               list_transform(range(1, 65), d ->
+                 CAST((CASE WHEN (d - 1) // 8 = vec_id % 8 THEN $SignalUnits ELSE 0 END)
+                   + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 2, 1)) - 1)
+                   AS DOUBLE) / 16e0) AS v
+        FROM embeddings"""
+
+  /** One DuckDB Lloyd step: cents$i (cid, cv, cnrm) -> cents${i+1}n. */
+  private def duckLloydStep(i: Int): String = s"""
+      assign$i AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                      i -> n.v[i] * c.cv[i])) * 10000.0 / (n.nrm * c.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents${i}n c),
+      cells$i AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos_bp DESC, cid) AS crank
+          FROM assign$i)
+        WHERE crank = 1),
+      dims$i AS (
+        SELECT cell, d, sum(CAST(v[d] AS DECIMAL(27,10))) AS s
+        FROM cells$i, generate_series(1, 64) t(d) GROUP BY cell, d),
+      cents${i + 1} AS (
+        SELECT cell AS cid, list(CAST(s AS DOUBLE) ORDER BY d) AS cv
+        FROM dims$i GROUP BY cell),
+      cents${i + 1}n AS (
+        SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM cents${i + 1})"""
+
+  /** DuckDB top-1-probe/top-3-rank recall path against `truth`, given a
+    * center CTE `cents` — emits `${tag}3(query_id, neighbor_id)`.
+    */
+  private def duckProbePath(tag: String, cents: String): String = s"""
+      ${tag}rank AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                        i -> n.v[i] * c.cv[i])) * 10000.0 / (n.nrm * c.cnrm)) AS BIGINT) DESC,
+                 c.cid) AS crank
+        FROM n CROSS JOIN $cents c),
+      ${tag}corpus AS (SELECT vec_id, v, nrm, cid AS cell FROM ${tag}rank WHERE crank = 1),
+      ${tag}3 AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM ${tag}corpus q JOIN ${tag}corpus c
+            ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 3)"""
+
+  /** Lloyd iterations for the refined path of [[ivfKmeansGain]] — also the
+    * unroll depth of its SQL oracle, so keep the two in sync.
+    */
+  private val GainIters = 2
+
+  /** THE k-means payoff query: on the planted-cluster fixture, recall@3 of
+    * top-1-cell IVF probing under the SEED centers vs under
+    * [[lloydCenters]]-refined centers ([[GainIters]] exact Lloyd steps),
+    * side by side per query. Seeds are BOUNDARY points — seed k is the
+    * vector sum v_k + v_{k+1}, straddling clusters k and k+1 — so seeded
+    * assignment splits every cluster across two cells (measured recall@3
+    * ≈ 60%), while Lloyd refinement purifies the cells back to the true
+    * clusters (100%): the lift is structural, not a noise artifact
+    * (spec-asserted in SimilaritySpec; the near-orthogonal embeddings
+    * table cannot show this). Oracle: the identical construction with the
+    * Lloyd loop unrolled [[GainIters]] times; early convergence is
+    * result-identical to the fixed unroll, so the comparison stays exact.
+    */
+  val ivfKmeansGain: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_kmeans_gain"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = clusteredVecs(spark, sfDir)
+      val seeds = e.as("a")
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .filter(col("a.vec_id") < 8)
+        .select(col("a.vec_id").as("cid"),
+          zip_with(col("a.v"), col("b.v"), (x, y) => x + y).as("cv"))
+        .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
+      val (refined, _) = lloydCenters(e, seeds, GainIters)
+
+      def probeTop3(centers: DataFrame): DataFrame = {
+        val cells = assignCells(e, centers)
+        val scored = cells.filter(col("vec_id") < 10).as("q")
+          .join(cells.as("c"),
+            col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+          .withColumn("cos_bp", cosBp("q", "c"))
+        val w = Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_bp").desc, col("c.vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      }
+
+      val truth = {
+        val q = e.filter(col("vec_id") < 10)
+        val scored = q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .withColumn("cos_bp", cosBp("q", "c"))
+        val w = Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_bp").desc, col("c.vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      }
+
+      val seeded = probeTop3(seeds)
+        .select(col("query_id").as("s_query"), col("neighbor_id").as("s_neighbor"))
+      val ref3 = probeTop3(refined)
+        .select(col("query_id").as("r_query"), col("neighbor_id").as("r_neighbor"))
+      truth
+        .join(seeded, col("query_id") === col("s_query") &&
+          col("neighbor_id") === col("s_neighbor"), "left")
+        .join(ref3, col("query_id") === col("r_query") &&
+          col("neighbor_id") === col("r_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("truth_k"),
+          count(col("s_neighbor")).as("seeded_hits"),
+          count(col("r_neighbor")).as("refined_hits"))
+        .withColumn("seeded_recall_bp",
+          floor(col("seeded_hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .withColumn("refined_recall_bp",
+          floor(col("refined_hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    def oracle: Option[String] = {
+      val steps = (0 until GainIters).map(duckLloydStep).mkString(",")
+      Some(s"""
+      WITH e AS ($duckClusteredVecs),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents0 AS (
+        SELECT a.vec_id AS cid,
+               list_transform(range(1, 65), i -> a.v[i] + b.v[i]) AS cv
+        FROM n a JOIN n b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 8),
+      cents0n AS (
+        SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM cents0),
+      $steps,
+      truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      ${duckProbePath("seed", "cents0n")},
+      ${duckProbePath("ref", s"cents${GainIters}n")}
+      SELECT t.query_id,
+             count(*) AS truth_k,
+             count(s.neighbor_id) AS seeded_hits,
+             count(r.neighbor_id) AS refined_hits,
+             CAST(floor(count(s.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS seeded_recall_bp,
+             CAST(floor(count(r.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS refined_recall_bp
+      FROM truth t
+      LEFT JOIN seed3 s ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+      LEFT JOIN ref3 r ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      GROUP BY 1 ORDER BY t.query_id
+      """)
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined)
+    Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined,
+      ivfKmeansGain)
 }

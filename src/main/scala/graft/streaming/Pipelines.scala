@@ -50,6 +50,29 @@ object Pipelines {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"), col("uv_ct_approx"), col("dur_sum"))
 
+  /** T2→A1 composition, the reference's one subtle timing contract: a
+    * jump-out record is emitted up to the CEP wait AFTER its event time,
+    * yet must land in a still-open visitor-stats window — the reference
+    * guarantees it by staging jump-outs through a topic
+    * (`dwm_user_jump_detail`) and windowing the STAGED stream by its
+    * original event time under an 11 s watermark
+    * (`RT/app/dws/VisitorStatsApp.java:30-34`). Same topology here: the
+    * [[graft.streaming.StatefulOps.sessionBounces]] output is staged (file
+    * dir = topic analog), and this second query windows the staged records
+    * on the bounce's ORIGINAL entry timestamp — so emission delay in the
+    * first query can never make a bounce late for its window. uj_ct parity
+    * with the batch `visitor_stats` is asserted in StreamingPipelineSpec.
+    */
+  def bounceWindowStream(bounces: DataFrame): DataFrame =
+    bounces
+      .withColumn("ts", timestamp_micros(expr("tsNs div 1000")))
+      .withWatermark("ts", "11 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("uj_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("uj_ct"))
+
   /** J1 as a live query: the stream-stream interval join building the
     * order wide table (`RT/app/dwd/OrderWideApp.java:80-88`). Watermarks on
     * BOTH sides plus the time-bound join condition let Spark evict join

@@ -147,6 +147,68 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed UV/UJ pipeline: staged bounce stream windows to the batch uj_ct") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.RawEvent
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // phase 1 — UserJumpDetailApp analog: raw events -> sessionBounces ->
+    // staged parquet dir (the dwm_user_jump_detail topic)
+    val evDir = java.nio.file.Files.createTempDirectory("ujevents")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), evDir.resolve("part-0.parquet"))
+    val stage = java.nio.file.Files.createTempDirectory("ujstage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ujckpt").toString
+    val raw = spark.readStream
+      .schema(Pipelines.eventsSchema).parquet(evDir.toString)
+      .withColumn("tsNs", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "ts", "tsNs")
+      .withWatermark("ts", "1 second")
+      .as[RawEvent]
+    // foreachBatch append (not the parquet streaming sink): the streaming
+    // sink's _spark_metadata log would make the phase-2 file source ignore
+    // any file not in the log — including the watermark sentinel below
+    val q1 = StatefulOps.sessionBounces(raw)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.UserBounce], _: Long) =>
+        df.write.mode("append").parquet(stage)
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q1.processAllAvailable()
+    // watermark sentinel: flushes every pending 10-min bounce timer
+    spark.read.parquet(s"$sf/events.parquet").limit(1)
+      .withColumn("ts", lit(1735689600L * 1000000000L))
+      .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
+      .write.mode("append").parquet(evDir.toString)
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2 — VisitorStatsApp analog: the staged bounces, windowed by
+    // their ORIGINAL entry timestamp under the 11 s watermark
+    val bounceSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("tsNs", LongType)))
+    val q2 = Pipelines.bounceWindowStream(
+        spark.readStream.schema(bounceSchema).parquet(stage))
+      .writeStream.format("memory").queryName("ujw").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      // far-future sentinel bounce advances the watermark past every real
+      // window (its own window never closes, so it is never emitted)
+      import spark.implicits._
+      Seq((-1L, 1735689600L * 1000000000L)).toDF("user_id", "tsNs")
+        .write.mode("append").parquet(stage)
+      q2.processAllAvailable()
+      val streamed = spark.table("ujw")
+        .select("stt", "uj_ct").as[(String, Long)].collect().toMap
+      val batch = graft.operators.LogStats.visitorStats.run(spark, sf)
+        .groupBy("stt").agg(sum("uj_ct").as("uj"))
+        .filter(col("uj") > 0)
+        .select("stt", "uj").as[(String, Long)].collect().toMap
+      assert(streamed == batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)} " +
+          s"extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q2.stop()
+  }
+
   test("cdc router: idempotent kafka batches + seq-ordered dim upsert") {
     val out = java.nio.file.Files.createTempDirectory("cdcroute").toString
     val cfg = Seq(
