@@ -13,7 +13,8 @@ object SparkEntry {
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all
+      SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
+      Packing.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sequence packing — the step that turns a filtered corpus into
+  * fixed-budget training sequences: documents are concatenated in stable
+  * doc_id order and chunked into bins of [[Budget]] tokens (the
+  * concat-then-chunk packing most LLM data pipelines use). Per document
+  * the query reports its global token offset and the bin range it lands
+  * in — everything a sharded sequence writer needs to emit its slice
+  * independently.
+  *
+  * Scale design — the global offset is an ORDERED PREFIX SUM, and the
+  * naive formulation (`sum over (ORDER BY doc_id)`) is a single-reducer
+  * whole-corpus sort, the same trap the percentile rewrite removed. Two
+  * passes instead:
+  *   1. coarse buckets (doc_id div [[BucketWidth]], monotonic in doc_id)
+  *      → per-bucket token sums → exclusive cumsum over the SMALL bucket
+  *      table → per-bucket base offsets, broadcast back;
+  *   2. within-bucket exclusive prefix via a window partitioned by bucket
+  *      (≤ BucketWidth rows per partition) + the bucket base.
+  * BucketWidth is the slice lever: pick ~sqrt(n) (or recurse) so neither
+  * the bucket table nor a bucket partition outgrows a reducer. The oracle
+  * is the single-window formulation, hash-proving the rewrite.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence. */
+  private val Budget = 512
+
+  /** Docs per prefix-sum bucket (the partition-size lever). */
+  private val BucketWidth = 64
+
+  val packSequences: GraftQuery = new GraftQuery {
+    val name = "pack_sequences"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // persisted: feeds both the bucket-sum pass and the final projection
+      val t = graft.CacheRegistry.persist(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("bucket", expr(s"doc_id div $BucketWidth")))
+      val bases = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
+        .withColumn("base", coalesce(
+          sum(col("bsum")).over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bucket"), col("base"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(bases), "bucket")
+        .withColumn("tok_offset",
+          col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_first", expr(s"tok_offset div $Budget"))
+        .withColumn("bin_last", expr(s"(tok_offset + n_tokens - 1) div $Budget"))
+        .withColumn("bins_spanned", col("bin_last") - col("bin_first") + 1)
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          col("bin_first"), col("bin_last"), col("bins_spanned"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , t AS (SELECT doc_id, len(ws) AS n_tokens FROM toks WHERE len(ws) > 0),
+      o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        FROM t)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
+             tok_offset // $Budget AS bin_first,
+             (tok_offset + n_tokens - 1) // $Budget AS bin_last,
+             ((tok_offset + n_tokens - 1) // $Budget) - (tok_offset // $Budget) + 1 AS bins_spanned
+      FROM o ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(packSequences)
+}

@@ -72,5 +72,66 @@ object Sampling {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(stratified)
+  /** Train/val/test split boundaries in hash basis points: [lo, hi). */
+  private val splitRows: Seq[(String, Int, Int)] =
+    Seq(("train", 0, 9000), ("val", 9000, 9500), ("test", 9500, 10000))
+
+  /** Deterministic train/val/test SPLIT assignment — the companion of
+    * [[stratified]] on the other side of selection: every kept document
+    * lands in exactly one split by `md5_24("split:" + doc_id) mod 10000`
+    * against broadcast [lo, hi) boundaries. The salt decorrelates the
+    * split hash from the sampling hash (otherwise "kept" documents would
+    * skew toward one split). One scan, codegen'd decision, no shuffle
+    * before the per-split audit; the id checksum proves the exact
+    * assignment cross-engine, so a re-run on any cluster regenerates the
+    * identical split.
+    */
+  val splitAssign: GraftQuery = new GraftQuery {
+    val name = "split_assign"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val splits = splitRows.toDF("split", "lo_bp", "hi_bp")
+      val docs = Tables.load(spark, sfDir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      docs
+        .withColumn("h",
+          conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 10000)
+        .join(broadcast(splits), col("h") >= col("lo_bp") && col("h") < col("hi_bp"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("doc_ct"),
+          sum(col("n_chars")).cast("long").as("char_ct"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .crossJoin(broadcast(n))
+        .withColumn("share_bp",
+          floor(col("doc_ct") * lit(10000.0) / col("n_docs")).cast("long"))
+        .select("split", "doc_ct", "char_ct", "id_checksum", "share_bp")
+        .orderBy("split")
+    }
+
+    def oracle: Option[String] = {
+      val vals = splitRows.map { case (s, lo, hi) => s"('$s', $lo, $hi)" }.mkString(", ")
+      Some(s"""
+      WITH splits(split, lo_bp, hi_bp) AS (VALUES $vals),
+      d AS (
+        SELECT doc_id, n_chars,
+               ${duckHashHex("'split:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 AS h
+        FROM documents),
+      a AS (
+        SELECT split, doc_id, n_chars
+        FROM d JOIN splits ON h >= lo_bp AND h < hi_bp),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT split,
+             count(*) AS doc_ct,
+             CAST(sum(n_chars) AS BIGINT) AS char_ct,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(floor(count(*) * 10000.0 / n.n_docs) AS BIGINT) AS share_bp
+      FROM a CROSS JOIN n GROUP BY split, n.n_docs ORDER BY split
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(stratified, splitAssign)
 }

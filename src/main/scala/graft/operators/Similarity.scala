@@ -678,7 +678,10 @@ object Similarity {
     val name = "ann_ivf_kmeans_gain"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val e = clusteredVecs(spark, sfDir)
+      // persisted: the fixture feeds seeds, every Lloyd iteration and the
+      // three probe paths — uncached, each consumer re-runs the 64 md5
+      // calls per row
+      val e = graft.CacheRegistry.persist(clusteredVecs(spark, sfDir))
       val seeds = e.as("a")
         .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
         .filter(col("a.vec_id") < 8)
