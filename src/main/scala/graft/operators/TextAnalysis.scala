@@ -210,5 +210,61 @@ object TextAnalysis {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint, piiRedact)
+  /** Intra-document REPETITION scoring — the quality signal that catches
+    * boilerplate, keyword stuffing and decode loops (a document whose
+    * token stream is mostly the same few n-grams repeated): distinct
+    * unigram and bigram ratios, reported as repeated-fraction basis
+    * points. Entirely per-row array arithmetic — a codegen'd map-only
+    * projection, zero shuffles before the deterministic ORDER BY — so at
+    * 100 TB it costs one corpus pass. Bigrams come from the shared
+    * [[graft.functions.TextFunctions.wordShingles]] (slice+zip_with, no
+    * lambda-capture re-evaluation trap).
+    */
+  val repetition: GraftQuery = new GraftQuery {
+    val name = "text_repetition"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("uniq_token_ct", size(array_distinct(col("ws"))).cast("long"))
+        .withColumn("bigram_ct", greatest(col("n_tokens") - 1, lit(0L)))
+        .withColumn("uniq_bigram_ct", size(wordShingles(col("ws"), 2)).cast("long"))
+        .withColumn("rep_token_bp",
+          floor((col("n_tokens") - col("uniq_token_ct")) * lit(10000.0) / col("n_tokens"))
+            .cast("long"))
+        .withColumn("rep_bigram_bp",
+          when(col("bigram_ct") > 0,
+            floor((col("bigram_ct") - col("uniq_bigram_ct")) * lit(10000.0) / col("bigram_ct")))
+            .cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("uniq_token_ct"),
+          col("bigram_ct"), col("uniq_bigram_ct"),
+          col("rep_token_bp"), col("rep_bigram_bp"))
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , t AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+      b AS (
+        SELECT doc_id, n,
+               len(list_distinct(ws)) AS uniq_ct,
+               CASE WHEN n < 2 THEN 0
+                    ELSE len(list_distinct(list_transform(generate_series(1, n - 1),
+                           i -> ws[i] || ' ' || ws[i + 1]))) END AS uniq_bigram_ct
+        FROM t)
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             CAST(uniq_ct AS BIGINT) AS uniq_token_ct,
+             CAST(greatest(n - 1, 0) AS BIGINT) AS bigram_ct,
+             CAST(uniq_bigram_ct AS BIGINT) AS uniq_bigram_ct,
+             CAST(floor((n - uniq_ct) * 10000.0 / n) AS BIGINT) AS rep_token_bp,
+             CASE WHEN n > 1 THEN
+               CAST(floor(((n - 1) - uniq_bigram_ct) * 10000.0 / (n - 1)) AS BIGINT)
+             END AS rep_bigram_bp
+      FROM b ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(textStats, langId, fingerprint, piiRedact, repetition)
 }

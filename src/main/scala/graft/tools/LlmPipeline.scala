@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *     → quality filter (length + alphanumeric-ratio bounds)
   *     → deterministic stratified sampling (per-source rates)
   *     → PII redaction (emails/phones → typed placeholders)
-  *     → published parquet + a per-stage manifest
+  *     → deterministic train/val/test split (salted md5 boundaries)
+  *     → sequence packing (global token offsets, 512-token bins)
+  *     → published parquet (per split, with offsets) + a per-stage manifest
   *
   * Every stage is the SAME code the oracle-checked queries run, so the
   * pipeline inherits their determinism: re-running produces the identical
@@ -72,10 +74,45 @@ object LlmPipeline {
       regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
         phonePat, "<PHONE>"))
 
-    published.write.mode("overwrite").parquet(s"$outDir/corpus")
+    // 6. train/val/test split (the split_assign decision, salted so it is
+    //    independent of the sampling hash)
+    val splits = Seq(("train", 0, 9000), ("val", 9000, 9500), ("test", 9500, 10000))
+      .toDF("split", "lo_bp", "hi_bp")
+    val assigned = published
+      .withColumn("sh",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 10000)
+      .join(broadcast(splits), col("sh") >= col("lo_bp") && col("sh") < col("hi_bp"))
+      .drop("sh", "lo_bp", "hi_bp")
+
+    // 7. sequence packing per split: two-pass distributed prefix sum over
+    //    (split, bucket) — the Packing.packSequences shape, partitioned a
+    //    level deeper so each split packs independently
+    import org.apache.spark.sql.expressions.Window
+    val toks = assigned.withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", expr("doc_id div 64"))
+    val bases = toks.groupBy("split", "bucket").agg(sum("n_tokens").as("bsum"))
+      .withColumn("base", coalesce(
+        sum(col("bsum")).over(Window.partitionBy("split").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("split"), col("bucket"), col("base"))
+    val wIn = Window.partitionBy("split", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = toks.join(broadcast(bases), Seq("split", "bucket"))
+      .withColumn("tok_offset", col("base") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("bin_first", expr("tok_offset div 512"))
+      .drop("bucket", "base")
+
+    packed.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
+    val splitCts = packed.groupBy("split").agg(
+        count(lit(1)).as("ct"), sum("n_tokens").as("tok"))
+      .collect().map(r => s""""${r.getString(0)}":{"docs":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
+      .sorted.mkString(",")
     val manifest =
       s"""{"raw":$rawCt,"exact_dedup":$exactCt,"near_dedup":$nearCt,""" +
-        s""""quality":$qualityCt,"sampled":$sampledCt}"""
+        s""""quality":$qualityCt,"sampled":$sampledCt,"splits":{$splitCts}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[llm-pipeline] $manifest")
     graft.CacheRegistry.clearAll()
