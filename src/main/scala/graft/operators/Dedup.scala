@@ -576,7 +576,112 @@ object Dedup {
     """)
   }
 
+  /** Corpus-level SOURCE-overlap diagnostics from MERGEABLE MinHash
+    * sketches — the dedup-planning question ("which ingest sources
+    * duplicate each other, and how much?") answered WITHOUT touching any
+    * pair of documents: a source's signature is the element-wise MIN of
+    * its documents' `minhash9` signatures, and because min is associative
+    * the merged sketch equals the sketch of the source's full shingle
+    * UNION. The Spark side merges doc-level sketches (one posexplode +
+    * fine-key (source, pos) min — the partial-aggregate-friendly shape
+    * that makes this a map-side combine at 100 TB); the ORACLE computes
+    * each source's signature directly from the union set, so the hash
+    * match IS the mergeability proof. The exact Jaccard columns (the
+    * expensive path a sketch replaces at scale) ride along as the
+    * per-pair ground truth. Signature width (9 here, reusing the shared
+    * `minhash9`) is the estimator-precision lever — std ≈ √(j(1-j)/k), so
+    * a production diagnostic over similar sources wants 128+ hashes; the
+    * merge/estimate shape is width-independent.
+    */
+  val sourceOverlap: GraftQuery = new GraftQuery {
+    val name = "source_overlap"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.WordBigrams.register(spark)
+      graft.expressions.MinHash9.register(spark)
+      val docs = Tables.load(spark, sfDir, "documents")
+      // persisted: feeds the doc-sketch projection AND the exact-truth path
+      val sh = graft.CacheRegistry.persist(docs
+        .select(col("source"), col("doc_id"), expr("word_bigrams(text)").as("sg"))
+        .filter(size(col("sg")) > 0))
+      // merge doc sketches to source sketches: element-wise min
+      val merged = sh.select(col("source"), expr("minhash9(sg)").as("hs"))
+        .select(col("source"), posexplode(col("hs")).as(Seq("pos", "h")))
+        .groupBy(col("source"), col("pos")).agg(min(col("h")).as("h"))
+        .groupBy(col("source"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+          p => p.getField("h")).as("sig"))
+      val est = merged.as("x").join(merged.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          size(filter(zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b),
+            m => m)).cast("long").as("match_ct"))
+        .withColumn("est_jac_bp",
+          floor(col("match_ct") * lit(10000.0) / 9).cast("long"))
+      // exact truth: per-source distinct shingle sets
+      val u = sh.select(col("source"), explode(col("sg")).as("s")).distinct()
+      val csz = u.groupBy("source").agg(count(lit(1)).as("c"))
+      val inter = u.as("a").join(u.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)).cast("long"))
+        .join(csz.select(col("source").as("source_a"), col("c").as("ca")), "source_a")
+        .join(csz.select(col("source").as("source_b"), col("c").as("cb")), "source_b")
+        .withColumn("uni", (col("ca") + col("cb") - col("inter")).cast("long"))
+        .withColumn("exact_jac_bp",
+          floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
+        .select("source_a", "source_b", "match_ct", "est_jac_bp",
+          "inter", "uni", "exact_jac_bp")
+        .orderBy("source_a", "source_b")
+    }
+
+    def oracle: Option[String] = {
+      val mins = (1 to 9)
+        .map(i => s"min(substr(hh, ${(i - 1) * 7 + 1}, 7)) AS h$i").mkString(", ")
+      val matches = (1 to 9)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      Some(duckToksCte + s"""
+      , sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(generate_series(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1])) END AS sg
+        FROM toks),
+      shf AS (SELECT * FROM sh WHERE len(sg) > 0),
+      -- source signature straight from the shingle UNION (the Spark side
+      -- merges doc sketches; equality proves min-mergeability)
+      ex AS (SELECT source, md5('a|' || s) || md5('b|' || s) AS hh
+             FROM (SELECT source, unnest(sg) AS s FROM shf)),
+      mh AS (SELECT source, $mins FROM ex GROUP BY source),
+      est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST($matches AS BIGINT) AS match_ct
+        FROM mh a JOIN mh b ON a.source < b.source),
+      u AS (SELECT DISTINCT source, s FROM
+              (SELECT source, unnest(sg) AS s FROM shf)),
+      csz AS (SELECT source, count(*) AS c FROM u GROUP BY source),
+      i AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+        FROM u a JOIN u b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT est.source_a, est.source_b, est.match_ct,
+             CAST(floor(est.match_ct * 10000.0 / 9) AS BIGINT) AS est_jac_bp,
+             CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             CAST(ca.c + cb.c - COALESCE(i.inter, 0) AS BIGINT) AS uni,
+             CAST(floor(COALESCE(i.inter, 0) * 10000.0 /
+               (ca.c + cb.c - COALESCE(i.inter, 0))) AS BIGINT) AS exact_jac_bp
+      FROM est
+      LEFT JOIN i ON est.source_a = i.source_a AND est.source_b = i.source_b
+      JOIN csz ca ON est.source_a = ca.source
+      JOIN csz cb ON est.source_b = cb.source
+      ORDER BY est.source_a, est.source_b
+      """)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
-      embeddingLsh, contamination, clusters)
+      embeddingLsh, contamination, clusters, sourceOverlap)
 }
