@@ -15,7 +15,17 @@ import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
 object AggMode {
   val Flag = "spark.graft.approxDistinct"
 
+  /** Same contract for percentiles: `spark.graft.approxPercentile=true`
+    * swaps the exact two-pass positional selection for the
+    * `percentile_approx` GK sketch (single aggregation, mergeable state)
+    * without touching query code — see `Relevance.percentiles`.
+    */
+  val PercentileFlag = "spark.graft.approxPercentile"
+
   def distinctCount(spark: SparkSession, c: Column): Column =
     if (spark.conf.getOption(Flag).exists(_.toBoolean)) approx_count_distinct(c)
     else countDistinct(c)
+
+  def approxPercentiles(spark: SparkSession): Boolean =
+    spark.conf.getOption(PercentileFlag).exists(_.toBoolean)
 }

@@ -95,6 +95,19 @@ object Relevance {
       val e = Tables.load(spark, sfDir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"), col("event_id"))
+      // scale lever (AggMode contract): the GK-sketch single-aggregation
+      // path — mergeable state, one shuffle, no second pass — when the
+      // session opts out of exactness; default stays the exact two-pass
+      // selection the oracle verifies
+      if (AggMode.approxPercentiles(spark)) {
+        return e.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+            percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
+            percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+          .orderBy("event_type")
+      }
       // persisted: ~5 rows, but three consumers (bucket projection, targets,
       // final join) would each rescan the full events table to rebuild it
       val stats = graft.CacheRegistry.persist(e.groupBy("event_type").agg(

@@ -23,6 +23,26 @@ class ScaleLeverSpec extends SparkSpec {
     } finally spark.conf.unset(AggMode.Flag)
   }
 
+  test("approx-percentile flag swaps the GK sketch in without changing shape") {
+    val exact = operators.Relevance.percentiles.run(spark, sf).collect()
+    spark.conf.set(AggMode.PercentileFlag, "true")
+    try {
+      val approx = operators.Relevance.percentiles.run(spark, sf).collect()
+      assert(approx.length == exact.length)
+      exact.zip(approx).foreach { case (e, a) =>
+        assert(e.getString(0) == a.getString(0))
+        assert(e.getLong(1) == a.getLong(1)) // n is exact on both paths
+        // GK at accuracy 10000 stays within 1% of the exact positional
+        // values at this scale (and is exact while n < accuracy)
+        Seq(2, 3, 4).foreach { i =>
+          val ev = e.getDouble(i); val av = a.getDouble(i)
+          assert(math.abs(av - ev) <= math.abs(ev) * 0.01 + 1e-9,
+            s"${e.getString(0)} p[$i]: approx=$av exact=$ev")
+        }
+      }
+    } finally spark.conf.unset(AggMode.PercentileFlag)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
     val salted = Salted.saltedSumCount(events, Seq("event_type"), "value", salts = 8)
