@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pushdown: on a selective join (dedup anti-joins,
+      // contamination, dim-filtered facts) the build side's keys prune the
+      // probe-side SCAN — at 100 TB this skips whole row groups before the
+      // shuffle, with no query-code change
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // timestamp type, so surface it as Long and let Tables normalize.
