@@ -30,6 +30,35 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.clear()
   }
 
+  test("propagation equals in-memory union-find on random graphs") {
+    // seeded random graphs: the distributed algorithm must agree with a
+    // plain union-find on every component, not just chains
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val nodes = 60
+      val edgeList = (0 until 70).map { _ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(n => n -> {
+        // union-find root is not necessarily the component min; recompute
+        val root = find(n.toInt)
+        touched.filter(m => find(m.toInt) == root).min
+      }).toMap
+      val (labels, _) = operators.Dedup.propagateLabels(chainEdges(edgeList))
+      try {
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: mismatch ${(got.toSet diff expected.toSet).take(3)}")
+      } finally CacheRegistry.clear()
+    }
+  }
+
   test("propagation keeps components separate") {
     val edges = chainEdges(
       (0L until 5L).map(i => (i, i + 1)) ++ (100L until 108L).map(i => (i, i + 1)))

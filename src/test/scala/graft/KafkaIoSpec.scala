@@ -87,4 +87,19 @@ class KafkaIoSpec extends SparkSpec {
     val d = KafkaIo.dynamicSink(stream, "broker:9092", "/tmp/ck")
     assert(d != null)
   }
+
+  test("jsonl staging format: documents roundtrip with full value parity") {
+    // the reference's ODS layer is JSON-per-record on a topic; the same
+    // schema-on-read contract must hold through a JSON-lines staging dir
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() == docs.count())
+    def rowHashSum(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")))
+      .head.getLong(0)
+    assert(rowHashSum(back) == rowHashSum(docs), "jsonl roundtrip altered values")
+  }
 }
