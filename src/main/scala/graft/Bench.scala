@@ -43,19 +43,25 @@ object Bench {
     // optional comma-separated subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (seconds, succeeded) — a failed run must never win the
+    // min-of-2 (a fast crash would otherwise report as the query's best
+    // time and a perf gate could pass on a broken capture)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => if (!errors.contains(name)) errors += name }
-      finally CacheRegistry.clear()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => if (!errors.contains(name)) errors += name; false }
+        finally CacheRegistry.clear()
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val run1 = runOnce(name, fn)
-        val run2 = runOnce(name, fn)
-        (name, run1, math.min(run1, run2))
+        val (run1, ok1) = runOnce(name, fn)
+        val (run2, ok2) = runOnce(name, fn)
+        val best = Seq(run1 -> ok1, run2 -> ok2).collect { case (t, true) => t }
+          .minOption.getOrElse(run1)
+        (name, run1, best)
       }
     def json(sel: ((String, Double, Double)) => (String, Double)) = results
       .map { r => val (k, v) = sel(r); s"\"" + k + "\":" + v }

@@ -26,6 +26,23 @@ object CacheRegistry {
     sharedDfs.getOrElseUpdate(key, build.persist())
   }
 
+  /** Eagerly materialize `df` behind a lineage LEAF and register the cache
+    * with this registry. For iterative algorithms whose frame references
+    * itself each round: the self-referencing logical plan grows
+    * exponentially without truncation, and `localCheckpoint` — the stock
+    * answer — caches storage the registry cannot see (freed only when the
+    * ContextCleaner notices the GC'd RDD, which across a 50-query harness
+    * session accumulates into storage pressure `clear()` exists to
+    * prevent). Round-tripping through the row RDD cuts the plan to a
+    * `LogicalRDD` leaf while the persist stays registry-managed.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val cut = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val p = persist(cut)
+    p.count()
+    p
+  }
+
   /** Release per-query persists (between queries in Verify/Bench). */
   def clear(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))

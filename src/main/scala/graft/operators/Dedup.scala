@@ -493,23 +493,24 @@ object Dedup {
     * therefore ≤ ⌈log₂(diameter)⌉ + 1 (the +1 is the fixpoint-detection
     * round) instead of the diameter itself — the difference between 6 and
     * 10⁶ rounds on a pathological duplication chain at corpus scale. The
-    * driver reads only a convergence counter per round; each round
-    * eagerly unpersists the previous label frame so cached state is two
-    * frames, not O(rounds). Returns (labels(doc, label), rounds).
+    * driver reads only a convergence counter per round; the per-round
+    * label frames (one small (doc, label) row per node, O(log d) of them)
+    * are registry-tracked and released by the harness's per-query
+    * `CacheRegistry.clear()`. Returns (labels(doc, label), rounds).
     */
   private[graft] def propagateLabels(edges: DataFrame): (DataFrame, Int) = {
-    // Each round is localCheckpoint'ed (eager): the label frame references
-    // ITSELF three times per round (union + neighbor join + pointer
-    // self-join), so without lineage truncation the logical plan grows ~4x
-    // per round and planning OOMs long before the data does. The
-    // checkpointed RDDs are small (one (doc,label) row per node) and the
-    // ContextCleaner releases them as the frames go out of scope.
+    // Each round goes through CacheRegistry.materialize: the label frame
+    // references ITSELF three times per round (union + neighbor join +
+    // pointer self-join), so without lineage truncation the logical plan
+    // grows ~4x per round and planning OOMs long before the data does —
+    // and materialize (unlike localCheckpoint) keeps the cached state
+    // under the registry's deterministic per-query release.
     // seed with the direct-neighborhood minimum (one propagation round
     // folded into the init aggregation)
-    var labels = edges.groupBy(col("doc_a").as("doc"))
-      .agg(min(col("doc_b")).as("mn"))
-      .select(col("doc"), least(col("doc"), col("mn")).as("label"))
-      .localCheckpoint(true)
+    var labels = graft.CacheRegistry.materialize(
+      edges.groupBy(col("doc_a").as("doc"))
+        .agg(min(col("doc_b")).as("mn"))
+        .select(col("doc"), least(col("doc"), col("mn")).as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -523,9 +524,9 @@ object Dedup {
       val viaPointer = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.doc"))
         .select(col("x.doc").as("doc"), col("y.label").as("label"))
-      val next = labels.unionByName(viaNeighbor).unionByName(viaPointer)
-        .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = graft.CacheRegistry.materialize(
+        labels.unionByName(viaNeighbor).unionByName(viaPointer)
+          .groupBy("doc").agg(min("label").as("label")))
       changed = next
         .join(labels.withColumnRenamed("label", "prev"), "doc")
         .filter(col("label") =!= col("prev")).count()

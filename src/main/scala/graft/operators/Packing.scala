@@ -35,29 +35,41 @@ object Packing {
   /** Docs per prefix-sum bucket (the partition-size lever). */
   private val BucketWidth = 64
 
+  /** The two-pass packed-offset computation over a `(doc_id, n_tokens, …)`
+    * frame, prefix-summed independently per `part` grouping columns (empty
+    * = one global stream; the pipeline passes `Seq("split")` to pack each
+    * training split on its own). ONE implementation shared by the
+    * oracle-checked `pack_sequences` and `tools.LlmPipeline`, so a
+    * Budget/BucketWidth change can never fork the two.
+    */
+  private[graft] def withPackedOffsets(df: DataFrame, part: Seq[String]): DataFrame = {
+    // persisted: feeds both the bucket-sum pass and the final projection
+    val t = graft.CacheRegistry.persist(
+      df.withColumn("bucket", expr(s"doc_id div $BucketWidth")))
+    val baseW = Window.partitionBy(part.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy((part :+ "bucket").map(col): _*)
+      .agg(sum("n_tokens").as("bsum"))
+      .withColumn("base", coalesce(sum(col("bsum")).over(baseW), lit(0L)))
+      .select((part :+ "bucket" :+ "base").map(col): _*)
+    val w = Window.partitionBy((part :+ "bucket").map(col): _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(bases), part :+ "bucket")
+      .withColumn("tok_offset",
+        col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"tok_offset div $Budget"))
+      .withColumn("bin_last", expr(s"(tok_offset + n_tokens - 1) div $Budget"))
+      .drop("bucket", "base")
+  }
+
   val packSequences: GraftQuery = new GraftQuery {
     val name = "pack_sequences"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // persisted: feeds both the bucket-sum pass and the final projection
-      val t = graft.CacheRegistry.persist(
-        Tables.load(spark, sfDir, "documents")
-          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-          .filter(col("n_tokens") > 0)
-          .withColumn("bucket", expr(s"doc_id div $BucketWidth")))
-      val bases = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
-        .withColumn("base", coalesce(
-          sum(col("bsum")).over(
-            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("bucket"), col("base"))
-      val w = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.join(broadcast(bases), "bucket")
-        .withColumn("tok_offset",
-          col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("bin_first", expr(s"tok_offset div $Budget"))
-        .withColumn("bin_last", expr(s"(tok_offset + n_tokens - 1) div $Budget"))
+      val t = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      withPackedOffsets(t, Seq.empty)
         .withColumn("bins_spanned", col("bin_last") - col("bin_first") + 1)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
           col("bin_first"), col("bin_last"), col("bins_spanned"))

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import graft.functions.TextFunctions.duckHashHex
+import graft.functions.TextFunctions.{duckHashHex, hash24}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,8 +20,35 @@ object Sampling {
     * broadcast into the decision join (the dict-dim pattern): even-numbered
     * sources keep 25%, odd-numbered 75%.
     */
-  private val rateRows: Seq[(String, Int)] =
+  private[graft] val rateRows: Seq[(String, Int)] =
     Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 2500 else 7500))
+
+  /** The portable keep/drop hash: [[hash24]] of the id mod 10000 — ONE
+    * definition shared by the oracle-checked queries and the pipeline, so
+    * every component selects the identical sample.
+    */
+  private[graft] def sampleHash(id: Column): Column =
+    hash24(id.cast("string")) % 10000
+
+  /** Salted split hash — the "split:" salt decorrelates it from
+    * [[sampleHash]] (kept documents must not skew toward one split).
+    */
+  private[graft] def splitHash(id: Column): Column =
+    hash24(concat(lit("split:"), id.cast("string"))) % 10000
+
+  /** Append the `split` column by [[splitHash]] against the broadcast
+    * [lo, hi) boundaries — the single implementation `split_assign`
+    * verifies and `tools.LlmPipeline` reuses.
+    */
+  private[graft] def withSplit(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val splits = splitRows.toDF("split", "lo_bp", "hi_bp")
+    df.withColumn("split_h", splitHash(col("doc_id")))
+      .join(broadcast(splits),
+        col("split_h") >= col("lo_bp") && col("split_h") < col("hi_bp"))
+      .drop("split_h", "lo_bp", "hi_bp")
+  }
 
   /** Stratified sampling: keep a document iff
     * `md5_24(doc_id) mod 10000 < rate_bp(source)`. One scan, broadcast
@@ -36,9 +64,7 @@ object Sampling {
       import spark.implicits._
       val rates = rateRows.toDF("source", "rate_bp")
       Tables.load(spark, sfDir, "documents")
-        .withColumn("h",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-            .cast("long") % 10000)
+        .withColumn("h", sampleHash(col("doc_id")))
         .join(broadcast(rates), "source")
         .withColumn("keep", (col("h") < col("rate_bp")).cast("int"))
         .groupBy(col("source"))
@@ -73,7 +99,7 @@ object Sampling {
   }
 
   /** Train/val/test split boundaries in hash basis points: [lo, hi). */
-  private val splitRows: Seq[(String, Int, Int)] =
+  private[graft] val splitRows: Seq[(String, Int, Int)] =
     Seq(("train", 0, 9000), ("val", 9000, 9500), ("test", 9500, 10000))
 
   /** Deterministic train/val/test SPLIT assignment — the companion of
@@ -90,15 +116,9 @@ object Sampling {
     val name = "split_assign"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val splits = splitRows.toDF("split", "lo_bp", "hi_bp")
       val docs = Tables.load(spark, sfDir, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      docs
-        .withColumn("h",
-          conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-            .cast("long") % 10000)
-        .join(broadcast(splits), col("h") >= col("lo_bp") && col("h") < col("hi_bp"))
+      withSplit(docs)
         .groupBy(col("split"))
         .agg(
           count(lit(1)).as("doc_ct"),

@@ -463,31 +463,43 @@ object Similarity {
     * stops early — result-identical to running the remaining iterations,
     * since an unchanged assignment reproduces the same sums and therefore
     * the same centers (this is what keeps the fixed-unroll SQL oracle
-    * exact). Center frames are 16-row localCheckpoints, so plan lineage
-    * stays flat across iterations. Returns (centers, iterationsRun).
+    * exact). Per-round frames go through `CacheRegistry.persist`, so the
+    * harness's per-query clear() releases them deterministically; plans
+    * nest only linearly here (each round references the previous once), so
+    * no lineage truncation is needed. Returns (centers, iterationsRun).
     */
   private[graft] def lloydCenters(e: DataFrame, seeds: DataFrame,
       iters: Int): (DataFrame, Int) = {
+    val (centers, _, ran) = lloydTrace(e, seeds, iters)
+    (centers, ran)
+  }
+
+  /** [[lloydCenters]] plus the per-round assignment frames
+    * (`trace.head` = the assignment under the SEED centers), so a caller
+    * probing both endpoints ([[ivfKmeansGain]]) reuses the loop's own
+    * work instead of re-running full-corpus assignment passes.
+    */
+  private[graft] def lloydTrace(e: DataFrame, seeds: DataFrame,
+      iters: Int): (DataFrame, Seq[DataFrame], Int) = {
     var centers = seeds
-    var prev: DataFrame = null
+    var trace = Vector.empty[DataFrame]
     var ran = 0
     var converged = false
     while (!converged && ran < iters) {
-      val cells = assignCells(e, centers)
-        .localCheckpoint(true)
+      val cells = graft.CacheRegistry.persist(assignCells(e, centers))
       val changed =
-        if (prev == null) 1L
+        if (trace.isEmpty) 1L
         else cells.select(col("vec_id"), col("cell"))
-          .join(prev.withColumnRenamed("cell", "pcell"), "vec_id")
+          .join(trace.last.select(col("vec_id"), col("cell").as("pcell")), "vec_id")
           .filter(col("cell") =!= col("pcell")).count()
+      trace :+= cells
       if (changed == 0) converged = true
       else {
-        centers = refineCenters(cells).localCheckpoint(true)
-        prev = cells.select(col("vec_id"), col("cell"))
+        centers = graft.CacheRegistry.persist(refineCenters(cells))
         ran += 1
       }
     }
-    (centers, ran)
+    (centers, trace, ran)
   }
 
   val annIvfRefined: GraftQuery = new GraftQuery {
@@ -688,10 +700,9 @@ object Similarity {
         .select(col("a.vec_id").as("cid"),
           zip_with(col("a.v"), col("b.v"), (x, y) => x + y).as("cv"))
         .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
-      val (refined, _) = lloydCenters(e, seeds, GainIters)
+      val (refined, trace, _) = lloydTrace(e, seeds, GainIters)
 
-      def probeTop3(centers: DataFrame): DataFrame = {
-        val cells = assignCells(e, centers)
+      def probeTop3(cells: DataFrame): DataFrame = {
         val scored = cells.filter(col("vec_id") < 10).as("q")
           .join(cells.as("c"),
             col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
@@ -714,9 +725,12 @@ object Similarity {
           .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       }
 
-      val seeded = probeTop3(seeds)
+      // seeded path reuses the loop's own first-round assignment; only the
+      // final-centers assignment is a fresh pass (the loop never computed
+      // it — it exits at the iteration cap after the last refine)
+      val seeded = probeTop3(trace.head)
         .select(col("query_id").as("s_query"), col("neighbor_id").as("s_neighbor"))
-      val ref3 = probeTop3(refined)
+      val ref3 = probeTop3(assignCells(e, refined))
         .select(col("query_id").as("r_query"), col("neighbor_id").as("r_neighbor"))
       truth
         .join(seeded, col("query_id") === col("s_query") &&

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Packing, Sampling}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus pipeline composed from the library's
@@ -55,13 +55,11 @@ object LlmPipeline {
       .drop("alnum_ct")
     val qualityCt = quality.count()
 
-    // 4. deterministic stratified sample (the sample_stratified decision)
-    val rates = Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 2500 else 7500))
-      .toDF("source", "rate_bp")
+    // 4. deterministic stratified sample — the SAME sampleHash the
+    //    oracle-checked sample_stratified query runs
+    val rates = Sampling.rateRows.toDF("source", "rate_bp")
     val sampled = quality
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-          .cast("long") % 10000)
+      .withColumn("h", Sampling.sampleHash(col("doc_id")))
       .join(broadcast(rates), "source")
       .filter(col("h") < col("rate_bp"))
       .drop("h", "rate_bp")
@@ -74,36 +72,17 @@ object LlmPipeline {
       regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
         phonePat, "<PHONE>"))
 
-    // 6. train/val/test split (the split_assign decision, salted so it is
-    //    independent of the sampling hash)
-    val splits = Seq(("train", 0, 9000), ("val", 9000, 9500), ("test", 9500, 10000))
-      .toDF("split", "lo_bp", "hi_bp")
-    val assigned = published
-      .withColumn("sh",
-        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-          .cast("long") % 10000)
-      .join(broadcast(splits), col("sh") >= col("lo_bp") && col("sh") < col("hi_bp"))
-      .drop("sh", "lo_bp", "hi_bp")
+    // 6. train/val/test split — the SAME withSplit the oracle-checked
+    //    split_assign query runs (salted hash, broadcast boundaries)
+    val assigned = Sampling.withSplit(published)
 
-    // 7. sequence packing per split: two-pass distributed prefix sum over
-    //    (split, bucket) — the Packing.packSequences shape, partitioned a
-    //    level deeper so each split packs independently
-    import org.apache.spark.sql.expressions.Window
+    // 7. sequence packing per split — the SAME two-pass prefix sum the
+    //    oracle-checked pack_sequences runs, partitioned one level deeper
+    //    so each training split packs independently
     val toks = assigned.withColumn("n_tokens",
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("bucket", expr("doc_id div 64"))
-    val bases = toks.groupBy("split", "bucket").agg(sum("n_tokens").as("bsum"))
-      .withColumn("base", coalesce(
-        sum(col("bsum")).over(Window.partitionBy("split").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("split"), col("bucket"), col("base"))
-    val wIn = Window.partitionBy("split", "bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = toks.join(broadcast(bases), Seq("split", "bucket"))
-      .withColumn("tok_offset", col("base") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .withColumn("bin_first", expr("tok_offset div 512"))
-      .drop("bucket", "base")
+    val packed = Packing.withPackedOffsets(toks, Seq("split"))
 
     packed.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
     val splitCts = packed.groupBy("split").agg(
