@@ -40,5 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash9].getName, "minhash9"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHash9(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash18"),
+      new ExpressionInfo(classOf[MinHash18].getName, "minhash18"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash18(exprs(0))))
   }
 }

@@ -76,10 +76,14 @@ case class MinHash9(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object MinHash9 {
+/** Shared min-signature kernel: `windows` disjoint 7-hex-char windows over
+  * the concatenated salted digests `md5(salt||s)` for each salt in order —
+  * window w of a wider signature is therefore IDENTICAL to window w of a
+  * narrower one over the same input (prefix property; spec-asserted), so
+  * widening the signature never invalidates previously banded data.
+  */
+private[graft] object MinHashCore {
   private val hexDigits = "0123456789abcdef".toCharArray
-  private val SaltA = "a|".getBytes("UTF-8")
-  private val SaltB = "b|".getBytes("UTF-8")
 
   private def hex(d: Array[Byte], sb: java.lang.StringBuilder): Unit = {
     var i = 0
@@ -89,21 +93,24 @@ object MinHash9 {
     }
   }
 
-  def compute(sg: ArrayData): ArrayData = {
+  def compute(sg: ArrayData, salts: Array[Array[Byte]], windows: Int): ArrayData = {
     val n = sg.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](9)
-    val sb = new java.lang.StringBuilder(64)
+    val mins = new Array[String](windows)
+    val sb = new java.lang.StringBuilder(32 * salts.length)
     var i = 0
     while (i < n) {
       val s = sg.getUTF8String(i).getBytes
       sb.setLength(0)
-      md.update(SaltA); md.update(s); hex(md.digest(), sb)
-      md.update(SaltB); md.update(s); hex(md.digest(), sb)
+      var d = 0
+      while (d < salts.length) {
+        md.update(salts(d)); md.update(s); hex(md.digest(), sb)
+        d += 1
+      }
       val hh = sb.toString
       var w = 0
-      while (w < 9) {
+      while (w < windows) {
         val win = hh.substring(w * 7, w * 7 + 7)
         if (mins(w) == null || win.compareTo(mins(w)) < 0) mins(w) = win
         w += 1
@@ -113,7 +120,51 @@ object MinHash9 {
     new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
   }
 
+  private[expressions] def saltBytes(n: Int): Array[Array[Byte]] =
+    Array.tabulate(n)(i => (('a' + i).toChar + "|").getBytes("UTF-8"))
+
+  /** Salt prefixes for SQL oracle builders: "a|", "b|", ... */
+  def saltStrings(n: Int): Seq[String] =
+    (0 until n).map(i => ('a' + i).toChar + "|")
+}
+
+object MinHash9 {
+  private val Salts = MinHashCore.saltBytes(2)
+
+  def compute(sg: ArrayData): ArrayData = MinHashCore.compute(sg, Salts, 9)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash9", exprs => MinHash9(exprs(0)), "built-in")
+}
+
+/** `minhash18(shingles)` — the doubled-width signature (four salted
+  * digests → 18 windows), halving the Jaccard-estimator standard error
+  * (std = √(j(1-j)/k)). The first 9 windows equal `minhash9`'s output on
+  * the same input. Used where the signature is the ESTIMATOR, not just a
+  * bander — e.g. the source-overlap diagnostics.
+  */
+case class MinHash18(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash18.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHash18.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash18 {
+  private val Salts = MinHashCore.saltBytes(4)
+
+  def compute(sg: ArrayData): ArrayData = MinHashCore.compute(sg, Salts, 18)
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash18", exprs => MinHash18(exprs(0)), "built-in")
 }

@@ -589,24 +589,25 @@ object Dedup {
     * each source's signature directly from the union set, so the hash
     * match IS the mergeability proof. The exact Jaccard columns (the
     * expensive path a sketch replaces at scale) ride along as the
-    * per-pair ground truth. Signature width (9 here, reusing the shared
-    * `minhash9`) is the estimator-precision lever — std ≈ √(j(1-j)/k), so
-    * a production diagnostic over similar sources wants 128+ hashes; the
-    * merge/estimate shape is width-independent.
+    * per-pair ground truth. Signature width is the estimator-precision
+    * lever — std ≈ √(j(1-j)/k) — so this query uses the doubled
+    * `minhash18` (windows 1-9 of which equal `minhash9`'s, so banded data
+    * never invalidates); a production diagnostic over similar sources
+    * wants 128+; the merge/estimate shape is width-independent.
     */
   val sourceOverlap: GraftQuery = new GraftQuery {
     val name = "source_overlap"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       graft.expressions.WordBigrams.register(spark)
-      graft.expressions.MinHash9.register(spark)
+      graft.expressions.MinHash18.register(spark)
       val docs = Tables.load(spark, sfDir, "documents")
       // persisted: feeds the doc-sketch projection AND the exact-truth path
       val sh = graft.CacheRegistry.persist(docs
         .select(col("source"), col("doc_id"), expr("word_bigrams(text)").as("sg"))
         .filter(size(col("sg")) > 0))
       // merge doc sketches to source sketches: element-wise min
-      val merged = sh.select(col("source"), expr("minhash9(sg)").as("hs"))
+      val merged = sh.select(col("source"), expr("minhash18(sg)").as("hs"))
         .select(col("source"), posexplode(col("hs")).as(Seq("pos", "h")))
         .groupBy(col("source"), col("pos")).agg(min(col("h")).as("h"))
         .groupBy(col("source"))
@@ -617,7 +618,7 @@ object Dedup {
           size(filter(zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b),
             m => m)).cast("long").as("match_ct"))
         .withColumn("est_jac_bp",
-          floor(col("match_ct") * lit(10000.0) / 9).cast("long"))
+          floor(col("match_ct") * lit(10000.0) / 18).cast("long"))
       // exact truth: per-source distinct shingle sets
       val u = sh.select(col("source"), explode(col("sg")).as("s")).distinct()
       val csz = u.groupBy("source").agg(count(lit(1)).as("c"))
@@ -639,10 +640,12 @@ object Dedup {
     }
 
     def oracle: Option[String] = {
-      val mins = (1 to 9)
+      val mins = (1 to 18)
         .map(i => s"min(substr(hh, ${(i - 1) * 7 + 1}, 7)) AS h$i").mkString(", ")
-      val matches = (1 to 9)
+      val matches = (1 to 18)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val hh = graft.expressions.MinHashCore.saltStrings(4)
+        .map(p => s"md5('$p' || s)").mkString(" || ")
       Some(duckToksCte + s"""
       , sh AS (
         SELECT doc_id, source,
@@ -653,7 +656,7 @@ object Dedup {
       shf AS (SELECT * FROM sh WHERE len(sg) > 0),
       -- source signature straight from the shingle UNION (the Spark side
       -- merges doc sketches; equality proves min-mergeability)
-      ex AS (SELECT source, md5('a|' || s) || md5('b|' || s) AS hh
+      ex AS (SELECT source, $hh AS hh
              FROM (SELECT source, unnest(sg) AS s FROM shf)),
       mh AS (SELECT source, $mins FROM ex GROUP BY source),
       est AS (
@@ -668,7 +671,7 @@ object Dedup {
         FROM u a JOIN u b ON a.s = b.s AND a.source < b.source
         GROUP BY 1, 2)
       SELECT est.source_a, est.source_b, est.match_ct,
-             CAST(floor(est.match_ct * 10000.0 / 9) AS BIGINT) AS est_jac_bp,
+             CAST(floor(est.match_ct * 10000.0 / 18) AS BIGINT) AS est_jac_bp,
              CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
              CAST(ca.c + cb.c - COALESCE(i.inter, 0) AS BIGINT) AS uni,
              CAST(floor(COALESCE(i.inter, 0) * 10000.0 /

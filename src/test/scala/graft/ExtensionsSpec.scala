@@ -37,6 +37,11 @@ class ExtensionsSpec extends SparkSpec {
       val sig = s2.sql(
         "SELECT minhash9(word_bigrams('one two three')) AS s").head.getSeq[String](0)
       assert(sig.length == 9 && sig.forall(_.length == 7))
+      // prefix property: widening the signature never changes the shared
+      // windows, so previously banded data stays valid
+      val sig18 = s2.sql(
+        "SELECT minhash18(word_bigrams('one two three')) AS s").head.getSeq[String](0)
+      assert(sig18.length == 18 && sig18.take(9) == sig)
       val sk = s2.sql(
         "SELECT ngram_sketch_hash('hello world hello') AS k").head.getSeq[Int](0)
       assert(sk == sk.sorted && sk.forall(h => h % 4 == 0))
