@@ -59,8 +59,11 @@ object Bench {
       .map { case (name, fn) =>
         val (run1, ok1) = runOnce(name, fn)
         val (run2, ok2) = runOnce(name, fn)
+        // no successful run → a loud 1e9 sentinel (valid JSON, impossible
+        // as a real duration), so a gate reading total_min FAILS instead
+        // of seeing a fast crash as the query's best time
         val best = Seq(run1 -> ok1, run2 -> ok2).collect { case (t, true) => t }
-          .minOption.getOrElse(run1)
+          .minOption.getOrElse(1e9)
         (name, run1, best)
       }
     def json(sel: ((String, Double, Double)) => (String, Double)) = results

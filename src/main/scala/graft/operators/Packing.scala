@@ -43,23 +43,29 @@ object Packing {
     * Budget/BucketWidth change can never fork the two.
     */
   private[graft] def withPackedOffsets(df: DataFrame, part: Seq[String]): DataFrame = {
-    // persisted: feeds both the bucket-sum pass and the final projection
-    val t = graft.CacheRegistry.persist(
-      df.withColumn("bucket", expr(s"doc_id div $BucketWidth")))
+    // the prefix-sum passes touch only (part, doc_id, n_tokens) — persist
+    // that SLIM projection (feeds the bucket-sum pass and the within-bucket
+    // window) and join the computed columns back by doc_id, so a caller
+    // passing wide rows (the pipeline's full documents) never caches the
+    // text column corpus-wide
+    val slim = graft.CacheRegistry.persist(
+      df.select((part :+ "doc_id" :+ "n_tokens").map(col): _*)
+        .withColumn("bucket", expr(s"doc_id div $BucketWidth")))
     val baseW = Window.partitionBy(part.map(col): _*).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = t.groupBy((part :+ "bucket").map(col): _*)
+    val bases = slim.groupBy((part :+ "bucket").map(col): _*)
       .agg(sum("n_tokens").as("bsum"))
       .withColumn("base", coalesce(sum(col("bsum")).over(baseW), lit(0L)))
       .select((part :+ "bucket" :+ "base").map(col): _*)
     val w = Window.partitionBy((part :+ "bucket").map(col): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t.join(broadcast(bases), part :+ "bucket")
+    val offsets = slim.join(broadcast(bases), part :+ "bucket")
       .withColumn("tok_offset",
         col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_first", expr(s"tok_offset div $Budget"))
       .withColumn("bin_last", expr(s"(tok_offset + n_tokens - 1) div $Budget"))
-      .drop("bucket", "base")
+      .select(col("doc_id"), col("tok_offset"), col("bin_first"), col("bin_last"))
+    df.join(offsets, "doc_id")
   }
 
   val packSequences: GraftQuery = new GraftQuery {

@@ -474,10 +474,15 @@ object Similarity {
     (centers, ran)
   }
 
-  /** [[lloydCenters]] plus the per-round assignment frames
-    * (`trace.head` = the assignment under the SEED centers), so a caller
-    * probing both endpoints ([[ivfKmeansGain]]) reuses the loop's own
-    * work instead of re-running full-corpus assignment passes.
+  /** [[lloydCenters]] plus the per-round SLIM assignment frames
+    * (`(vec_id, cell)` only; `trace.head` = the assignment under the SEED
+    * centers), so a caller probing both endpoints ([[ivfKmeansGain]])
+    * reuses the loop's own work instead of re-running full-corpus
+    * assignment passes. Only the slim frames stay registered for the
+    * query's lifetime — the vector-bearing full assignment of each round
+    * is persisted just long enough to feed that round's refine +
+    * convergence count, then explicitly unpersisted, so retained cache is
+    * O(iters) id-pairs, never O(iters) vector copies.
     */
   private[graft] def lloydTrace(e: DataFrame, seeds: DataFrame,
       iters: Int): (DataFrame, Seq[DataFrame], Int) = {
@@ -486,18 +491,22 @@ object Similarity {
     var ran = 0
     var converged = false
     while (!converged && ran < iters) {
-      val cells = graft.CacheRegistry.persist(assignCells(e, centers))
+      val cellsFull = assignCells(e, centers).persist()
+      val slim = graft.CacheRegistry.persist(
+        cellsFull.select(col("vec_id"), col("cell")))
       val changed =
-        if (trace.isEmpty) 1L
-        else cells.select(col("vec_id"), col("cell"))
+        if (trace.isEmpty) { slim.count(); 1L }
+        else slim
           .join(trace.last.select(col("vec_id"), col("cell").as("pcell")), "vec_id")
           .filter(col("cell") =!= col("pcell")).count()
-      trace :+= cells
+      trace :+= slim
       if (changed == 0) converged = true
       else {
-        centers = graft.CacheRegistry.persist(refineCenters(cells))
+        centers = graft.CacheRegistry.persist(refineCenters(cellsFull))
+        centers.count() // materialize the 16-row centers off cellsFull now
         ran += 1
       }
+      cellsFull.unpersist(blocking = false)
     }
     (centers, trace, ran)
   }
@@ -702,7 +711,10 @@ object Similarity {
         .withColumn("cnrm", sqrt(expr("dot_double(cv, cv)")))
       val (refined, trace, _) = lloydTrace(e, seeds, GainIters)
 
-      def probeTop3(cells: DataFrame): DataFrame = {
+      // accepts the loop's slim (vec_id, cell) frames; vectors re-attach
+      // from the persisted fixture by an equi-join on vec_id
+      def probeTop3(cellsSlim: DataFrame): DataFrame = {
+        val cells = e.join(cellsSlim.select(col("vec_id"), col("cell")), "vec_id")
         val scored = cells.filter(col("vec_id") < 10).as("q")
           .join(cells.as("c"),
             col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))

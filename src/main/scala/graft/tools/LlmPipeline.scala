@@ -40,10 +40,18 @@ object LlmPipeline {
     val exactCt = exactDeduped.count()
 
     // 2. near-dup removal: drop minhash-cluster members that are not the
-    //    cluster keeper (min id)
+    //    cluster keeper (min id). STAGE BOUNDARY after it: the dedup
+    //    stage's heavyweight caches (shingle arrays, per-round label
+    //    frames) are registered with CacheRegistry and would otherwise
+    //    stay pinned through packing and the final write — write the
+    //    deduped corpus to a staging dir (the between-apps topic analog),
+    //    release the caches, continue from the staged read.
     val dupLosers = Dedup.clusters.run(spark, sfDir)
       .filter(col("is_keeper") === 0).select("doc_id")
-    val nearDeduped = exactDeduped.join(dupLosers, Seq("doc_id"), "left_anti")
+    exactDeduped.join(dupLosers, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/stage_dedup")
+    graft.CacheRegistry.clear()
+    val nearDeduped = spark.read.parquet(s"$outDir/stage_dedup")
     val nearCt = nearDeduped.count()
 
     // 3. quality filter: length and alphanumeric-ratio bounds
