@@ -157,5 +157,55 @@ object Relevance {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(tfidfTop, percentiles)
+  /** Corpus-LM quality scoring — the CCNet-style filter signal: a
+    * document's average unigram log-probability under the corpus's own
+    * empirical distribution (low = rare-token gibberish / OCR noise,
+    * suspiciously high = boilerplate of the most common tokens). One
+    * explode feeds both the vocabulary counts and the per-document sum;
+    * the vocabulary joins back as a plain shuffle join on `word` (NO
+    * broadcast hint — the same 10^8-row-vocabulary lesson as tf-idf).
+    *
+    * Determinism: each token occurrence's ln(wc/total) is floor-scaled to
+    * an INTEGER (×10⁶) before aggregation, so the per-document sum is
+    * exact and partition-order-independent — a raw double sum would hash
+    * differently per shuffle layout. The ln itself agrees cross-engine on
+    * these inputs (the tf-idf oracle already proves that).
+    */
+  val lmScore: GraftQuery = new GraftQuery {
+    val name = "doc_lm_score"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      // persisted: feeds the vocabulary counts, the corpus total AND the
+      // score join — one tokenize-explode instead of three
+      val tok = graft.CacheRegistry.persist(docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word")))
+      val wc = tok.groupBy("word").agg(count(lit(1)).as("wc"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(wc, "word").crossJoin(broadcast(total))
+        .withColumn("lp_x1m",
+          floor(log(col("wc") * lit(1.0) / col("total")) * lit(1000000.0)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_x1m")).as("sum_lp_x1m"))
+        .withColumn("avg_lp_x1m",
+          floor(col("sum_lp_x1m") * lit(1.0) / col("n_tokens")).cast("long"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , ex AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+      wc AS (SELECT word, count(*) AS wc FROM ex GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM ex),
+      lp AS (
+        SELECT doc_id,
+               CAST(floor(ln(wc.wc * 1.0 / t.total) * 1000000.0) AS BIGINT) AS lp_x1m
+        FROM ex JOIN wc USING (word) CROSS JOIN t)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(lp_x1m) AS BIGINT) AS sum_lp_x1m,
+             CAST(floor(sum(lp_x1m) * 1.0 / count(*)) AS BIGINT) AS avg_lp_x1m
+      FROM lp GROUP BY doc_id ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(tfidfTop, percentiles, lmScore)
 }
