@@ -171,26 +171,32 @@ object Relevance {
     * differently per shuffle layout. The ln itself agrees cross-engine on
     * these inputs (the tf-idf oracle already proves that).
     */
+  /** Per-document LM scores for an arbitrary documents frame — the single
+    * implementation behind `doc_lm_score` and the pipeline's quality
+    * stage (which scores its CURRENT corpus, not the raw table, so the
+    * distribution is the one the filter actually ships).
+    */
+  private[graft] def lmScores(docs: DataFrame): DataFrame = {
+    // persisted: feeds the vocabulary counts, the corpus total AND the
+    // score join — one tokenize-explode instead of three
+    val tok = graft.CacheRegistry.persist(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word")))
+    val wc = tok.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(wc, "word").crossJoin(broadcast(total))
+      .withColumn("lp_x1m",
+        floor(log(col("wc") * lit(1.0) / col("total")) * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_x1m")).as("sum_lp_x1m"))
+      .withColumn("avg_lp_x1m",
+        floor(col("sum_lp_x1m") * lit(1.0) / col("n_tokens")).cast("long"))
+  }
+
   val lmScore: GraftQuery = new GraftQuery {
     val name = "doc_lm_score"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val docs = Tables.load(spark, sfDir, "documents")
-      // persisted: feeds the vocabulary counts, the corpus total AND the
-      // score join — one tokenize-explode instead of three
-      val tok = graft.CacheRegistry.persist(docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word")))
-      val wc = tok.groupBy("word").agg(count(lit(1)).as("wc"))
-      val total = tok.agg(count(lit(1)).as("total"))
-      tok.join(wc, "word").crossJoin(broadcast(total))
-        .withColumn("lp_x1m",
-          floor(log(col("wc") * lit(1.0) / col("total")) * lit(1000000.0)).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_x1m")).as("sum_lp_x1m"))
-        .withColumn("avg_lp_x1m",
-          floor(col("sum_lp_x1m") * lit(1.0) / col("n_tokens")).cast("long"))
-        .orderBy("doc_id")
-    }
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      lmScores(Tables.load(spark, sfDir, "documents")).orderBy("doc_id")
 
     def oracle: Option[String] = Some(duckToksCte + """
       , ex AS (SELECT doc_id, unnest(ws) AS word FROM toks),

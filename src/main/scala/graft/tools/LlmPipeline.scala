@@ -54,13 +54,19 @@ object LlmPipeline {
     val nearDeduped = spark.read.parquet(s"$outDir/stage_dedup")
     val nearCt = nearDeduped.count()
 
-    // 3. quality filter: length and alphanumeric-ratio bounds
-    val quality = nearDeduped
+    // 3. quality filter: length + alphanumeric-ratio bounds, then the
+    //    corpus-LM score (the doc_lm_score op over THIS corpus's own
+    //    distribution) drops rare-token-gibberish outliers
+    val shaped = nearDeduped
       .withColumn("alnum_ct",
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
       .filter(col("n_chars") >= 50 && col("n_chars") <= 100000 &&
         col("alnum_ct") * 10 >= col("n_chars") * 5) // ≥50% alnum
       .drop("alnum_ct")
+    val lmKeep = graft.operators.Relevance.lmScores(shaped)
+      .filter(col("avg_lp_x1m") >= -3600000L) // avg token logprob ≥ -3.6
+      .select("doc_id")
+    val quality = shaped.join(lmKeep, "doc_id")
     val qualityCt = quality.count()
 
     // 4. deterministic stratified sample — the SAME sampleHash the
