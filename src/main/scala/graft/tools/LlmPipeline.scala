@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   *   raw documents
   *     → exact dedup (md5 groupBy, min-id keeper)
-  *     → near-dup removal (minhash cluster non-keepers dropped)
-  *     → quality filter (length + alphanumeric-ratio bounds)
+  *     → near-dup removal (minhash cluster non-keepers dropped) [staged]
+  *     → quality filter (length + alnum-ratio bounds, then the corpus-LM
+  *       score over the current corpus's own distribution) [staged]
   *     → deterministic stratified sampling (per-source rates)
   *     → PII redaction (emails/phones → typed placeholders)
   *     → deterministic train/val/test split (salted md5 boundaries)
@@ -66,7 +67,14 @@ object LlmPipeline {
     val lmKeep = graft.operators.Relevance.lmScores(shaped)
       .filter(col("avg_lp_x1m") >= -3600000L) // avg token logprob ≥ -3.6
       .select("doc_id")
-    val quality = shaped.join(lmKeep, "doc_id")
+    // STAGE BOUNDARY: lmScores persists the full token-explode (the
+    // job's largest intermediate) and four downstream actions would
+    // otherwise re-run its shuffles from lineage — stage the filtered
+    // corpus and release the scoring caches before sampling/packing
+    shaped.join(lmKeep, "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/stage_quality")
+    graft.CacheRegistry.clear()
+    val quality = spark.read.parquet(s"$outDir/stage_quality")
     val qualityCt = quality.count()
 
     // 4. deterministic stratified sample — the SAME sampleHash the
