@@ -75,7 +75,14 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt, which interleaves its own log lines — also
+    // land the result in a file so a gate never depends on log scraping
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
