@@ -30,6 +30,14 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // the result file is written only on success below — remove any copy
+    // from a previous run up front so an aborted run leaves NO file and a
+    // gate reading it fails loudly instead of consuming stale numbers
+    val benchOut = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    try java.nio.file.Files.deleteIfExists(benchOut)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: failed to clear $benchOut: $e") }
     // untimed warmup: janino/codegen framework, parquet reader and shuffle
     // machinery initialization are per-session costs, not per-query costs —
     // pay them before the first timer starts
@@ -75,14 +83,13 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()}}"""
     println(line)
     // stdout goes through sbt, which interleaves its own log lines — also
     // land the result in a file so a gate never depends on log scraping
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: failed to write $benchOut: $e") }
     spark.stop()
   }
 }

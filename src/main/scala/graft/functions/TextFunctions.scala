@@ -34,6 +34,21 @@ object TextFunctions {
     when(len <= 0, array().cast("array<string>")).otherwise(array_distinct(joined))
   }
 
+  /** POSITIONAL word n-gram shingles joined by spaces — like
+    * [[wordShingles]] but keeping order and duplicates, so element i
+    * (0-based after `posexplode`) is the gram starting at token i+1. The
+    * span-dedup operators reconstruct shared token runs from these
+    * positions. Same slice+zip_with build (no computed-expression lambda
+    * capture). DuckDB mirror: `list_transform(generate_series(1,
+    * len(ws)-(n-1)), i -> array_to_string(ws[i:i+n-1], ' '))`.
+    */
+  def positionalShingles(toks: Column, n: Int): Column = {
+    val len = size(toks) - (n - 1)
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(len <= 0, array().cast("array<string>")).otherwise(joined)
+  }
+
   /** Distinct character n-gram shingles of a string (string shorter than n →
     * empty). IMPORTANT: pass a plain column reference (not a computed
     * expression) — the per-position lambda would re-evaluate a computed

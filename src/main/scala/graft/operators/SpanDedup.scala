@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SUBSTRING-granularity contamination / dedup — the span-level pass that
+  * doc-level Jaccard (Dedup.ngramJaccard) structurally misses: a few-hundred-
+  * token verbatim run inside an otherwise-unique document moves whole-doc
+  * Jaccard by a few percent but is exactly what train-set decontamination
+  * must catch.
+  *
+  * Design (equi-joins only, no pair enumeration):
+  *  1. positional word n-grams per document — element i of the shingle
+  *     array is the gram starting at token i;
+  *  2. equi-join on the gram value: every matched position pair
+  *     (pos_a, pos_b) of an identical n-gram;
+  *  3. run reconstruction on the DIAGONAL: a shared run of consecutive
+  *     tokens matches at consecutive positions on both sides, so all its
+  *     gram matches share `diff = pos_a - pos_b`. Within a
+  *     (doc_a, doc_b, diff) group, gaps-and-islands (pos − row_number())
+  *     splits matches into maximal runs; a run of m consecutive matched
+  *     grams is a shared span of m + n − 1 tokens.
+  *
+  * Scale: the only join is the gram equi-join, whose key cardinality grows
+  * with the corpus. The contamination variant broadcasts the (small)
+  * benchmark side — one map-only pass over corpus grams. The corpus-corpus
+  * variant self-joins and therefore caps per-gram document frequency first
+  * (df ≤ 64): an ultra-common boilerplate gram ("all rights reserved …")
+  * would otherwise fan out quadratically on its key; spans consisting
+  * PURELY of such grams are boilerplate, not plagiarism, and dropping them
+  * is the documented semantic (runs containing at least one sub-cap gram
+  * survive, split at the capped positions). The window partition key
+  * (doc_a, doc_b, diff) is fine-grained, so run reconstruction never
+  * concentrates on a reducer.
+  *
+  * At 100 TB the gram string itself (joined words) would be hashed to a
+  * 64/128-bit fingerprint before the shuffle; the raw string is kept here
+  * for an exact, engine-portable oracle (a hash only narrows the shuffled
+  * bytes — the plan shape is identical).
+  *
+  * Reference anchor: extends the reference's keyword/dedup analytics
+  * (RT keyword split + dedup coverage) to span granularity; no counterpart
+  * operator exists there.
+  */
+object SpanDedup {
+
+  /** Positional gram table (doc_id, pos, gram), pos 1-based. */
+  private def gramTable(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    gramTableOf(Tables.load(spark, sfDir, "documents"), n)
+
+  /** [[gramTable]] over any (doc_id, text) frame — fixture-testable. */
+  private[graft] def gramTableOf(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(positionalShingles(col("ws"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+
+  /** Matched positions (ida, idb, pos_a, pos_b) → maximal-run spans of
+    * ≥ minSpan tokens for gram width n.
+    */
+  private def spans(m: DataFrame, n: Int, minSpan: Int,
+      ida: String, idb: String, posa: String, posb: String): DataFrame = {
+    val w = Window.partitionBy(col(ida), col(idb), col(posa) - col(posb))
+      .orderBy(col(posa))
+    m.withColumn("isl", col(posa) - row_number().over(w))
+      .groupBy(col(ida), col(idb), (col(posa) - col(posb)).as("diff"), col("isl"))
+      .agg(count(lit(1)).as("c"), min(col(posa)).as(s"${posa}_start"),
+        min(col(posb)).as(s"${posb}_start"))
+      .withColumn("span_tokens", (col("c") + lit(n - 1)).cast("long"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col(ida), col(idb), col(s"${posa}_start").as(posa),
+        col(s"${posb}_start").as(posb), col("span_tokens"))
+      .orderBy(ida, idb, posa, posb)
+  }
+
+  /** Contamination spans (bench = doc_id < 20) over a positional gram
+    * table — the [[contaminationSpan]] body, fixture-testable.
+    */
+  private[graft] def contaminationSpansOf(g: DataFrame, n: Int, minSpan: Int): DataFrame = {
+    val bench = g.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("gram"), col("pos").as("pos_b"))
+    val m = g.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id"), col("bench_id"), col("pos"), col("pos_b"))
+    spans(m, n, minSpan, "doc_id", "bench_id", "pos", "pos_b")
+  }
+
+  /** Corpus-corpus shared spans over a positional gram table — the
+    * [[dedupSpan]] body, fixture-testable.
+    */
+  private[graft] def spanPairsOf(g0: DataFrame, n: Int, minSpan: Int, dfCap: Int): DataFrame = {
+    // persisted: both sides of the self-join and the df-cap read it
+    val g = graft.CacheRegistry.persist(g0)
+    val keep = g.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("gram")
+    val gk = g.join(keep, "gram")
+    val m = gk.as("a")
+      .join(gk.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    spans(m, n, minSpan, "doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
+  /** DuckDB CTE `g(doc_id, pos, gram)` — positional n-gram mirror. */
+  private def duckGramCte(n: Int): String = duckToksCte + s"""
+      , g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 0))) AS pos,
+               unnest(list_transform(generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+                        i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
+        FROM toks)"""
+
+  /** Benchmark span contamination: corpus docs sharing a verbatim run of
+    * ≥ 12 tokens with an eval-set document (bench = doc_id < 20, the
+    * deterministic stand-in [[Dedup.contamination]] uses). Gram width 5:
+    * fine enough that a 12-token span yields 8 consecutive matches, coarse
+    * enough that chance 5-token matches are rare. Bench grams broadcast —
+    * the corpus side never shuffles before run reconstruction, and THAT
+    * shuffle carries matched positions only.
+    */
+  val contaminationSpan: GraftQuery = new GraftQuery {
+    val name = "contamination_span"
+    private val n = 5
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      contaminationSpansOf(gramTable(spark, sfDir, n), n, 12)
+
+    def oracle: Option[String] = Some(duckGramCte(n) + s"""
+      , b AS (SELECT doc_id AS bench_id, gram, pos AS pos_b FROM g WHERE doc_id < 20),
+      c AS (SELECT doc_id, gram, pos FROM g WHERE doc_id >= 20),
+      m AS (SELECT c.doc_id, b.bench_id, c.pos, b.pos_b
+            FROM c JOIN b USING (gram)),
+      r AS (SELECT doc_id, bench_id, pos, pos_b, pos - pos_b AS diff,
+                   pos - row_number() OVER (PARTITION BY doc_id, bench_id, pos - pos_b
+                                            ORDER BY pos) AS isl
+            FROM m),
+      s AS (SELECT doc_id, bench_id, min(pos) AS pos, min(pos_b) AS pos_b,
+                   count(*) + ${n - 1} AS span_tokens
+            FROM r GROUP BY doc_id, bench_id, diff, isl)
+      SELECT doc_id, bench_id, pos, pos_b, CAST(span_tokens AS BIGINT) AS span_tokens
+      FROM s WHERE span_tokens >= 12
+      ORDER BY doc_id, bench_id, pos, pos_b
+    """)
+  }
+
+  /** Corpus-corpus span dedup: pairs of documents sharing a verbatim run
+    * of ≥ 16 tokens, found WITHOUT comparing any document pair — matched
+    * gram positions fall out of the (df-capped) gram self-join. Gram width
+    * 8 (self-join side is the whole corpus, so chance matches cost more
+    * than on the bench path).
+    */
+  val dedupSpan: GraftQuery = new GraftQuery {
+    val name = "dedup_span"
+    private val n = 8
+    private val dfCap = 64
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      spanPairsOf(gramTable(spark, sfDir, n), n, 16, dfCap)
+
+    def oracle: Option[String] = Some(duckGramCte(n) + s"""
+      , keep AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) <= $dfCap),
+      gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diff,
+                   pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                              ORDER BY pos_a) AS isl
+            FROM m),
+      s AS (SELECT doc_a, doc_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+                   count(*) + ${n - 1} AS span_tokens
+            FROM r GROUP BY doc_a, doc_b, diff, isl)
+      SELECT doc_a, doc_b, pos_a, pos_b, CAST(span_tokens AS BIGINT) AS span_tokens
+      FROM s WHERE span_tokens >= 16
+      ORDER BY doc_a, doc_b, pos_a, pos_b
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(contaminationSpan, dedupSpan)
+}
