@@ -12,7 +12,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
-      TextAnalysis.all ++ Dedup.all ++ SpanDedup.all ++ Similarity.all ++ Multimodal.all ++
+      TextAnalysis.all ++ Dedup.all ++ SpanDedup.all ++ IncrementalDedup.all ++
+      Similarity.all ++ Multimodal.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all
 

@@ -60,43 +60,11 @@ object Dedup {
       val docs = Tables.load(spark, sfDir, "documents")
       // persisted: referenced by the signature projection AND both sides of
       // the Jaccard-verify join — without it the shingling runs three times
-      val sh = graft.CacheRegistry.persist(docs
-        .select(col("doc_id"), expr("word_bigrams(text)").as("sg"))
-        .filter(size(col("sg")) > 0))
-      // 9 hash functions from TWO md5 digests: disjoint 7-hex-char windows
-      // of md5('a|'||s) || md5('b|'||s) — same LSH independence, 4.5x less
-      // hashing than 9 salted digests. The whole signature is ONE codegen'd
-      // pass per doc (MinHash9): no shingle explode, no 9-way min groupBy —
-      // map-side-only signature computation; only the tiny
-      // (doc, band, sig) table ever shuffles.
-      val mh = sh.select(col("doc_id"), expr("minhash9(sg)").as("hs"))
+      val sh = graft.CacheRegistry.persist(shingleFrame(docs))
       // persisted: both sides of the band self-join read it
-      val bands = graft.CacheRegistry.persist(
-        mh.select(col("doc_id"), explode(array(
-            struct(lit(1).as("band"),
-              concat(element_at(col("hs"), 1), element_at(col("hs"), 2),
-                element_at(col("hs"), 3)).as("sig")),
-            struct(lit(2).as("band"),
-              concat(element_at(col("hs"), 4), element_at(col("hs"), 5),
-                element_at(col("hs"), 6)).as("sig")),
-            struct(lit(3).as("band"),
-              concat(element_at(col("hs"), 7), element_at(col("hs"), 8),
-                element_at(col("hs"), 9)).as("sig")))).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .withColumn("inter", size(array_intersect(col("sa.sg"), col("sb.sg"))))
-        .withColumn("uni", size(col("sa.sg")) + size(col("sb.sg")) - col("inter"))
-        .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
-        .filter(col("jac_bp") >= 5000)
-        .select("doc_a", "doc_b", "jac_bp")
+      val bands = graft.CacheRegistry.persist(bandFrame(sh))
+      val cand = bandCandidates(bands, bands)
+      jaccardVerify(cand, sh, sh)
         .orderBy("doc_a", "doc_b")
     }
 
@@ -107,10 +75,71 @@ object Dedup {
       """)
   }
 
+  /** Word-bigram shingle sets `(doc_id, sg)`, empty-shingle docs dropped —
+    * the content frame the whole minhash family (one-shot, incremental,
+    * cluster) verifies against. Callers must register `WordBigrams`.
+    */
+  private[graft] def shingleFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("word_bigrams(text)").as("sg"))
+      .filter(size(col("sg")) > 0)
+
+  /** LSH band signatures `(doc_id, band, sig)` from [[shingleFrame]] rows.
+    * 9 hash functions from TWO md5 digests: disjoint 7-hex-char windows of
+    * md5('a|'||s) || md5('b|'||s) — same LSH independence, 4.5x less
+    * hashing than 9 salted digests. The whole signature is ONE codegen'd
+    * pass per doc (MinHash9): no shingle explode, no 9-way min groupBy —
+    * map-side-only signature computation; only the tiny (doc, band, sig)
+    * table ever shuffles. 3 bands x 3 rows. This is also the PERSISTED
+    * INDEX layout of [[IncrementalDedup]]: band 1-3 sigs are built from
+    * minhash windows 1-9, which are prefix-stable under the `minhash18`
+    * widening (windows 1-9 identical), so an index written today stays
+    * joinable after a signature-width upgrade. Callers register `MinHash9`.
+    */
+  private[graft] def bandFrame(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), expr("minhash9(sg)").as("hs"))
+      .select(col("doc_id"), explode(array(
+          struct(lit(1).as("band"),
+            concat(element_at(col("hs"), 1), element_at(col("hs"), 2),
+              element_at(col("hs"), 3)).as("sig")),
+          struct(lit(2).as("band"),
+            concat(element_at(col("hs"), 4), element_at(col("hs"), 5),
+              element_at(col("hs"), 6)).as("sig")),
+          struct(lit(3).as("band"),
+            concat(element_at(col("hs"), 7), element_at(col("hs"), 8),
+              element_at(col("hs"), 9)).as("sig")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+
+  /** Distinct candidate pairs (doc_a < doc_b) from two band tables sharing
+    * a (band, sig) bucket — the ONLY join of the minhash paths, an
+    * equi-join on a fine content-correlated key.
+    */
+  private[graft] def bandCandidates(left: DataFrame, right: DataFrame): DataFrame =
+    left.as("a")
+      .join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against shingle frames
+    * (doc_a resolved in `shLeft`, doc_b in `shRight`); keeps pairs at
+    * ≥ 0.5 as floor-scaled basis points. Runs on collisions only.
+    */
+  private[graft] def jaccardVerify(cand: DataFrame, shLeft: DataFrame,
+      shRight: DataFrame): DataFrame =
+    cand
+      .join(shLeft.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shRight.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sg"), col("sb.sg"))))
+      .withColumn("uni", size(col("sa.sg")) + size(col("sb.sg")) - col("inter"))
+      .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
+      .filter(col("jac_bp") >= 5000)
+      .select("doc_a", "doc_b", "jac_bp")
+
   /** Shared DuckDB CTE chain for the minhash pipeline up to the verified
     * candidate table `v(doc_a, doc_b, inter, uni)`.
     */
-  private def duckMinhashCtes: String = {
+  private[operators] def duckMinhashCtes: String = {
     val mins = (1 to 9)
       .map(i => s"min(substr(hh, ${(i - 1) * 7 + 1}, 7)) AS h$i").mkString(", ")
     duckToksCte + s"""
