@@ -356,26 +356,24 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup within label blocks (exact cosine in double
-    * precision, floor-scaled; ≥ 0.30).
+    * precision, floor-scaled; ≥ 0.30), with an OVERSIZED-BLOCK GUARD: a
+    * label block is exact all-pairs only while it stays under `maxBlock`
+    * rows; beyond that the block is sub-divided by the deterministic
+    * sign-bucket planes ([[Similarity.bucketCol]]) before pairing, so one
+    * dominant label at corpus scale degrades to Σ sub-bucket² instead of
+    * an unguarded O(block²). Per-label counts ride a broadcast (labels are
+    * bounded by this operator's contract — an unbounded key would use
+    * [[embeddingLsh]] instead). At the test scales every block is far
+    * under the bound, so the guard provably does not perturb the oracle;
+    * DedupGuardSpec plants an oversized label and proves the sub-division
+    * engages and stays a subset of the exact result.
     */
   val embeddingCosine: GraftQuery = new GraftQuery {
     val name = "dedup_embedding_cosine"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      graft.expressions.DotProductDouble.register(spark)
-      val e = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
-      e.as("a")
-        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr("dot_double(a.v, b.v)"))
-        .withColumn("cos_bp",
-          floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
-        .filter(col("cos_bp") >= 3000)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      blockedCosinePairs(Similarity.vecs(spark, sfDir), 4096, 4)
         .orderBy("vec_a", "vec_b")
-    }
 
     def oracle: Option[String] = Some("""
       WITH e AS (
@@ -396,6 +394,31 @@ object Dedup {
       FROM p WHERE floor(dot * 10000.0 / nn) >= 3000
       ORDER BY vec_a, vec_b
     """)
+  }
+
+  /** [[embeddingCosine]]'s body over any (vec_id, label, v, nrm) frame:
+    * label-equal pairing with sign-bucket sub-division of blocks larger
+    * than `maxBlock`. `planes` is the sub-division arity lever (2^planes
+    * sub-buckets; fewer planes = higher recall, bigger sub-blocks).
+    */
+  private[graft] def blockedCosinePairs(e: DataFrame, maxBlock: Long,
+      planes: Int): DataFrame = {
+    // `e` is read three times (size agg + both join sides) — the query
+    // passes the session-shared cached vecs frame, so no persist here
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("bs"))
+    val sub = e.join(broadcast(sizes), "label")
+      .withColumn("sub",
+        when(col("bs") > maxBlock, Similarity.bucketCol(planes)).otherwise(lit(0L)))
+      .select("vec_id", "label", "sub", "v", "nrm")
+    sub.as("a")
+      .join(sub.as("b"),
+        col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("dot_double(a.v, b.v)"))
+      .withColumn("cos_bp",
+        floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
+      .filter(col("cos_bp") >= 3000)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
   }
 
   /** The 24-bit sampled char-5-gram sketch table (doc_id, n_chars, sg, sz),

@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** IVF-PQ compressed ANN — the storage lever for 10⁹+-vector corpora: a
+  * 64-dim double vector (512 B) is stored as 8 four-bit codes (4 B, 128x),
+  * and search scores candidates WITHOUT decompressing, by table lookup.
+  *
+  *  - PRODUCT QUANTIZATION: the L2-normalized vector is split into M=8
+  *    subspaces of 8 dims; each subspace has its own 16-codeword codebook
+  *    (seeded from the sub-vectors of the 16 lowest vec_ids — the same
+  *    no-shipped-model determinism as [[Similarity.annIvf]] — then ONE
+  *    exact L2-Lloyd refinement: per-dimension DECIMAL sums divided by
+  *    member count in double, so every engine computes bit-identical
+  *    codewords). A vector's code is its nearest codeword per subspace
+  *    (floor-scaled L2, ties to the lower codeword id).
+  *  - IVF: candidate generation is [[Similarity.annIvf]]'s cell probe —
+  *    queries probe their top-2 of 16 cosine cells; only the probed cells'
+  *    codes are ever scored.
+  *  - ASYMMETRIC DISTANCE (ADC): score(q, c) = Σ_m dot(q̂_m, cw_m(code_m)) —
+  *    the query stays full-precision, candidates stay compressed. The
+  *    per-query partials dot(q̂_m, cw_m(k)) form a 8x16-entry LUT
+  *    (broadcast); a candidate costs 8 lookups + a sum, never a 64-dim
+  *    dot. The sum of partials is pinned through DECIMAL so the score is
+  *    partition-order-independent. (This implementation joins the
+  *    candidate's exploded codes to the LUT rows on the fine (m, k) key —
+  *    the join-form of the lookup; a production variant would pack the LUT
+  *    into a flat array column and do positional `element_at`, saving the
+  *    8-row explode, at the cost of assuming a dense surviving codebook.)
+  *
+  * Recall/compression tradeoff (measured by [[pqRecall]] against brute
+  * force, exactly as `ann_recall_ivf`): ADC ranking adds quantization
+  * error on top of IVF's cell pruning, so recall@3 ≤ the uncompressed IVF
+  * path's — the price of 128x smaller candidate storage. More codewords
+  * (8-bit codes: K=256) or more subspaces buy recall back with bits.
+  */
+object ProductQuant {
+
+  private val M = 8      // subspaces
+  private val Dsub = 8   // dims per subspace (M * Dsub = Similarity dims)
+  private val SeedK = 16 // codewords per subspace
+
+  /** Normalized sub-vector table (vec_id, m, s): m 0-based, s = the unit
+    * vector's dims [m*Dsub+1, (m+1)*Dsub].
+    */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .select(col("vec_id"), posexplode(array((0 until M).map(m =>
+        slice(col("u"), m * Dsub + 1, Dsub)): _*)).as(Seq("m", "s")))
+
+  /** Floor-scaled squared L2 distance ||s − cw||² between column pairs —
+    * expanded as dot(s,s) − 2·dot(s,cw) + dot(cw,cw) so both engines fold
+    * left-to-right identically; scaled by 1e8 before floor so compares are
+    * integer-exact.
+    */
+  private def d2Scaled: org.apache.spark.sql.Column =
+    floor((expr("dot_double(s, s)") - lit(2.0) * expr("dot_double(s, cw)") +
+      expr("dot_double(cw, cw)")) * lit(1e8)).cast("long")
+
+  /** Nearest codeword per (vec_id, m): broadcast the codebook, rank by
+    * scaled d2 then codeword id.
+    */
+  private def assign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2_sc"), col("k"))
+    sub.join(broadcast(cb), "m")
+      .withColumn("d2_sc", d2Scaled)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k"), col("s"))
+  }
+
+  /** One exact L2-Lloyd step: codeword = per-dimension mean of its members
+    * (DECIMAL sum → double ÷ count, engine-independent); codewords that
+    * lose every member drop out, as in k-means.
+    */
+  private def refine(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("k"), posexplode(col("s")).as(Seq("pos", "x")))
+      .groupBy("m", "k", "pos")
+      .agg(sum(col("x").cast(DecimalType(27, 10))).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy("m", "k")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx"), col("cnt")))),
+        p => p.getField("sx").cast("double") / p.getField("cnt")).as("cw"))
+
+  /** The shared IVF-PQ chain: (pairs, codes, lut) — candidate (query,
+    * corpus) id pairs from the cosine cell probe, 4-bit codes per corpus
+    * vector/subspace, and the per-query ADC partials.
+    */
+  private def pqChain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = Similarity.vecs(spark, sfDir)
+    // IVF candidate generation — identical cell machinery to ann_ivf
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val ranked = graft.CacheRegistry.persist(
+      Similarity.cellRanked(e, cents).select("vec_id", "cid", "crank"))
+    val pairs = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      .join(ranked.filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("cell")), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+    // PQ codebook: deterministic seeds + one exact Lloyd step
+    val sub = graft.CacheRegistry.persist(subVectors(e))
+    val seeds = sub.filter(col("vec_id") < SeedK)
+      .select(col("m"), col("vec_id").as("k"), col("s").as("cw"))
+    val cb = graft.CacheRegistry.persist(refine(assign(sub, seeds)))
+    val codes = assign(sub, cb).select(col("vec_id"), col("m"), col("k").as("code"))
+    val lut = sub.filter(col("vec_id") < 10).join(broadcast(cb), "m")
+      .select(col("vec_id").as("qid"), col("m"), col("k"),
+        expr("dot_double(s, cw)").as("part"))
+    (pairs, codes, lut)
+  }
+
+  /** ADC-scored top-3 per query over the probed cells. */
+  val annIvfPq: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_pq"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val (pairs, codes, lut) = pqChain(spark, sfDir)
+      val scored = pairs
+        .join(codes, "vec_id")
+        .join(broadcast(lut),
+          pairs("qid") === lut("qid") && codes("m") === lut("m") &&
+            codes("code") === lut("k"))
+        .groupBy(pairs("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(floor(sum(col("part").cast(DecimalType(27, 10))) * lit(10000))
+          .cast("long").as("adc_bp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_bp").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("adc_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some(duckPqCtes + """
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_bp
+      FROM pq_ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  /** recall@3 of the compressed search vs full-precision brute force —
+    * the tradeoff number for the 128x storage saving.
+    */
+  val pqRecall: GraftQuery = new GraftQuery {
+    val name = "ann_pq_recall"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val truth = Similarity.annTopK.run(spark, sfDir).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = annIvfPq.run(spark, sfDir)
+        .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
+      truth
+        .join(got, col("query_id") === col("g_query") &&
+          col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("truth_k"), count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp",
+          floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    def oracle: Option[String] = Some(duckPqCtes + """
+      , brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      pq3 AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN pq3 l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """)
+  }
+
+  /** DuckDB mirror of the whole IVF-PQ chain up to
+    * `pq_ranked(query_id, neighbor_id, adc_bp, rank)`.
+    */
+  private def duckPqCtes: String = {
+    def dot(a: String, b: String, len: String) =
+      s"list_sum(list_transform(generate_series(1, $len), i -> $a[i] * $b[i]))"
+    val d2 = s"floor((${dot("s", "s", "len(s)")} - 2.0 * ${dot("s", "cw", "len(s)")} + " +
+      s"${dot("cw", "cw", "len(cw)")}) * 100000000.0)"
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      cassign AS (
+        SELECT n.vec_id, cents.cid,
+               CAST(floor(${dot("n.v", "cents.cv", "len(n.v)")} * 10000.0 /
+                 (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      cranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM cassign),
+      pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id
+        FROM (SELECT vec_id, cid AS cell FROM cranked WHERE crank <= 2 AND vec_id < 10) q
+        JOIN (SELECT vec_id, cid AS cell FROM cranked WHERE crank = 1) c USING (cell)
+        WHERE q.vec_id <> c.vec_id),
+      u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+      sub AS (
+        SELECT vec_id, m, u[m*$Dsub+1 : m*$Dsub+$Dsub] AS s
+        FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m)),
+      cb0 AS (SELECT m, vec_id AS k, s AS cw FROM sub WHERE vec_id < $SeedK),
+      asg0 AS (
+        SELECT sub.vec_id, sub.m, sub.s, cb0.k, $d2 AS d2_sc
+        FROM sub JOIN cb0 ON sub.m = cb0.m),
+      best0 AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                         ORDER BY d2_sc, k) AS rn FROM asg0) WHERE rn = 1),
+      sums AS (
+        SELECT m, k, pos, sum(CAST(x AS DECIMAL(27,10))) AS sx, count(*) AS cnt
+        FROM (SELECT m, k, unnest(s) AS x,
+                     unnest(generate_series(1, len(s))) AS pos FROM best0)
+        GROUP BY 1, 2, 3),
+      cb AS (SELECT m, k, list(CAST(sx AS DOUBLE) / cnt ORDER BY pos) AS cw
+             FROM sums GROUP BY m, k),
+      asg1 AS (
+        SELECT sub.vec_id, sub.m, sub.s, cb.k, $d2 AS d2_sc
+        FROM sub JOIN cb ON sub.m = cb.m),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY d2_sc, k) AS rn FROM asg1) WHERE rn = 1),
+      lut AS (
+        SELECT sub.vec_id AS qid, sub.m, cb.k,
+               ${dot("sub.s", "cb.cw", "len(sub.s)")} AS part
+        FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < 10),
+      pq_scored AS (
+        SELECT p.qid AS query_id, p.vec_id AS neighbor_id,
+               CAST(floor(sum(CAST(part AS DECIMAL(27,10))) * 10000) AS BIGINT) AS adc_bp
+        FROM pairs p
+        JOIN codes c ON p.vec_id = c.vec_id
+        JOIN lut ON lut.qid = p.qid AND lut.m = c.m AND lut.k = c.code
+        GROUP BY 1, 2),
+      pq_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_bp DESC, neighbor_id) AS rank
+        FROM pq_scored)"""
+  }
+
+  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall)
+}

@@ -54,7 +54,7 @@ object Similarity {
     * left-to-right summation is bit-identical to the oracle's `list_sum`
     * fold, so the sign — and hence the bucket — matches cross-engine.
     */
-  private[operators] def bucketCol(planes: Int): Column = {
+  private[graft] def bucketCol(planes: Int): Column = {
     val w = planeWeights(planes)
     (0 until planes).map { p =>
       val arr = w(p).map(x => s"${x}D").mkString(",")
@@ -427,7 +427,7 @@ object Similarity {
     * and rank centers per vector by floor-scaled cosine — `crank = 1` is
     * the vector's cell, `crank <= p` its p-cell probe set.
     */
-  private def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
+  private[operators] def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
     e.crossJoin(broadcast(centers))
       .withColumn("ccos_bp",
