@@ -213,5 +213,51 @@ object Relevance {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(tfidfTop, percentiles, lmScore)
+  /** Classifier-style quality inference — the fastText-architecture
+    * hashed-n-gram linear scorer as a single codegen'd projection
+    * ([[graft.expressions.DocQuality]]): no corpus pass, no shuffle, one
+    * scan at any scale (vs [[lmScore]], which must first aggregate the
+    * corpus's own token distribution). The hash-derived weights stand in
+    * for trained ones; swapping in a trained table changes only the
+    * per-feature weight lookup, not the plan.
+    */
+  val qualityScore: GraftQuery = new GraftQuery {
+    val name = "doc_quality_score"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DocQuality.register(spark)
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          expr("doc_quality(text)").as("quality_x1m"))
+        .filter(col("n_toks") > 0)
+        .withColumn("n_features", (col("n_toks") * 2 - 1).cast("long"))
+        .withColumn("quality_class",
+          when(col("quality_x1m") >= 0, lit("keep")).otherwise(lit("drop")))
+        .select("doc_id", "n_features", "quality_x1m", "quality_class")
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , feats AS (
+        SELECT doc_id, len(ws) AS n_toks,
+               list_concat(ws,
+                 CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(ws)-1),
+                             i -> ws[i] || ' ' || ws[i+1]) END) AS fs
+        FROM toks WHERE len(ws) > 0),
+      w AS (
+        SELECT doc_id, CAST(2 * n_toks - 1 AS BIGINT) AS n_features,
+               list_sum(list_transform(fs,
+                 g -> (${duckHashHex("g", 4)} - 32767.5) / 32768.0)) AS s
+        FROM feats)
+      SELECT doc_id, n_features,
+             CAST(floor(s / n_features * 1000000.0) AS BIGINT) AS quality_x1m,
+             CASE WHEN floor(s / n_features * 1000000.0) >= 0
+                  THEN 'keep' ELSE 'drop' END AS quality_class
+      FROM w ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(tfidfTop, percentiles, lmScore, qualityScore)
 }

@@ -153,5 +153,124 @@ object Sampling {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(stratified, splitAssign)
+  /** Target mixture weights in basis points per source (sum = 10000) —
+    * the "data mixing" config between quality filtering and packing.
+    */
+  private[graft] val mixtureRows: Seq[(String, Int)] =
+    Seq.tabulate(20)(i => (s"src$i", ((i % 4) + 1) * 200))
+
+  /** Budget = this share of the corpus's total tokens (basis points). */
+  private[graft] val budgetShareBp = 5000
+
+  /** Mixture keep/drop hash — "mix:"-salted so the mixture decision is
+    * independent of both the sampling and split hashes.
+    */
+  private[graft] def mixHash(id: Column): Column =
+    hash24(concat(lit("mix:"), id.cast("string"))) % 10000
+
+  /** Per-source mixture rates for a documents frame carrying `tok_ct`:
+    * the token budget is `budgetShareBp` of the corpus total; source s
+    * gets `weight_bp(s)` of it; its keep rate is target/available, capped
+    * at 1. Two scans total at any scale: one tiny groupBy for per-source
+    * availability (its result and the corpus total are broadcast back),
+    * then the caller's decision scan — the decision itself is a codegen'd
+    * projection against the broadcast rate table, exactly like
+    * [[stratified]].
+    */
+  private[graft] def mixtureRates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = mixtureRows.toDF("source", "weight_bp")
+    val avail = docs.groupBy("source").agg(sum(col("tok_ct")).as("avail_tokens"))
+    val total = docs.agg(sum(col("tok_ct")).as("total_tokens"))
+    avail.crossJoin(broadcast(total))
+      .join(broadcast(weights), "source")
+      .withColumn("target_tokens",
+        floor(col("total_tokens") * col("weight_bp") * lit(budgetShareBp.toDouble) /
+          lit(1e8)).cast("long"))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          floor(col("target_tokens") * lit(10000.0) / col("avail_tokens"))).cast("long"))
+      .select("source", "avail_tokens", "target_tokens", "rate_bp")
+  }
+
+  /** Filter a documents frame (must carry `tok_ct`) to the mixture sample
+    * — the pipeline-stage form; [[mixture]] is the audited query form.
+    */
+  private[graft] def applyMixture(docs: DataFrame): DataFrame =
+    docs.join(broadcast(mixtureRates(docs)), "source")
+      .filter(mixHash(col("doc_id")) < col("rate_bp"))
+      .drop("avail_tokens", "target_tokens", "rate_bp")
+
+  /** Data-mixture sampling — the "mixing weights" step of a training-data
+    * pipeline: re-weight sources toward a target composition under a
+    * global token budget. Deterministic like its siblings: the keep set
+    * is a pure salted-hash function of doc ids and the broadcast config.
+    * Output is the per-source audit: available vs target vs realized
+    * tokens (realized tracks target only as closely as doc-granularity
+    * hash selection allows — the realized_vs_target_bp column IS that
+    * sampling-error measurement) plus the kept-id checksum proving the
+    * exact selection cross-engine.
+    */
+  val mixture: GraftQuery = new GraftQuery {
+    val name = "sample_mixture"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = graft.CacheRegistry.persist(
+        Tables.load(spark, sfDir, "documents")
+          .withColumn("tok_ct",
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      docs.join(broadcast(mixtureRates(docs)), "source")
+        .withColumn("keep", (mixHash(col("doc_id")) < col("rate_bp")).cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          min(col("avail_tokens")).as("avail_tokens"),
+          min(col("target_tokens")).as("target_tokens"),
+          min(col("rate_bp")).as("rate_bp"),
+          sum(col("keep")).cast("long").as("kept_docs"),
+          coalesce(sum(when(col("keep") === 1, col("tok_ct"))), lit(0L))
+            .cast("long").as("kept_tokens"),
+          coalesce(sum(when(col("keep") === 1, col("doc_id"))), lit(0L))
+            .cast("long").as("kept_id_sum"))
+        .withColumn("realized_vs_target_bp",
+          floor(col("kept_tokens") * lit(10000.0) /
+            greatest(col("target_tokens"), lit(1L))).cast("long"))
+        .orderBy("source")
+    }
+
+    def oracle: Option[String] = {
+      val vals = mixtureRows.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      Some(graft.functions.TextFunctions.duckToksCte + s"""
+      , weights(source, weight_bp) AS (VALUES $vals),
+      d AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS tok_ct,
+                   ${duckHashHex("'mix:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 AS h
+            FROM toks),
+      avail AS (SELECT source, sum(tok_ct) AS avail_tokens FROM d GROUP BY source),
+      tot AS (SELECT sum(tok_ct) AS total_tokens FROM d),
+      rates AS (
+        SELECT source, avail_tokens,
+               CAST(floor(total_tokens * weight_bp * ${budgetShareBp}.0 / 100000000.0) AS BIGINT) AS target_tokens
+        FROM avail CROSS JOIN tot JOIN weights USING (source)),
+      r2 AS (
+        SELECT *, least(10000, CAST(floor(target_tokens * 10000.0 / avail_tokens) AS BIGINT)) AS rate_bp
+        FROM rates),
+      k AS (
+        SELECT d.source, avail_tokens, target_tokens, rate_bp, tok_ct, doc_id,
+               CASE WHEN h < rate_bp THEN 1 ELSE 0 END AS keep
+        FROM d JOIN r2 ON d.source = r2.source)
+      SELECT source,
+             CAST(min(avail_tokens) AS BIGINT) AS avail_tokens,
+             CAST(min(target_tokens) AS BIGINT) AS target_tokens,
+             CAST(min(rate_bp) AS BIGINT) AS rate_bp,
+             CAST(sum(keep) AS BIGINT) AS kept_docs,
+             CAST(coalesce(sum(CASE WHEN keep = 1 THEN tok_ct END), 0) AS BIGINT) AS kept_tokens,
+             CAST(coalesce(sum(CASE WHEN keep = 1 THEN doc_id END), 0) AS BIGINT) AS kept_id_sum,
+             CAST(floor(coalesce(sum(CASE WHEN keep = 1 THEN tok_ct END), 0) * 10000.0 /
+               greatest(min(target_tokens), 1)) AS BIGINT) AS realized_vs_target_bp
+      FROM k GROUP BY source ORDER BY source
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(stratified, splitAssign, mixture)
 }

@@ -64,7 +64,13 @@ object LlmPipeline {
       .filter(col("n_chars") >= 50 && col("n_chars") <= 100000 &&
         col("alnum_ct") * 10 >= col("n_chars") * 5) // ≥50% alnum
       .drop("alnum_ct")
-    val lmKeep = graft.operators.Relevance.lmScores(shaped)
+    // the classifier-style scorer (doc_quality_score's expression) rides
+    // the same scan as the shape filter — map-side, no extra pass; the
+    // loose threshold mirrors a trained-classifier keep decision
+    graft.expressions.DocQuality.register(spark)
+    val classed = shaped.filter(
+      coalesce(expr("doc_quality(text)"), lit(Long.MinValue)) >= -100000L)
+    val lmKeep = graft.operators.Relevance.lmScores(classed)
       .filter(col("avg_lp_x1m") >= -3600000L) // avg token logprob ≥ -3.6
       .select("doc_id")
     // STAGE BOUNDARY: lmScores persists the full token-explode (the
@@ -87,10 +93,18 @@ object LlmPipeline {
       .drop("h", "rate_bp")
     val sampledCt = sampled.count()
 
+    // 4b. data mixture: re-weight the surviving source composition toward
+    //     the target weights under the token budget — the SAME rates and
+    //     salted hash the oracle-checked sample_mixture query runs
+    val mixed = Sampling.applyMixture(sampled.withColumn("tok_ct",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .drop("tok_ct")
+    val mixedCt = mixed.count()
+
     // 5. PII redaction
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "\\+[0-9]{7,}"
-    val published = sampled.withColumn("text",
+    val published = mixed.withColumn("text",
       regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
         phonePat, "<PHONE>"))
 
@@ -113,7 +127,7 @@ object LlmPipeline {
       .sorted.mkString(",")
     val manifest =
       s"""{"raw":$rawCt,"exact_dedup":$exactCt,"near_dedup":$nearCt,""" +
-        s""""quality":$qualityCt,"sampled":$sampledCt,"splits":{$splitCts}}"""
+        s""""quality":$qualityCt,"sampled":$sampledCt,"mixed":$mixedCt,"splits":{$splitCts}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[llm-pipeline] $manifest")
     graft.CacheRegistry.clearAll()
