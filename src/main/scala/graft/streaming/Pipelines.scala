@@ -214,60 +214,21 @@ object Pipelines {
       if (sinkType == "kafka") {
         routed.drop("op_seq").write.mode("overwrite")
           .parquet(s"$outDir/kafka/$sinkTable/batch=$batchId")
-      } else { // dim upsert: keep-latest by pk, within-batch latest by op_seq
-        val path = s"$outDir/dim/$sinkTable"
+      } else { // dim upsert: within-batch latest by op_seq, then the
+        // snapshot-table keep-latest merge + atomic versioned publish
+        // (graft.sources.SnapshotTable — the Delta-substitute format)
         val wNew = org.apache.spark.sql.expressions.Window
           .partitionBy(col(pk)).orderBy(col("op_seq").desc)
         val newest = routed.withColumn("_rn", row_number().over(wNew))
           .filter(col("_rn") === 1).drop("_rn", "op_seq")
-        val merged = readDim(spark, outDir, sinkTable) match {
-          case Some(existing) =>
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col(pk)).orderBy(col("_prio").desc)
-            newest.withColumn("_prio", lit(1))
-              .unionByName(existing.withColumn("_prio", lit(0)), allowMissingColumns = true)
-              .withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") === 1)
-              .drop("_prio", "_rn")
-          case None => newest
-        }
-        val version = s"v$batchId"
-        merged.write.mode("overwrite").parquet(s"$path/$version")
-        publishMarker(path, version)
-        pruneVersions(path, version)
+        graft.sources.SnapshotTable.upsert(
+          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId")
       }
     }
   }
 
   /** Read a dim table at its last atomically published version. */
   def readDim(spark: SparkSession, outDir: String,
-      table: String): Option[DataFrame] = {
-    val path = s"$outDir/dim/$table"
-    val marker = java.nio.file.Paths.get(s"$path/_LATEST")
-    if (java.nio.file.Files.exists(marker))
-      Some(spark.read.parquet(s"$path/${java.nio.file.Files.readString(marker).trim}"))
-    else None
-  }
-
-  private def publishMarker(path: String, version: String): Unit = {
-    val tmp = java.nio.file.Paths.get(s"$path/._LATEST.tmp")
-    java.nio.file.Files.writeString(tmp, version)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/_LATEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Best-effort cleanup of superseded snapshot versions. */
-  private def pruneVersions(path: String, keep: String): Unit = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != keep)
-      .foreach { old =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(old)
-      }
-  }
+      table: String): Option[DataFrame] =
+    graft.sources.SnapshotTable.read(spark, s"$outDir/dim/$table")
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The snapshot table format's three guarantees: atomic publish (a torn
+  * writer leaves the published view untouched), reader isolation across a
+  * publish (retention keeps the resolved version on disk), and idempotent
+  * replay. This is the crash-mid-publish proof the dim-sink path (K4)
+  * rests on.
+  */
+class SnapshotTableSpec extends SparkSpec {
+  import graft.sources.SnapshotTable
+
+  private def freshRoot(tag: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_snap_$tag"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root))
+    root
+  }
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "val")
+  }
+
+  test("a crash between data write and marker move never tears the published view") {
+    val root = freshRoot("torn")
+    SnapshotTable.publish(df(Seq(1L -> "a", 2L -> "b")), root, "v1")
+    assert(SnapshotTable.latestVersion(root).contains("v1"))
+    // simulate the crash: v2's directory exists, PARTIALLY written (a
+    // non-parquet fragment), and the marker move never happened
+    val torn = new java.io.File(s"$root/v2")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/v2/part-00000.parquet"), "garbage bytes")
+    val seen = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(SnapshotTable.latestVersion(root).contains("v1"),
+      "an unpublished version directory must be invisible")
+    assert(seen == Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("reader resolved before a publish keeps its version through it (isolation + retention)") {
+    val root = freshRoot("iso")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
+    val resolvedBefore = SnapshotTable.latestVersion(root).get
+    SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
+    // retention 2 keeps v1 on disk: the old resolution still reads cleanly
+    val old = SnapshotTable.readVersion(spark, root, resolvedBefore)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(old == Set(1L -> "a"), "pre-publish resolution must stay readable")
+    val now = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(now == Set(1L -> "b"))
+    // a third publish prunes v1 (beyond the retained window), keeps v2
+    SnapshotTable.publish(df(Seq(1L -> "c")), root, "v3")
+    assert(!new java.io.File(s"$root/v1").exists(), "v1 beyond retention must be pruned")
+    assert(new java.io.File(s"$root/v2").exists(), "v2 within retention must survive")
+  }
+
+  test("upsert merges keep-latest by pk, replays idempotently, widens schema") {
+    val root = freshRoot("upsert")
+    SnapshotTable.upsert(df(Seq(1L -> "a", 2L -> "b")), root, "id", "v1")
+    SnapshotTable.upsert(df(Seq(2L -> "B", 3L -> "c")), root, "id", "v2")
+    def snap() = SnapshotTable.read(spark, root).get
+      .select("id", "val").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val after = snap()
+    assert(after == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+    // replay of the SAME batch republishes the identical version
+    SnapshotTable.upsert(df(Seq(2L -> "B", 3L -> "c")), root, "id", "v2")
+    assert(snap() == after, "replayed batch must reproduce the identical snapshot")
+    // schema widening: new column appears, old rows null-fill
+    import spark.implicits._
+    val widened = Seq((4L, "d", "extra")).toDF("id", "val", "note")
+    SnapshotTable.upsert(widened, root, "id", "v3")
+    val rows = SnapshotTable.read(spark, root).get
+      .select("id", "val", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "B", None), (3L, "c", None),
+      (4L, "d", Some("extra"))))
+  }
+}
