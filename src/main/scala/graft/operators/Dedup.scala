@@ -396,6 +396,16 @@ object Dedup {
     """)
   }
 
+  /** The semantic-dedup drop rule over a (vec_a < vec_b, cos_bp) pair
+    * frame: one aggregation collapsing each dominated vector's dominators
+    * to (lowest keeper id, strongest cosine, count).
+    */
+  private[graft] def dominated(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("keeper_id"),
+        max(col("cos_bp")).as("max_cos_bp"),
+        count(lit(1)).as("dominators"))
+
   /** [[embeddingCosine]]'s body over any (vec_id, label, v, nrm) frame:
     * label-equal pairing with sign-bucket sub-division of blocks larger
     * than `maxBlock`. `planes` is the sub-division arity lever (2^planes
@@ -419,6 +429,77 @@ object Dedup {
         floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
       .filter(col("cos_bp") >= 3000)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
+  }
+
+  /** Semantic dedup (SemDeDup-style; Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus embeddings around the deterministic IVF seed
+    * centers ([[Similarity]] `ann_ivf`'s 16 lowest vec_ids — reproducible
+    * on any engine, no training step), then WITHIN each cluster drop every
+    * vector dominated by a lower-id clustermate at cosine ≥ 0.30. Reported
+    * per dropped vector: its cell, the lowest-id dominator, the strongest
+    * dominating cosine and the dominator count.
+    *
+    * Shape: the clustering is the `ann_ivf` broadcast-assign (16 centers ×
+    * corpus, map-only), the within-cell pairing reuses
+    * [[blockedCosinePairs]] with the CELL as the blocking label — so the
+    * oversized-block guard applies here too: at 100 TB a 16-cell partition
+    * of the corpus WILL exceed `maxBlock` and the sign-plane sub-division
+    * engages (the plane count is the recall/cost lever, exactly as in
+    * [[embeddingCosine]]); at test scale cells stay far under the bound so
+    * the oracle is the exact within-cell rule. Against a real clustered
+    * corpus the center count scales with corpus size (k ≈ √n), keeping
+    * cells bounded — 16 is this fixture's `ann_ivf` contract.
+    *
+    * The drop rule is "dominated by ANY lower id", not greedy-iterative
+    * SemDeDup: in a chain a<b<c with cos(a,b) ≥ τ, cos(b,c) ≥ τ,
+    * cos(a,c) < τ, both b and c drop (c's keeper is the already-dropped
+    * b). One aggregation instead of an iterative fixpoint, deterministic,
+    * and one-sided: a kept vector is never within τ of a SMALLER kept id.
+    */
+  val semantic: GraftQuery = new GraftQuery {
+    val name = "dedup_semantic"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Similarity.vecs(spark, sfDir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val cells = Similarity.cellRanked(e, cents)
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
+      dominated(blockedCosinePairs(cells, 4096, 4))
+        .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .select("vec_id", "cell", "keeper_id", "max_cos_bp", "dominators")
+        .orderBy("vec_id")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign AS (
+        SELECT n.vec_id, n.v, n.nrm, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * cents.cv[i])) * 10000.0 / (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      cells AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, b.cell,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i])) * 10000.0 / (a.nrm * b.nrm)) AS BIGINT) AS cos_bp
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT vec_b AS vec_id, cell, min(vec_a) AS keeper_id,
+             max(cos_bp) AS max_cos_bp, count(*) AS dominators
+      FROM p WHERE cos_bp >= 3000
+      GROUP BY vec_b, cell ORDER BY vec_id
+    """)
   }
 
   /** The 24-bit sampled char-5-gram sketch table (doc_id, n_chars, sg, sz),
@@ -739,5 +820,5 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
-      embeddingLsh, contamination, clusters, sourceOverlap)
+      embeddingLsh, semantic, contamination, clusters, sourceOverlap)
 }

@@ -259,5 +259,96 @@ object Relevance {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(tfidfTop, percentiles, lmScore, qualityScore)
+  /** Gopher-style quality RULE battery (Rae et al. 2021, arXiv:2112.11446
+    * §A.1.1): per-document integer metrics plus one 0/1 column per rule
+    * and a final `keep` conjunction — the standard hard-filter step a
+    * training pipeline runs before mixing/sampling, complementing the
+    * SCORE-based `doc_lm_score`/`doc_quality_score` (soft rankers, this
+    * is a hard gate). Thresholds are the published Gopher shapes (50–100k
+    * words, mean word length 3–10, ≥ 80% alphabetic words, ≥ 2 distinct
+    * stopwords, plus a distinct-token repetition floor standing in for
+    * Gopher's duplicate-line family — this corpus has no line structure).
+    * Map-only: one projection pass, no shuffle before the output sort;
+    * every metric floor-scaled so the row is integer-exact cross-engine.
+    */
+  val qualityRules: GraftQuery = new GraftQuery {
+    val name = "doc_quality_rules"
+
+    private val stops = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+        .withColumn("token_ct", size(col("ws")).cast("long"))
+        .withColumn("alnum_ct",
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long"))
+        .withColumn("alpha_ct",
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+        .withColumn("uniq_ct", size(array_distinct(col("ws"))).cast("long"))
+        .withColumn("stop_distinct",
+          size(array_distinct(filter(col("ws"), w => w.isin(stops: _*)))).cast("long"))
+        .withColumn("mean_tok_len_x100",
+          when(col("token_ct") > 0,
+            floor(col("alnum_ct") * lit(100.0) / col("token_ct"))).cast("long"))
+        .withColumn("alpha_tok_bp",
+          when(col("token_ct") > 0,
+            floor(col("alpha_ct") * lit(10000.0) / col("token_ct"))).cast("long"))
+        .withColumn("uniq_ratio_bp",
+          when(col("token_ct") > 0,
+            floor(col("uniq_ct") * lit(10000.0) / col("token_ct"))).cast("long"))
+        .withColumn("r_len",
+          col("token_ct").between(50, 100000).cast("long"))
+        .withColumn("r_word_len",
+          (col("mean_tok_len_x100").isNotNull &&
+            col("mean_tok_len_x100").between(300, 1000)).cast("long"))
+        .withColumn("r_alpha",
+          (col("alpha_tok_bp").isNotNull && col("alpha_tok_bp") >= 8000).cast("long"))
+        .withColumn("r_stop", (col("stop_distinct") >= 2).cast("long"))
+        .withColumn("r_uniq",
+          (col("uniq_ratio_bp").isNotNull && col("uniq_ratio_bp") >= 2000).cast("long"))
+        .withColumn("keep",
+          (col("r_len") * col("r_word_len") * col("r_alpha") *
+            col("r_stop") * col("r_uniq")).cast("long"))
+        .select("doc_id", "token_ct", "mean_tok_len_x100", "alpha_tok_bp",
+          "stop_distinct", "uniq_ratio_bp",
+          "r_len", "r_word_len", "r_alpha", "r_stop", "r_uniq", "keep")
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , m AS (
+        SELECT doc_id,
+               len(ws) AS token_ct,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_ct,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_ct,
+               len(list_distinct(ws)) AS uniq_ct,
+               len(list_distinct(list_filter(ws,
+                 w -> w IN ('the','be','to','of','and','a','in','that')))) AS stop_distinct
+        FROM toks),
+      s AS (
+        SELECT doc_id, token_ct, stop_distinct,
+               CASE WHEN token_ct > 0
+                    THEN CAST(floor(alnum_ct * 100.0 / token_ct) AS BIGINT) END AS mean_tok_len_x100,
+               CASE WHEN token_ct > 0
+                    THEN CAST(floor(alpha_ct * 10000.0 / token_ct) AS BIGINT) END AS alpha_tok_bp,
+               CASE WHEN token_ct > 0
+                    THEN CAST(floor(uniq_ct * 10000.0 / token_ct) AS BIGINT) END AS uniq_ratio_bp
+        FROM m),
+      r AS (
+        SELECT *,
+               CAST(token_ct BETWEEN 50 AND 100000 AS BIGINT) AS r_len,
+               CAST(mean_tok_len_x100 IS NOT NULL AND
+                    mean_tok_len_x100 BETWEEN 300 AND 1000 AS BIGINT) AS r_word_len,
+               CAST(alpha_tok_bp IS NOT NULL AND alpha_tok_bp >= 8000 AS BIGINT) AS r_alpha,
+               CAST(stop_distinct >= 2 AS BIGINT) AS r_stop,
+               CAST(uniq_ratio_bp IS NOT NULL AND uniq_ratio_bp >= 2000 AS BIGINT) AS r_uniq
+        FROM s)
+      SELECT doc_id, token_ct, mean_tok_len_x100, alpha_tok_bp, stop_distinct,
+             uniq_ratio_bp, r_len, r_word_len, r_alpha, r_stop, r_uniq,
+             r_len * r_word_len * r_alpha * r_stop * r_uniq AS keep
+      FROM r ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityRules)
 }
