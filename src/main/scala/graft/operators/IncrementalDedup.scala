@@ -52,36 +52,84 @@ object IncrementalDedup {
     * would have (self-join on its own bands) — phase 2 never generates an
     * old x old candidate.
     */
-  private[graft] def dedupBatches(spark: SparkSession, oldDocs: DataFrame,
-      newDocs: DataFrame, idx: String): DataFrame = {
+  /** Delete the index root — the bootstrap of a fresh crawl sequence. */
+  private[graft] def clearIndex(spark: SparkSession, idx: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(idx)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    ()
+  }
+
+  /** Read one index table, or a schema-stable empty frame when the index
+    * does not exist yet (the first crawl). The reader frame lists files at
+    * CREATION time, so a frame created here never sees rows appended
+    * afterwards — callers rely on that to dedup a batch against the index
+    * state BEFORE the batch's own append.
+    */
+  private def readIndexOr(spark: SparkSession, dir: String,
+      empty: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(dir) else empty
+  }
+
+  /** Ingest ONE arriving batch: dedup it against the persisted index state
+    * plus the batch itself (within-batch pairs stay oriented by
+    * doc_a < doc_b), append the batch's band/shingle rows as the index
+    * delta, and return the batch's verdict `(doc_id, is_keeper, dup_of)`.
+    * This is the unit both the batch query ([[dedupBatches]]) and the
+    * streaming twin ([[graft.streaming.DedupStream]]) run per
+    * crawl/micro-batch; the contract is arrival order = doc_id order (ids
+    * assigned monotonically across crawls), which is what makes the
+    * incremental result provably identical to the one-shot "dropped iff
+    * some verified pair (a, doc) with a < doc" rule.
+    */
+  private[graft] def ingestBatch(spark: SparkSession, docs: DataFrame,
+      idx: String): DataFrame = {
     graft.expressions.WordBigrams.register(spark)
     graft.expressions.MinHash9.register(spark)
-    val shA = graft.CacheRegistry.persist(Dedup.shingleFrame(oldDocs))
-    val bandsA = graft.CacheRegistry.persist(Dedup.bandFrame(shA))
-    val shB = graft.CacheRegistry.persist(Dedup.shingleFrame(newDocs))
-    val bandsB = graft.CacheRegistry.persist(Dedup.bandFrame(shB))
-    // previous crawl: index bootstrap + its own internal dedup
-    bandsA.write.mode("overwrite").parquet(s"$idx/bands")
-    shA.write.mode("overwrite").parquet(s"$idx/shingles")
-    val dropsA = Dedup.jaccardVerify(Dedup.bandCandidates(bandsA, bandsA), shA, shA)
-    // this crawl: the index delta is an append of the batch's rows
-    bandsB.write.mode("append").parquet(s"$idx/bands")
-    shB.write.mode("append").parquet(s"$idx/shingles")
-    // one join: full index (old + just-appended batch) x new bands only.
-    // doc_a < doc_b inside bandCandidates keeps within-batch pairs oriented
-    // and never re-pairs old x old (doc_b is always a batch doc).
-    val idxBands = spark.read.parquet(s"$idx/bands")
-    val idxSh = spark.read.parquet(s"$idx/shingles")
-    val dropsB = Dedup.jaccardVerify(Dedup.bandCandidates(idxBands, bandsB), idxSh, shB)
-    val dupOf = dropsA.unionByName(dropsB)
+    val sh = graft.CacheRegistry.persist(Dedup.shingleFrame(docs))
+    val bands = graft.CacheRegistry.persist(Dedup.bandFrame(sh))
+    // pre-append index state (empty on the first crawl)
+    val emptyBands = spark.range(0).select(col("id").as("doc_id"),
+      lit(1).as("band"), lit("").as("sig"))
+    val emptySh = spark.range(0).select(col("id").as("doc_id"),
+      array().cast("array<string>").as("sg"))
+    val idxBands = readIndexOr(spark, s"$idx/bands", emptyBands)
+    val idxSh = readIndexOr(spark, s"$idx/shingles", emptySh)
+    // one join: (index ∪ batch) bands x batch bands only — never re-pairs
+    // index x index (doc_b is always a batch doc)
+    val drops = Dedup.jaccardVerify(
+      Dedup.bandCandidates(idxBands.unionByName(bands), bands),
+      idxSh.unionByName(sh), sh)
+    // the index delta — appended AFTER the drop plan captured its
+    // pre-append file listing, so the verdict stays vs prior state even
+    // though it executes lazily at the caller's action
+    bands.write.mode("append").parquet(s"$idx/bands")
+    sh.write.mode("append").parquet(s"$idx/shingles")
+    val dupOf = drops
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("dup_of"))
-    oldDocs.select("doc_id").unionByName(newDocs.select("doc_id"))
+    docs.select("doc_id")
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"),
         isnull(col("dup_of")).cast("long").as("is_keeper"),
         coalesce(col("dup_of"), lit(-1L)).cast("long").as("dup_of"))
-      .orderBy("doc_id")
+  }
+
+  /** The incremental pass over an (old batch, new batch) pair of document
+    * frames: bootstrap a fresh index, ingest the old batch (the previous
+    * crawl — its verdict is its own internal dedup, exactly as that crawl
+    * would have computed it), then ingest the new batch against the
+    * resulting index. Two [[ingestBatch]] calls; phase 2 never generates
+    * an old x old candidate.
+    */
+  private[graft] def dedupBatches(spark: SparkSession, oldDocs: DataFrame,
+      newDocs: DataFrame, idx: String): DataFrame = {
+    clearIndex(spark, idx)
+    val vOld = ingestBatch(spark, oldDocs, idx)
+    val vNew = ingestBatch(spark, newDocs, idx)
+    vOld.unionByName(vNew).orderBy("doc_id")
   }
 
   /** Oracled query: documents split at half the max doc id (computed in

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.operators.IncrementalDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the persisted-index incremental dedup
+  * ([[graft.operators.IncrementalDedup]]): a live crawl feed deduplicated
+  * micro-batch by micro-batch against the same parquet band index the
+  * batch path maintains. Each micro-batch is exactly one
+  * `IncrementalDedup.ingestBatch` — ONE (index ∪ batch) × batch band
+  * equi-join, an index append, and a per-doc verdict append — so the
+  * streaming and batch paths cannot drift: they run the identical helper
+  * over the identical state layout (the same argument the UV/bounce twins
+  * make via shared one-hot builders).
+  *
+  * Semantics and scale notes:
+  *  - Contract: doc ids are assigned monotonically with arrival (a crawl
+  *    frontier), so arrival priority = id priority and the accumulated
+  *    verdicts equal the one-shot rule "dropped iff some verified pair
+  *    (a, doc) with a < doc" — StreamingDedupSpec proves the equality
+  *    against [[graft.operators.Dedup.minhashLsh]]'s own pair output.
+  *  - Delivery: foreachBatch is at-least-once on failure/replay. A
+  *    replayed micro-batch re-appends its band rows (candidate dupes are
+  *    collapsed by `bandCandidates`' distinct and the min() verdict agg,
+  *    so verdicts stay CORRECT) and re-appends its verdict rows (readers
+  *    take the per-doc min/any — the rows are identical). Exactly-once
+  *    index maintenance would swap the raw appends for the
+  *    [[graft.sources.SnapshotTable]] atomic publish keyed by batch id.
+  *  - The per-batch caches registered by `ingestBatch` are released after
+  *    each verdict write via `CacheRegistry.clear()` — the stream owns the
+  *    session's per-query registry while running, exactly like one
+  *    Verify/Bench query.
+  */
+object DedupStream {
+
+  /** Start the dedup stream: `docs` must be a streaming DataFrame with
+    * (doc_id, text). Verdict rows (doc_id, is_keeper, dup_of) append to
+    * `verdictsDir`; the band index lives at `idx` and is shared with (and
+    * identical to) the batch path's.
+    */
+  def start(docs: DataFrame, idx: String, verdictsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          IncrementalDedup.ingestBatch(batch.sparkSession, batch, idx)
+            .write.mode("append").parquet(verdictsDir)
+        }
+        graft.CacheRegistry.clear()
+      }
+      .start()
+}
