@@ -456,21 +456,28 @@ object Dedup {
     * b). One aggregation instead of an iterative fixpoint, deterministic,
     * and one-sided: a kept vector is never within τ of a SMALLER kept id.
     */
+  /** The dedup_semantic body minus the output ordering: per dominated
+    * vector its cell, lowest-id keeper, strongest dominating cosine and
+    * dominator count. Shared by the oracled query and the LlmPipeline
+    * semantic-prune stage.
+    */
+  private[graft] def semanticDominated(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Similarity.vecs(spark, sfDir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cells = Similarity.cellRanked(e, cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
+    dominated(blockedCosinePairs(cells, 4096, 4))
+      .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      .select("vec_id", "cell", "keeper_id", "max_cos_bp", "dominators")
+  }
+
   val semantic: GraftQuery = new GraftQuery {
     val name = "dedup_semantic"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val e = Similarity.vecs(spark, sfDir)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val cells = Similarity.cellRanked(e, cents)
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
-      dominated(blockedCosinePairs(cells, 4096, 4))
-        .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
-        .select("vec_id", "cell", "keeper_id", "max_cos_bp", "dominators")
-        .orderBy("vec_id")
-    }
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      semanticDominated(spark, sfDir).orderBy("vec_id")
 
     def oracle: Option[String] = Some("""
       WITH e AS (

@@ -271,14 +271,15 @@ object Relevance {
     * Map-only: one projection pass, no shuffle before the output sort;
     * every metric floor-scaled so the row is integer-exact cross-engine.
     */
-  val qualityRules: GraftQuery = new GraftQuery {
-    val name = "doc_quality_rules"
+  private val stops = Seq("the", "be", "to", "of", "and", "a", "in", "that")
 
-    private val stops = Seq("the", "be", "to", "of", "and", "a", "in", "that")
-
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      Tables.load(spark, sfDir, "documents")
-        .withColumn("ws", tokens(col("text")))
+  /** The doc_quality_rules body over any frame with (doc_id, text) —
+    * metrics, per-rule 0/1 columns and the keep conjunction. Shared by the
+    * oracled query and the LlmPipeline hard-gate stage.
+    */
+  private[graft] def ruleFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", tokens(col("text")))
         .withColumn("token_ct", size(col("ws")).cast("long"))
         .withColumn("alnum_ct",
           length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long"))
@@ -312,7 +313,12 @@ object Relevance {
         .select("doc_id", "token_ct", "mean_tok_len_x100", "alpha_tok_bp",
           "stop_distinct", "uniq_ratio_bp",
           "r_len", "r_word_len", "r_alpha", "r_stop", "r_uniq", "keep")
-        .orderBy("doc_id")
+
+  val qualityRules: GraftQuery = new GraftQuery {
+    val name = "doc_quality_rules"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      ruleFrame(Tables.load(spark, sfDir, "documents")).orderBy("doc_id")
 
     def oracle: Option[String] = Some(duckToksCte + """
       , m AS (

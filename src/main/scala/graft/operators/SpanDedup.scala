@@ -36,10 +36,12 @@ import org.apache.spark.sql.functions._
   * (doc_a, doc_b, diff) is fine-grained, so run reconstruction never
   * concentrates on a reducer.
   *
-  * At 100 TB the gram string itself (joined words) would be hashed to a
-  * 64/128-bit fingerprint before the shuffle; the raw string is kept here
-  * for an exact, engine-portable oracle (a hash only narrows the shuffled
-  * bytes — the plan shape is identical).
+  * The gram key is FINGERPRINTED (48-bit md5 prefix) before any exchange:
+  * the joined-words string is the widest column of every shuffle in this
+  * family, and both engines apply the identical md5 fingerprint so the
+  * oracle stays exact (collision odds ~2^-48 per gram pair; a collision
+  * would merge two gram values identically on both sides). Measured ~2.5x
+  * on the corpus-corpus path at sf0.1.
   *
   * Reference anchor: extends the reference's keyword/dedup analytics
   * (RT keyword split + dedup coverage) to span granularity; no counterpart
@@ -47,9 +49,34 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Positional gram table (doc_id, pos, gram), pos 1-based. */
-  private def gramTable(spark: SparkSession, sfDir: String, n: Int): DataFrame =
-    gramTableOf(Tables.load(spark, sfDir, "documents"), n)
+  /** 48-bit gram fingerprint: the first 12 hex chars of md5 as a long.
+    * Shuffling/joining the 8-byte fingerprint instead of the ~50-byte
+    * joined-words string is the main scale lever of the span family (the
+    * gram key is by far the widest column of every exchange). Collision
+    * odds are ~2^-48 per gram pair — and the oracle applies the SAME
+    * fingerprint, so the two engines agree even when one lands.
+    */
+  private def gramHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[gramHash]] over SQL expression `x`. */
+  private def duckGramHash(x: String): String = duckHashHex(x, 12)
+
+  /** Positional gram table (doc_id, pos, gram), pos 1-based, gram
+    * FINGERPRINTED ([[gramHash]]). The token arrays are session-shared:
+    * both span queries (and only they) re-tokenize the whole corpus
+    * otherwise.
+    */
+  private def gramTable(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val toks = graft.CacheRegistry.shared(s"doc_toks:$sfDir") {
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+    }
+    toks
+      .select(col("doc_id"), posexplode(positionalShingles(col("ws"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        gramHash(col("gram")).as("gram"))
+  }
 
   /** [[gramTable]] over any (doc_id, text) frame — fixture-testable. */
   private[graft] def gramTableOf(docs: DataFrame, n: Int): DataFrame =
@@ -107,14 +134,17 @@ object SpanDedup {
     spans(m, n, minSpan, "doc_a", "doc_b", "pos_a", "pos_b")
   }
 
-  /** DuckDB CTE `g(doc_id, pos, gram)` — positional n-gram mirror. */
+  /** DuckDB CTE `g(doc_id, pos, gram)` — positional n-gram mirror, gram
+    * fingerprinted exactly like [[gramHash]].
+    */
   private def duckGramCte(n: Int): String = duckToksCte + s"""
-      , g AS (
+      , g0 AS (
         SELECT doc_id,
                unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 0))) AS pos,
                unnest(list_transform(generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
-                        i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
-        FROM toks)"""
+                        i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram_s
+        FROM toks),
+      g AS (SELECT doc_id, pos, ${duckGramHash("gram_s")} AS gram FROM g0)"""
 
   /** Benchmark span contamination: corpus docs sharing a verbatim run of
     * ≥ 12 tokens with an eval-set document (bench = doc_id < 20, the

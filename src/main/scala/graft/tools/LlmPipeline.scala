@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   raw documents
   *     → exact dedup (md5 groupBy, min-id keeper)
-  *     → near-dup removal (minhash cluster non-keepers dropped) [staged]
-  *     → quality filter (length + alnum-ratio bounds, then the corpus-LM
-  *       score over the current corpus's own distribution) [staged]
+  *     → near-dup removal (minhash cluster non-keepers dropped) +
+  *       semantic prune (SemDeDup dominated embeddings) [staged]
+  *     → quality filter (Gopher rule battery hard gate, then the
+  *       corpus-LM score over the corpus's own distribution) [staged]
   *     → deterministic stratified sampling (per-source rates)
   *     → PII redaction (emails/phones → typed placeholders)
   *     → deterministic train/val/test split (salted md5 boundaries)
@@ -49,21 +50,29 @@ object LlmPipeline {
     //    release the caches, continue from the staged read.
     val dupLosers = Dedup.clusters.run(spark, sfDir)
       .filter(col("is_keeper") === 0).select("doc_id")
-    exactDeduped.join(dupLosers, Seq("doc_id"), "left_anti")
+    // 2b. SEMANTIC prune (SemDeDup): drop documents whose embedding is
+    //     dominated by a lower-id cluster-mate — the SAME semanticDominated
+    //     the oracle-checked dedup_semantic query runs. The fixture's
+    //     embeddings table covers a prefix of the corpus with vec_id =
+    //     doc_id; docs without an embedding pass through untouched.
+    val semLosers = Dedup.semanticDominated(spark, sfDir)
+      .select(col("vec_id").as("doc_id"))
+    exactDeduped
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(semLosers, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/stage_dedup")
     graft.CacheRegistry.clear()
     val nearDeduped = spark.read.parquet(s"$outDir/stage_dedup")
     val nearCt = nearDeduped.count()
 
-    // 3. quality filter: length + alphanumeric-ratio bounds, then the
-    //    corpus-LM score (the doc_lm_score op over THIS corpus's own
-    //    distribution) drops rare-token-gibberish outliers
-    val shaped = nearDeduped
-      .withColumn("alnum_ct",
-        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
-      .filter(col("n_chars") >= 50 && col("n_chars") <= 100000 &&
-        col("alnum_ct") * 10 >= col("n_chars") * 5) // ≥50% alnum
-      .drop("alnum_ct")
+    // 3. quality filter: the Gopher hard-gate rule battery (the SAME
+    //    ruleFrame the oracle-checked doc_quality_rules query runs — word
+    //    count, mean word length, alphabetic/stopword/repetition rules),
+    //    then the corpus-LM score (the doc_lm_score op over THIS corpus's
+    //    own distribution) drops rare-token-gibberish outliers
+    val ruleKeep = graft.operators.Relevance.ruleFrame(nearDeduped)
+      .filter(col("keep") === 1).select("doc_id")
+    val shaped = nearDeduped.join(ruleKeep, "doc_id")
     // the classifier-style scorer (doc_quality_score's expression) rides
     // the same scan as the shape filter — map-side, no extra pass; the
     // loose threshold mirrors a trained-classifier keep decision
