@@ -256,5 +256,135 @@ object ProductQuant {
         FROM pq_scored)"""
   }
 
-  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall)
+  /** Int8 reconstruction of every vector: per-vector max-abs scale,
+    * code_i = floor(x_i·127/scale), reconstructed value code_i·scale/127.
+    * The expression shapes are mirrored verbatim in the oracle so both
+    * engines produce bit-identical doubles. Zero vectors (scale = 0) are
+    * excluded — they have no cosine direction to preserve.
+    */
+  private def int8Recon(e: DataFrame): DataFrame =
+    e.withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .withColumn("rv", transform(col("v"),
+        x => floor(x * lit(127.0) / col("scale")) * col("scale") / lit(127.0)))
+      .withColumn("rnrm", sqrt(expr("dot_double(rv, rv)")))
+      .select("vec_id", "rv", "rnrm")
+
+  private val duckInt8Ctes: String = """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      sc AS (
+        SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        FROM e),
+      rq AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x * 127.0 / scale) * scale / 127.0) AS rv
+        FROM sc WHERE scale > 0),
+      rn AS (
+        SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnrm
+        FROM rq)"""
+
+  /** Int8 SCALAR quantization ANN — the other point on the
+    * storage/recall curve: 8 bytes/dim → 1 byte/dim (8x; PQ above is
+    * 128x), with near-full recall because each dimension keeps its own
+    * 127-step resolution instead of sharing a 16-codeword subspace
+    * vocabulary. Asymmetric search: queries stay full precision, the
+    * corpus is scored on its reconstructed int8 vectors. Top-3 per query
+    * over the whole corpus — the compressed-storage BRUTE path; at 10⁹+
+    * vectors the same reconstruction rides the IVF probe instead (the
+    * cell structure is orthogonal to how candidates are stored).
+    */
+  val annInt8: GraftQuery = new GraftQuery {
+    val name = "ann_int8"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Similarity.vecs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = int8Recon(e)
+      val scored = q.as("q")
+        .join(c.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .withColumn("cos_bp",
+          floor(expr("dot_double(q.v, c.rv)") * lit(10000.0) /
+            (col("q.nrm") * col("c.rnrm"))).cast("long"))
+      val w = Window.partitionBy(col("q.vec_id"))
+        .orderBy(col("cos_bp").desc, col("c.vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some(duckInt8Ctes + """
+      , scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.rv[i])) * 10000.0 / (q.nrm * c.rnrm)) AS BIGINT) AS cos_bp
+        FROM n q JOIN rn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_bp DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  /** recall@3 of the int8 path against full-precision brute force — same
+    * first-class metric as `ann_recall`/`ann_pq_recall`, so all four
+    * storage points (full, int8, IVF, IVF-PQ) are directly comparable.
+    */
+  val int8Recall: GraftQuery = new GraftQuery {
+    val name = "ann_int8_recall"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val truth = Similarity.annTopK.run(spark, sfDir).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = annInt8.run(spark, sfDir)
+        .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
+      truth
+        .join(got, col("query_id") === col("g_query") &&
+          col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("truth_k"),
+          count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp", floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    def oracle: Option[String] = Some(duckInt8Ctes + """
+      , brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      i8 AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.rv[i])) * 10000.0 / (q.nrm * c.rnrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN rn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN i8 l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annInt8, int8Recall)
 }
