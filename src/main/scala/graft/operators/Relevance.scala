@@ -355,6 +355,70 @@ object Relevance {
     """)
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+    * corpus's exact top-20 terms with their CMS frequency ESTIMATES side
+    * by side. The sketch is a fixed 4×1024 counter grid — constant-size
+    * state regardless of corpus size, built with ONE map-side-combinable
+    * aggregation (each partition collapses its token stream into ≤ 4096
+    * cells before the shuffle; at 100 TB the exchange carries ~4096 rows
+    * per partition where the exact count shuffles the full distinct-term
+    * table). Cell counters never undercount (estimate ≥ truth, the CMS
+    * guarantee — asserted in SketchSpec); both engines hash with the same
+    * salted-md5 bucket function so the estimates are bit-identical.
+    * The streaming angle is the same property: the grid is the
+    * fixed-size keyed state a windowed heavy-hitters stream keeps where
+    * exact counting grows without bound.
+    */
+  val cmsTopk: GraftQuery = new GraftQuery {
+    val name = "term_cms_topk"
+    private val depth = 4
+    private val width = 1024
+
+    private def bucket(r: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|", lit(r.toString), c)), 1, 5), 16, 10)
+        .cast("long") % width
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val words = graft.CacheRegistry.persist(
+        Tables.load(spark, sfDir, "documents")
+          .select(explode(tokens(col("text"))).as("word")))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("exact_ct"))
+      val top = exact.orderBy(col("exact_ct").desc, col("word")).limit(20)
+      val grid = words
+        .select(posexplode(array((0 until depth).map(r => bucket(r, col("word"))): _*))
+          .as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+      val probes = top.select(col("word"), col("exact_ct"),
+        posexplode(array((0 until depth).map(r => bucket(r, col("word"))): _*))
+          .as(Seq("r", "bucket")))
+      probes.join(broadcast(grid), Seq("r", "bucket"))
+        .groupBy("word", "exact_ct")
+        .agg(min(col("cell")).as("est_ct"))
+        .orderBy(col("exact_ct").desc, col("word"))
+    }
+
+    private def duckBucket(wordExpr: String): String =
+      s"${graft.functions.TextFunctions.duckHexWindow(s"md5(CAST(r AS VARCHAR) || '|' || $wordExpr)", 0, 5)} % $width"
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , w AS (SELECT unnest(ws) AS word FROM toks),
+      ex AS (SELECT word, count(*) AS exact_ct FROM w GROUP BY word),
+      top AS (SELECT word, exact_ct FROM ex ORDER BY exact_ct DESC, word LIMIT 20),
+      rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      grid AS (
+        SELECT r, ${duckBucket("word")} AS bucket, count(*) AS cell
+        FROM w CROSS JOIN rs GROUP BY 1, 2),
+      pr AS (
+        SELECT t.word, t.exact_ct, rs.r, ${duckBucket("t.word")} AS bucket
+        FROM top t CROSS JOIN rs)
+      SELECT pr.word, CAST(pr.exact_ct AS BIGINT) AS exact_ct,
+             CAST(min(grid.cell) AS BIGINT) AS est_ct
+      FROM pr JOIN grid ON pr.r = grid.r AND pr.bucket = grid.bucket
+      GROUP BY pr.word, pr.exact_ct
+      ORDER BY exact_ct DESC, word
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityRules)
+    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityRules, cmsTopk)
 }
