@@ -369,14 +369,22 @@ object Relevance {
     * fixed-size keyed state a windowed heavy-hitters stream keeps where
     * exact counting grows without bound.
     */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
+
+  /** Salted-md5 CMS bucket of a word for hash row `r` — shared by the
+    * batch query and the streaming grid ([[graft.streaming.HeavyHitters]]).
+    */
+  private[graft] def cmsBucket(r: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", lit(r.toString), c)), 1, 5), 16, 10)
+      .cast("long") % CmsWidth
+
   val cmsTopk: GraftQuery = new GraftQuery {
     val name = "term_cms_topk"
-    private val depth = 4
-    private val width = 1024
+    private val depth = CmsDepth
+    private val width = CmsWidth
 
-    private def bucket(r: Int, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws("|", lit(r.toString), c)), 1, 5), 16, 10)
-        .cast("long") % width
+    private def bucket(r: Int, c: org.apache.spark.sql.Column) = cmsBucket(r, c)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val words = graft.CacheRegistry.persist(
