@@ -97,5 +97,57 @@ object Packing {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(packSequences)
+  /** Tokens per chunk / stride between chunk starts (overlap = 16). */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Context-length chunking — packing's dual: instead of concatenating
+    * short documents up to a budget, SPLIT each document into fixed-size
+    * token windows with overlapping stride (the standard way long
+    * documents become training sequences without losing cross-boundary
+    * context). Map-only: `sequence(1, n, stride)` explodes the chunk
+    * starts, the chunk's token slice is hashed so the oracle proves
+    * CONTENT equality, not just boundaries. No shuffle before the output
+    * sort; at 100 TB this runs as a projection over the corpus scan.
+    */
+  val chunkDocuments: GraftQuery = new GraftQuery {
+    val name = "chunk_documents"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("ws"), col("n"),
+          posexplode(sequence(lit(1L), col("n"), lit(ChunkStride.toLong)))
+            .as(Seq("k", "start_pos")))
+        .withColumn("chunk_id", col("k").cast("long"))
+        .withColumn("chunk_tokens",
+          least(lit(ChunkSize.toLong), col("n") - col("start_pos") + 1))
+        .withColumn("chunk_md5",
+          md5(concat_ws(" ", slice(col("ws"), col("start_pos").cast("int"),
+            col("chunk_tokens").cast("int")))))
+        .select("doc_id", "chunk_id", "start_pos", "chunk_tokens", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , t AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+      c AS (
+        SELECT doc_id, ws, n,
+               unnest(generate_series(1, n, $ChunkStride)) AS start_pos
+        FROM t),
+      d AS (
+        SELECT doc_id,
+               (start_pos - 1) // $ChunkStride AS chunk_id,
+               CAST(start_pos AS BIGINT) AS start_pos,
+               least($ChunkSize, n - start_pos + 1) AS chunk_tokens,
+               md5(array_to_string(ws[start_pos:start_pos + least($ChunkSize, n - start_pos + 1) - 1], ' ')) AS chunk_md5
+        FROM c)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, start_pos,
+             CAST(chunk_tokens AS BIGINT) AS chunk_tokens, chunk_md5
+      FROM d ORDER BY doc_id, chunk_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(packSequences, chunkDocuments)
 }
