@@ -27,8 +27,9 @@ object HeavyHitters {
     */
   def grid(words: DataFrame): DataFrame =
     words
+      .withColumn("h", Relevance.cmsDigest(col("word")))
       .select(posexplode(array(
-        (0 until Relevance.CmsDepth).map(r => Relevance.cmsBucket(r, col("word"))): _*))
+        (0 until Relevance.CmsDepth).map(r => Relevance.cmsBucket(r, col("h"))): _*))
         .as(Seq("r", "bucket")))
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cell"))
@@ -38,8 +39,9 @@ object HeavyHitters {
     */
   def estimates(gridDf: DataFrame, words: DataFrame): DataFrame =
     words
+      .withColumn("h", Relevance.cmsDigest(col("word")))
       .select(col("word"), posexplode(array(
-        (0 until Relevance.CmsDepth).map(r => Relevance.cmsBucket(r, col("word"))): _*))
+        (0 until Relevance.CmsDepth).map(r => Relevance.cmsBucket(r, col("h"))): _*))
         .as(Seq("r", "bucket")))
       .join(gridDf, Seq("r", "bucket"))
       .groupBy("word")
