@@ -306,14 +306,18 @@ object LogStats {
 
     def oracle: Option[String] = Some("""
       WITH x AS (
-        SELECT user_id, ts, value, epoch_us(ts) AS tsu FROM events),
+        SELECT user_id, ts, value, event_id, epoch_us(ts) AS tsu FROM events),
       g AS (
+        -- event_id tiebreak: a parallel window evaluation over PEER rows
+        -- (tied tsu) was measured to return run-varying results in the
+        -- oracle engine (see span_coverage); a total ORDER BY removes
+        -- peers, and session membership is tie-invariant anyway
         SELECT x.*, CASE WHEN tsu - lag(tsu) OVER w IS NULL
                           OR tsu - lag(tsu) OVER w >= 1800000000
                          THEN 1 ELSE 0 END AS new_session
-        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
       s AS (
-        SELECT g.*, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+        SELECT g.*, sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM g),
       agg AS (

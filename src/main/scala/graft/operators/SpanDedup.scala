@@ -67,11 +67,15 @@ object SpanDedup {
     * both span queries (and only they) re-tokenize the whole corpus
     * otherwise.
     */
-  private def gramTable(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
-    val toks = graft.CacheRegistry.shared(s"doc_toks:$sfDir") {
+  /** The session-shared tokenized corpus (doc_id, ws). */
+  private def sharedToks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"doc_toks:$sfDir") {
       Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("ws"))
     }
+
+  private def gramTable(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val toks = sharedToks(spark, sfDir)
     toks
       .select(col("doc_id"), posexplode(positionalShingles(col("ws"), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
@@ -185,17 +189,40 @@ object SpanDedup {
     * 8 (self-join side is the whole corpus, so chance matches cost more
     * than on the bench path).
     */
+  private[operators] val SpanN = 8
+  private[operators] val SpanMin = 16
+  private[operators] val SpanDfCap = 64
+
+  /** The corpus-corpus span-pair frame at the dedup_span constants,
+    * session-shared: both `dedup_span` and `span_coverage` consume the
+    * identical (tiny) result, and the gram self-join behind it is the
+    * family's most expensive plan.
+    */
+  private def sharedSpanPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"span_pairs:$sfDir") {
+      spanPairsOf(gramTable(spark, sfDir, SpanN), SpanN, SpanMin, SpanDfCap)
+    }
+
   val dedupSpan: GraftQuery = new GraftQuery {
     val name = "dedup_span"
-    private val n = 8
-    private val dfCap = 64
+    private val n = SpanN
+    private val dfCap = SpanDfCap
 
     def run(spark: SparkSession, sfDir: String): DataFrame =
-      spanPairsOf(gramTable(spark, sfDir, n), n, 16, dfCap)
+      sharedSpanPairs(spark, sfDir)
 
-    def oracle: Option[String] = Some(duckGramCte(n) + s"""
+    def oracle: Option[String] = Some(duckSpanPairsCtes + """
+      SELECT doc_a, doc_b, pos_a, pos_b, span_tokens
+      FROM sp ORDER BY doc_a, doc_b, pos_a, pos_b
+    """)
+  }
+
+  /** DuckDB CTE chain ending in `sp(doc_a, doc_b, pos_a, pos_b,
+    * span_tokens)` — the dedup_span pair table at the shared constants.
+    */
+  private def duckSpanPairsCtes: String = duckGramCte(SpanN) + s"""
       , keep AS (SELECT gram FROM g GROUP BY gram
-                 HAVING count(DISTINCT doc_id) <= $dfCap),
+                 HAVING count(DISTINCT doc_id) <= $SpanDfCap),
       gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.pos AS pos_a, b.pos AS pos_b
@@ -205,13 +232,87 @@ object SpanDedup {
                                               ORDER BY pos_a) AS isl
             FROM m),
       s AS (SELECT doc_a, doc_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
-                   count(*) + ${n - 1} AS span_tokens
-            FROM r GROUP BY doc_a, doc_b, diff, isl)
-      SELECT doc_a, doc_b, pos_a, pos_b, CAST(span_tokens AS BIGINT) AS span_tokens
-      FROM s WHERE span_tokens >= 16
-      ORDER BY doc_a, doc_b, pos_a, pos_b
+                   count(*) + ${SpanN - 1} AS span_tokens
+            FROM r GROUP BY doc_a, doc_b, diff, isl),
+      sp AS (SELECT doc_a, doc_b, pos_a, pos_b,
+                    CAST(span_tokens AS BIGINT) AS span_tokens
+             FROM s WHERE span_tokens >= $SpanMin)"""
+
+  /** Doc-level shared-text coverage — the decontamination VERDICT composed
+    * from the span pairs: for each document appearing in any shared span
+    * (either side), the union of its span intervals, the covered-token
+    * count, coverage in basis points of the document's token count, and a
+    * drop flag at ≥ 50%. A doc half-made of text that exists elsewhere is
+    * a near-dup even when every individual pair looks small — exactly what
+    * pair-at-a-time span lists under-report. Interval union is
+    * gaps-and-islands over (start, end) per document: the window partition
+    * key is the doc id, so reconstruction never concentrates on a reducer;
+    * overlapping intervals from different partners collapse before
+    * counting, so no token is counted twice.
+    */
+  val spanCoverage: GraftQuery = new GraftQuery {
+    val name = "span_coverage"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val sp = sharedSpanPairs(spark, sfDir)
+      // DISTINCT makes (s, e) a TOTAL order inside each doc partition —
+      // with duplicate intervals the window ORDER BY has peer rows and a
+      // parallel window evaluation was measured to return run-varying
+      // results in the oracle engine; duplicates add nothing to a union
+      val iv = sp.select(col("doc_a").as("doc_id"), col("pos_a").as("s"),
+          (col("pos_a") + col("span_tokens") - 1).as("e"))
+        .unionByName(sp.select(col("doc_b").as("doc_id"), col("pos_b").as("s"),
+          (col("pos_b") + col("span_tokens") - 1).as("e")))
+        .distinct()
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cov = iv
+        .withColumn("maxe", max(col("e")).over(wPrev))
+        .withColumn("new_isl",
+          when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wRun))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ie") - col("is") + 1).as("covered_tokens"))
+      val tc = sharedToks(spark, sfDir)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("token_ct"))
+      cov.join(tc, "doc_id")
+        .withColumn("coverage_bp",
+          floor(col("covered_tokens") * lit(10000.0) / col("token_ct")).cast("long"))
+        .withColumn("drop_flag", (col("coverage_bp") >= 5000).cast("long"))
+        .select("doc_id", "token_ct", "covered_tokens", "coverage_bp", "drop_flag")
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckSpanPairsCtes + """
+      , iv AS (
+        SELECT DISTINCT doc_id, st, en FROM (
+          SELECT doc_a AS doc_id, pos_a AS st, pos_a + span_tokens - 1 AS en FROM sp
+          UNION ALL
+          SELECT doc_b, pos_b, pos_b + span_tokens - 1 FROM sp)),
+      mx AS (
+        SELECT doc_id, st, en,
+               max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        FROM iv),
+      fl AS (SELECT *, CASE WHEN maxe IS NULL OR st > maxe THEN 1 ELSE 0 END AS new_isl
+             FROM mx),
+      il AS (SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             FROM fl),
+      mg AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en FROM il GROUP BY 1, 2),
+      cov AS (SELECT doc_id, CAST(sum(en - st + 1) AS BIGINT) AS covered_tokens
+              FROM mg GROUP BY 1),
+      tc AS (SELECT doc_id, len(ws) AS token_ct FROM toks)
+      SELECT c.doc_id, CAST(t.token_ct AS BIGINT) AS token_ct, c.covered_tokens,
+             CAST(floor(c.covered_tokens * 10000.0 / t.token_ct) AS BIGINT) AS coverage_bp,
+             CAST(floor(c.covered_tokens * 10000.0 / t.token_ct) >= 5000 AS BIGINT) AS drop_flag
+      FROM cov c JOIN tc t USING (doc_id) ORDER BY doc_id
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(contaminationSpan, dedupSpan)
+  val all: Seq[GraftQuery] = Seq(contaminationSpan, dedupSpan, spanCoverage)
 }
