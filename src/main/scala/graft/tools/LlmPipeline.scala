@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *   raw documents
   *     → exact dedup (md5 groupBy, min-id keeper)
   *     → near-dup removal (minhash cluster non-keepers dropped) +
-  *       semantic prune (SemDeDup dominated embeddings) [staged]
+  *       semantic prune (SemDeDup dominated embeddings) + span
+  *       decontamination (≥ 50% shared-text coverage dropped) [staged]
   *     → quality filter (Gopher rule battery hard gate, then the
   *       corpus-LM score over the corpus's own distribution) [staged]
   *     → deterministic stratified sampling (per-source rates)
@@ -57,9 +58,15 @@ object LlmPipeline {
     //     doc_id; docs without an embedding pass through untouched.
     val semLosers = Dedup.semanticDominated(spark, sfDir)
       .select(col("vec_id").as("doc_id"))
+    // 2c. span decontamination: drop documents ≥ 50% covered by text
+    //     shared with other documents — the SAME spanCoverage verdict the
+    //     oracle-checked span_coverage query computes
+    val spanLosers = graft.operators.SpanDedup.spanCoverage.run(spark, sfDir)
+      .filter(col("drop_flag") === 1).select("doc_id")
     exactDeduped
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .join(semLosers, Seq("doc_id"), "left_anti")
+      .join(spanLosers, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/stage_dedup")
     graft.CacheRegistry.clear()
     val nearDeduped = spark.read.parquet(s"$outDir/stage_dedup")
