@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic text → embedding — the feature-hashing random projection
+  * that makes the ANN / semantic-dedup stack self-sufficient from RAW
+  * TEXT (no external model, no shipped weights): each distinct token
+  * hashes to a 64-dim ±integer weight vector (8 salted md5 digests → 8
+  * 16-bit windows each, mapped into [-1000, 1000]), and a document's
+  * embedding is the tf-weighted INTEGER sum over its tokens. Everything
+  * stays in exact integer arithmetic end to end — no float summation
+  * order to pin — and cosine similarity is computed on the integer
+  * vectors in double only at scoring time (scale-invariant, so the
+  * integer scaling never biases it).
+  *
+  * Shape: one token-explode → (doc, token) tf aggregation, weights as a
+  * statically-unrolled 64-element projection (codegen'd, no lambda
+  * captures a computed expression), then ONE fine-key (doc, dim)
+  * aggregation — the `refineCenters` shape — to sum the per-dim
+  * contributions. The (doc, dim) key grows with corpus × 64, shuffled
+  * once; no join anywhere until ANN scoring.
+  *
+  * Public anchors: feature hashing (Weinberger et al. 2009,
+  * arXiv:0902.2206), random projection (Achlioptas 2003 database-friendly
+  * projections — ±1 entries suffice).
+  */
+object TextEmbed {
+
+  private val Dims = 64
+  private val DigestCount = 8 // Dims / 8 windows per digest
+
+  /** The 64 signed weights of a token, reading 16-bit windows of 8 salted
+    * digests h0..h7 (plain attribute references — each digest is computed
+    * once per row, the windows are substrings).
+    */
+  private def weightArray: Column =
+    array((0 until Dims).map { d =>
+      conv(substring(col(s"h${d / 8}"), 4 * (d % 8) + 1, 4), 16, 10)
+        .cast("long") % 2001 - 1000
+    }: _*)
+
+  /** Per-document integer embedding `(doc_id, e)` over any (doc_id, text)
+    * frame. Session-shared per sfDir when built via [[docVectors]].
+    */
+  private[graft] def embedFrame(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // persisted barrier: the 64-window weight array reads each digest 8
+    // times, and the unrolled projection is too large for whole-stage
+    // codegen — without the barrier CollapseProject inlines the md5 into
+    // every window and the interpreted path recomputes it per window
+    // (measured ~8x on the cold build)
+    val withDigests = graft.CacheRegistry.persist(
+      (0 until DigestCount).foldLeft(tf) { (df, g) =>
+        df.withColumn(s"h$g", md5(concat(lit(s"e$g|"), col("token"))))
+      })
+    // one groupBy, element-wise fold: integer addition commutes, so the
+    // nondeterministic collect order cannot change the sum (a posexplode
+    // + fine-key (doc, dim) aggregation shape measured ~2x slower — 64x
+    // the shuffle rows for no added parallelism at this key grain)
+    withDigests
+      .withColumn("s", transform(weightArray, w => w * col("tf")))
+      .groupBy("doc_id")
+      .agg(aggregate(collect_list(col("s")),
+        array_repeat(lit(0L), Dims),
+        (acc, x) => zip_with(acc, x, _ + _)).as("e"))
+  }
+
+  private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"doc_embed:$sfDir") {
+      embedFrame(Tables.load(spark, sfDir, "documents"))
+    }
+
+  /** DuckDB mirror of the embedding build, ending in `vec(doc_id, e)`. */
+  private def duckEmbedCtes: String = {
+    val weights = (0 until Dims).map { d =>
+      s"${duckHexWindow(s"h${d / 8}", 4 * (d % 8), 4)} % 2001 - 1000"
+    }.mkString("[", ", ", "]")
+    val digests = (0 until DigestCount)
+      .map(g => s"md5('e$g|' || token) AS h$g").mkString(", ")
+    duckToksCte + s"""
+      , tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+          SELECT doc_id, unnest(ws) AS token FROM toks)
+        GROUP BY 1, 2),
+      hx AS (SELECT doc_id, token, tf, $digests FROM tf),
+      wv AS (SELECT doc_id, tf, $weights AS wts FROM hx),
+      sc AS (SELECT doc_id, list_transform(wts, w -> w * tf) AS s FROM wv),
+      ex AS (SELECT doc_id, unnest(generate_series(1, $Dims)) AS pos, unnest(s) AS v
+             FROM sc),
+      ev AS (SELECT doc_id, pos, CAST(sum(v) AS BIGINT) AS v FROM ex GROUP BY 1, 2),
+      vec AS (SELECT doc_id, list(v ORDER BY pos) AS e FROM ev GROUP BY 1)"""
+  }
+
+  /** The embedding table, emitted as a content fingerprint + exact integer
+    * norm² (arrays themselves canonicalize differently across parquet and
+    * DuckDB readers; the md5-of-joined-ints proves every component).
+    */
+  val docEmbed: GraftQuery = new GraftQuery {
+    val name = "doc_embed"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      docVectors(spark, sfDir)
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("e"), _.cast("string")))).as("vec_md5"),
+          expr("aggregate(e, 0L, (a, x) -> a + x * x)").as("norm2"))
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckEmbedCtes + """
+      SELECT doc_id, md5(array_to_string(e, ',')) AS vec_md5,
+             CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS norm2
+      FROM vec ORDER BY doc_id
+    """)
+  }
+
+  /** Brute cosine top-3 over the DERIVED embeddings (query docs =
+    * doc_id < 10) — proves the text → vector → ANN path end to end. The
+    * scale paths (IVF cells, sign-bucket LSH, int8/PQ storage) apply to
+    * these vectors unchanged — the derivation is upstream of all of them.
+    */
+  val docEmbedAnn: GraftQuery = new GraftQuery {
+    val name = "doc_embed_ann"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DotProductDouble.register(spark)
+      val v = docVectors(spark, sfDir)
+        .select(col("doc_id"),
+          transform(col("e"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+        .filter(col("nrm") > 0)
+      val q = v.filter(col("doc_id") < 10)
+      val scored = q.as("q")
+        .join(v.as("c"), col("q.doc_id") =!= col("c.doc_id"))
+        .withColumn("cos_bp",
+          floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /
+            (col("q.nrm") * col("c.nrm"))).cast("long"))
+      val w = Window.partitionBy(col("q.doc_id"))
+        .orderBy(col("cos_bp").desc, col("c.doc_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some(duckEmbedCtes + """
+      , n AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n WHERE nrm > 0),
+      scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) AS cos_bp
+        FROM nz q JOIN nz c ON q.doc_id < 10 AND q.doc_id <> c.doc_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_bp DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(docEmbed, docEmbedAnn)
+}
