@@ -412,7 +412,7 @@ object Dedup {
     * sub-buckets; fewer planes = higher recall, bigger sub-blocks).
     */
   private[graft] def blockedCosinePairs(e: DataFrame, maxBlock: Long,
-      planes: Int): DataFrame = {
+      planes: Int, minBp: Long = 3000): DataFrame = {
     // `e` is read three times (size agg + both join sides) — the query
     // passes the session-shared cached vecs frame, so no persist here
     val sizes = e.groupBy("label").agg(count(lit(1)).as("bs"))
@@ -427,7 +427,7 @@ object Dedup {
       .withColumn("dot", expr("dot_double(a.v, b.v)"))
       .withColumn("cos_bp",
         floor(col("dot") * lit(10000.0) / (col("a.nrm") * col("b.nrm"))).cast("long"))
-      .filter(col("cos_bp") >= 3000)
+      .filter(col("cos_bp") >= minBp)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_bp"))
   }
 

@@ -169,5 +169,72 @@ object TextEmbed {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(docEmbed, docEmbedAnn)
+  /** SemDeDup from RAW TEXT: the dedup_semantic pipeline (IVF-cell
+    * clustering + within-cell lower-id cosine domination) over the
+    * DERIVED embeddings — so semantic dedup covers the whole corpus with
+    * no embeddings table at all. Two knobs differ from `dedup_semantic`,
+    * both because the input is every document: 64 seed centers (the
+    * cell-size lever bounding within-cell pairing and the oracle's mirror
+    * of it), and τ = 0.95 — tf-weighted feature-hash vectors of a
+    * shared-vocabulary corpus sit at ~0.87 mean pairwise cosine, so the
+    * near-dup bar must clear the topical baseline (at the embeddings
+    * table's 0.30 this corpus would be 98% dominated). Reuses the exact
+    * helpers the oracled `dedup_semantic` runs ([[Similarity.cellRanked]],
+    * [[Dedup.blockedCosinePairs]], [[Dedup.dominated]]).
+    */
+  val semanticText: GraftQuery = new GraftQuery {
+    val name = "dedup_semantic_text"
+    private val Centers = 64
+    private val MinBp = 9500L
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DotProductDouble.register(spark)
+      val dv = docVectors(spark, sfDir)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("e"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+        .filter(col("nrm") > 0)
+      val cents = dv.filter(col("vec_id") < Centers)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val cells = Similarity.cellRanked(dv, cents)
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
+      Dedup.dominated(Dedup.blockedCosinePairs(cells, 4096, 4, MinBp))
+        .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .select(col("vec_id").as("doc_id"), col("cell"), col("keeper_id"),
+          col("max_cos_bp"), col("dominators"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckEmbedCtes + s"""
+      , n AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n WHERE nrm > 0),
+      cents AS (
+        SELECT doc_id AS cid, v AS cv, nrm AS cnrm FROM nz WHERE doc_id < $Centers),
+      assign AS (
+        SELECT nz.doc_id, nz.v, nz.nrm, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(nz.v)),
+                      i -> nz.v[i] * cents.cv[i])) * 10000.0 / (nz.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM nz CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      cells AS (SELECT doc_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.cell,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i])) * 10000.0 / (a.nrm * b.nrm)) AS BIGINT) AS cos_bp
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id)
+      SELECT doc_b AS doc_id, cell, min(doc_a) AS keeper_id,
+             max(cos_bp) AS max_cos_bp, count(*) AS dominators
+      FROM p WHERE cos_bp >= $MinBp
+      GROUP BY doc_b, cell ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(docEmbed, docEmbedAnn, semanticText)
 }
