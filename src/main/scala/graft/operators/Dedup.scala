@@ -359,20 +359,24 @@ object Dedup {
     * precision, floor-scaled; ≥ 0.30), with an OVERSIZED-BLOCK GUARD: a
     * label block is exact all-pairs only while it stays under `maxBlock`
     * rows; beyond that the block is sub-divided by the deterministic
-    * sign-bucket planes ([[Similarity.bucketCol]]) before pairing, so one
-    * dominant label at corpus scale degrades to Σ sub-bucket² instead of
-    * an unguarded O(block²). Per-label counts ride a broadcast (labels are
-    * bounded by this operator's contract — an unbounded key would use
-    * [[embeddingLsh]] instead). At the test scales every block is far
-    * under the bound, so the guard provably does not perturb the oracle;
-    * DedupGuardSpec plants an oversized label and proves the sub-division
-    * engages and stays a subset of the exact result.
+    * sign-bucket planes ([[Similarity.bucketCol]]) before pairing, with
+    * the plane count ADAPTIVE to the block's size (⌈log₂(bs/maxBlock)⌉,
+    * [[subdivide]]) — so one dominant label at corpus scale degrades to
+    * Σ(≈maxBlock)² sub-blocks instead of an unguarded O(block²) or a
+    * fixed-arity split an extreme block overwhelms. Per-label counts ride
+    * a broadcast (labels are bounded by this operator's contract — an
+    * unbounded key would use [[embeddingLsh]] instead). At the test
+    * scales every block is far under the bound, so the guard provably
+    * does not perturb the oracle; DedupGuardSpec plants oversized labels
+    * and proves the depth scales with the block (≥ 2 levels on the
+    * dominant one), the sub-division stays a subset of the exact result,
+    * and under-bound labels are untouched.
     */
   val embeddingCosine: GraftQuery = new GraftQuery {
     val name = "dedup_embedding_cosine"
 
     def run(spark: SparkSession, sfDir: String): DataFrame =
-      blockedCosinePairs(Similarity.vecs(spark, sfDir), 4096, 4)
+      blockedCosinePairs(Similarity.vecs(spark, sfDir), 4096)
         .orderBy("vec_a", "vec_b")
 
     def oracle: Option[String] = Some("""
@@ -406,19 +410,57 @@ object Dedup {
         max(col("cos_bp")).as("max_cos_bp"),
         count(lit(1)).as("dominators"))
 
+  /** Default cap on the adaptive sub-division arity: 16 planes = up to
+    * 2^16 sub-buckets per block, enough to pull a 2.7×10^8-row dominant
+    * block (at the default maxBlock = 4096) back under the bound; a
+    * corpus whose single hottest label exceeds that passes a larger cap.
+    */
+  private[graft] val MaxPlanes = 16
+
+  /** Sub-division depth for a block of `bs` rows: the fewest sign planes
+    * whose EXPECTED sub-block (bs / 2^np, planes are balanced on centered
+    * data) is back under `maxBlock` — np = ⌈log₂(bs / maxBlock)⌉, capped
+    * at `maxPlanes`. 0 for blocks already under the bound.
+    */
+  private[graft] def planesFor(bs: Column, maxBlock: Long, maxPlanes: Int): Column =
+    when(bs > maxBlock,
+      least(ceil(log2(bs.cast("double") / lit(maxBlock.toDouble))),
+        lit(maxPlanes.toDouble)))
+      .otherwise(lit(0.0)).cast("int")
+
+  /** The guarded frame behind [[blockedCosinePairs]]: every row tagged
+    * with its block's sub-division depth `np` ([[planesFor]]) and its
+    * sub-bucket `sub` — the full `maxPlanes`-plane sign bucket MASKED to
+    * the low `np` bits. The mask gives the adaptive arity a prefix
+    * property: a block needing np planes lands in exactly the bucket a
+    * deeper sub-division would refine, so growing a block only ever
+    * SPLITS its sub-buckets (recursion by masking, no second pass).
+    * Blocks under the bound keep sub = 0 (exact all-pairs within label).
+    */
+  private[graft] def subdivide(e: DataFrame, maxBlock: Long,
+      maxPlanes: Int): DataFrame = {
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("bs"))
+    e.join(broadcast(sizes), "label")
+      .withColumn("np", planesFor(col("bs"), maxBlock, maxPlanes))
+      .withColumn("sub",
+        when(col("np") > 0, Similarity.bucketCol(maxPlanes)
+          .bitwiseAND(expr("shiftleft(1L, np) - 1L")))
+          .otherwise(lit(0L)))
+  }
+
   /** [[embeddingCosine]]'s body over any (vec_id, label, v, nrm) frame:
-    * label-equal pairing with sign-bucket sub-division of blocks larger
-    * than `maxBlock`. `planes` is the sub-division arity lever (2^planes
-    * sub-buckets; fewer planes = higher recall, bigger sub-blocks).
+    * label-equal pairing with ADAPTIVE sign-bucket sub-division of blocks
+    * larger than `maxBlock` — the plane count grows with the block
+    * (⌈log₂(bs/maxBlock)⌉, see [[subdivide]]), so one dominant label at
+    * corpus scale degrades to Σ(≈maxBlock)² sub-blocks instead of a fixed
+    * 2^planes fan-out that an extreme block overwhelms. `maxPlanes` caps
+    * the depth (recall floor: fewer planes = higher recall).
     */
   private[graft] def blockedCosinePairs(e: DataFrame, maxBlock: Long,
-      planes: Int, minBp: Long = 3000): DataFrame = {
+      maxPlanes: Int = MaxPlanes, minBp: Long = 3000): DataFrame = {
     // `e` is read three times (size agg + both join sides) — the query
     // passes the session-shared cached vecs frame, so no persist here
-    val sizes = e.groupBy("label").agg(count(lit(1)).as("bs"))
-    val sub = e.join(broadcast(sizes), "label")
-      .withColumn("sub",
-        when(col("bs") > maxBlock, Similarity.bucketCol(planes)).otherwise(lit(0L)))
+    val sub = subdivide(e, maxBlock, maxPlanes)
       .select("vec_id", "label", "sub", "v", "nrm")
     sub.as("a")
       .join(sub.as("b"),
@@ -432,23 +474,24 @@ object Dedup {
   }
 
   /** Semantic dedup (SemDeDup-style; Abbas et al. 2023, arXiv:2303.09540):
-    * cluster the corpus embeddings around the deterministic IVF seed
-    * centers ([[Similarity]] `ann_ivf`'s 16 lowest vec_ids — reproducible
-    * on any engine, no training step), then WITHIN each cluster drop every
-    * vector dominated by a lower-id clustermate at cosine ≥ 0.30. Reported
-    * per dropped vector: its cell, the lowest-id dominator, the strongest
-    * dominating cosine and the dominator count.
+    * cluster the corpus embeddings around deterministic seed centers —
+    * the k = ⌈√n⌉ LOWEST vec_ids, where n is the corpus size, so the
+    * center count GROWS with the corpus (k ≈ √n keeps the expected cell
+    * at ≈ √n rows) and is reproducible on any engine with no training
+    * step — then WITHIN each cluster drop every vector dominated by a
+    * lower-id clustermate at cosine ≥ 0.30. Reported per dropped vector:
+    * its cell, the lowest-id dominator, the strongest dominating cosine
+    * and the dominator count.
     *
-    * Shape: the clustering is the `ann_ivf` broadcast-assign (16 centers ×
-    * corpus, map-only), the within-cell pairing reuses
-    * [[blockedCosinePairs]] with the CELL as the blocking label — so the
-    * oversized-block guard applies here too: at 100 TB a 16-cell partition
-    * of the corpus WILL exceed `maxBlock` and the sign-plane sub-division
-    * engages (the plane count is the recall/cost lever, exactly as in
-    * [[embeddingCosine]]); at test scale cells stay far under the bound so
-    * the oracle is the exact within-cell rule. Against a real clustered
-    * corpus the center count scales with corpus size (k ≈ √n), keeping
-    * cells bounded — 16 is this fixture's `ann_ivf` contract.
+    * Shape: k is a one-row broadcast aggregate (computed in-plan, no
+    * driver action; the oracle mirrors it as a scalar subquery), the
+    * clustering is the `ann_ivf` broadcast-assign (k centers × corpus,
+    * map-only), the within-cell pairing reuses [[blockedCosinePairs]]
+    * with the CELL as the blocking label — so the ADAPTIVE oversized-
+    * block guard applies here too: a skewed cell that outgrows `maxBlock`
+    * despite the √n scaling sub-divides at depth ⌈log₂(cell/maxBlock)⌉
+    * ([[subdivide]]); at test scale cells stay far under the bound so
+    * the oracle is the exact within-cell rule.
     *
     * The drop rule is "dominated by ANY lower id", not greedy-iterative
     * SemDeDup: in a chain a<b<c with cos(a,b) ≥ τ, cos(b,c) ≥ τ,
@@ -461,14 +504,21 @@ object Dedup {
     * dominator count. Shared by the oracled query and the LlmPipeline
     * semantic-prune stage.
     */
+  /** k = ⌈√(count of e)⌉ as a one-row frame, for a broadcast-scalar join
+    * (in-plan center-count scaling, no driver-side action).
+    */
+  private[graft] def sqrtCount(e: DataFrame): DataFrame =
+    e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+
   private[graft] def semanticDominated(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.vecs(spark, sfDir)
-    val cents = e.filter(col("vec_id") < 16)
+    val cents = e.join(broadcast(sqrtCount(e)))
+      .filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val cells = Similarity.cellRanked(e, cents)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
-    dominated(blockedCosinePairs(cells, 4096, 4))
+    dominated(blockedCosinePairs(cells, 4096))
       .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
       .select("vec_id", "cell", "keeper_id", "max_cos_bp", "dominators")
   }
@@ -486,7 +536,8 @@ object Dedup {
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       cents AS (
-        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
       assign AS (
         SELECT n.vec_id, n.v, n.nrm, cents.cid,
                CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),

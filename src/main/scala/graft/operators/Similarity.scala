@@ -82,7 +82,7 @@ object Similarity {
     * codegen'd [[graft.expressions.DotProductDouble]] — same left-to-right
     * summation as the interpreted `aggregate` fold it replaces).
     */
-  private[operators] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.DotProductDouble.register(spark)
     // shared: ann_recall composes the brute-force and LSH queries, so the
     // normalized-vector frame is read by several plans per session
@@ -427,7 +427,7 @@ object Similarity {
     * and rank centers per vector by floor-scaled cosine — `crank = 1` is
     * the vector's cell, `crank <= p` its p-cell probe set.
     */
-  private[operators] def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
+  private[graft] def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
     e.crossJoin(broadcast(centers))
       .withColumn("ccos_bp",

@@ -172,19 +172,20 @@ object TextEmbed {
   /** SemDeDup from RAW TEXT: the dedup_semantic pipeline (IVF-cell
     * clustering + within-cell lower-id cosine domination) over the
     * DERIVED embeddings — so semantic dedup covers the whole corpus with
-    * no embeddings table at all. Two knobs differ from `dedup_semantic`,
-    * both because the input is every document: 64 seed centers (the
-    * cell-size lever bounding within-cell pairing and the oracle's mirror
-    * of it), and τ = 0.95 — tf-weighted feature-hash vectors of a
-    * shared-vocabulary corpus sit at ~0.87 mean pairwise cosine, so the
-    * near-dup bar must clear the topical baseline (at the embeddings
-    * table's 0.30 this corpus would be 98% dominated). Reuses the exact
-    * helpers the oracled `dedup_semantic` runs ([[Similarity.cellRanked]],
+    * no embeddings table at all. Like `dedup_semantic`, the center count
+    * scales with the corpus: k = ⌈√n⌉ over the nonzero-norm documents
+    * (an in-plan broadcast aggregate, mirrored by the oracle's scalar
+    * subquery), keeping the expected cell ≈ √n rows so within-cell
+    * pairing stays bounded as the corpus grows. One knob differs:
+    * τ = 0.95 — tf-weighted feature-hash vectors of a shared-vocabulary
+    * corpus sit at ~0.87 mean pairwise cosine, so the near-dup bar must
+    * clear the topical baseline (at the embeddings table's 0.30 this
+    * corpus would be 98% dominated). Reuses the exact helpers the oracled
+    * `dedup_semantic` runs ([[Similarity.cellRanked]],
     * [[Dedup.blockedCosinePairs]], [[Dedup.dominated]]).
     */
   val semanticText: GraftQuery = new GraftQuery {
     val name = "dedup_semantic_text"
-    private val Centers = 64
     private val MinBp = 9500L
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
@@ -194,12 +195,13 @@ object TextEmbed {
           transform(col("e"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
         .filter(col("nrm") > 0)
-      val cents = dv.filter(col("vec_id") < Centers)
+      val cents = dv.join(broadcast(Dedup.sqrtCount(dv)))
+        .filter(col("vec_id") < col("k"))
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
       val cells = Similarity.cellRanked(dv, cents)
         .filter(col("crank") === 1)
         .select(col("vec_id"), col("cid").as("label"), col("v"), col("nrm"))
-      Dedup.dominated(Dedup.blockedCosinePairs(cells, 4096, 4, MinBp))
+      Dedup.dominated(Dedup.blockedCosinePairs(cells, 4096, minBp = MinBp))
         .join(cells.select(col("vec_id"), col("label").as("cell")), "vec_id")
         .select(col("vec_id").as("doc_id"), col("cell"), col("keeper_id"),
           col("max_cos_bp"), col("dominators"))
@@ -213,7 +215,8 @@ object TextEmbed {
         FROM vec),
       nz AS (SELECT * FROM n WHERE nrm > 0),
       cents AS (
-        SELECT doc_id AS cid, v AS cv, nrm AS cnrm FROM nz WHERE doc_id < $Centers),
+        SELECT doc_id AS cid, v AS cv, nrm AS cnrm FROM nz
+        WHERE doc_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM nz)),
       assign AS (
         SELECT nz.doc_id, nz.v, nz.nrm, cents.cid,
                CAST(floor(list_sum(list_transform(generate_series(1, len(nz.v)),

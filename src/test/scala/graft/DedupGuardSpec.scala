@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 
 /** The oversized-label guard of dedup_embedding_cosine: at test scale no
   * label exceeds the bound (the oracle proves exactness there); this spec
-  * plants a label block ABOVE the bound and proves the sign-bucket
-  * sub-division engages, produces a subset of the exact pairs, and leaves
-  * under-bound labels untouched.
+  * plants label blocks ABOVE the bound and proves the sign-bucket
+  * sub-division engages at a depth that SCALES with the block
+  * (⌈log₂(bs/maxBlock)⌉ planes — ≥ 2 levels on a dominant block),
+  * produces a subset of the exact pairs, keeps sub-block sizes bounded,
+  * and leaves under-bound labels untouched.
   */
 class DedupGuardSpec extends SparkSpec {
 
@@ -27,27 +29,70 @@ class DedupGuardSpec extends SparkSpec {
       .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
   }
 
+  private def pairsOf(e: org.apache.spark.sql.DataFrame, maxBlock: Long) =
+    operators.Dedup.blockedCosinePairs(e, maxBlock)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
   test("oversized label sub-divides; under-bound labels stay exact") {
     val hot = syntheticVecs(120, "hot", 11)
     val cold = syntheticVecs(20, "cold", 22)
     val e = toFrame(hot ++ cold)
     try {
-      def pairs(maxBlock: Long) =
-        operators.Dedup.blockedCosinePairs(e, maxBlock, 4)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val exact = pairs(maxBlock = 1000)   // bound above both blocks
-      val guarded = pairs(maxBlock = 50)   // hot (120) over, cold (20) under
+      val exact = pairsOf(e, maxBlock = 1000)   // bound above both blocks
+      val guarded = pairsOf(e, maxBlock = 50)   // hot (120) over, cold (20) under
       assert(guarded.subsetOf(exact), "guard must never invent pairs")
       assert(guarded.size < exact.size,
         "the planted hot label must lose at least one cross-sub-bucket pair")
       val coldIds = cold.map(_._1).toSet
       assert(exact.filter(p => coldIds(p._1)) == guarded.filter(p => coldIds(p._1)),
         "under-bound label pairs must be identical with and without the guard")
-      // the sub-division itself: the hot block splits into several buckets
-      val subs = e.filter(col("label") === "hot")
-        .withColumn("sub", operators.Similarity.bucketCol(4))
-        .select("sub").distinct().count()
-      assert(subs > 1, "sign planes must actually split the hot block")
+      // the sub-division itself: 120/50 needs ⌈log₂ 2.4⌉ = 2 planes, and
+      // the hot block actually splits across them
+      val sub = operators.Dedup.subdivide(e, 50, operators.Dedup.MaxPlanes)
+        .filter(col("label") === "hot")
+      assert(sub.select("np").distinct().collect().map(_.getInt(0)).toSeq == Seq(2),
+        "a 2.4x-over block must sub-divide with exactly 2 planes")
+      assert(sub.select("sub").distinct().count() > 1,
+        "sign planes must actually split the hot block")
+    } finally CacheRegistry.clear()
+  }
+
+  test("dominant block needs >= 2 sub-division levels; depth tracks size") {
+    // 400 rows over maxBlock = 50 → ⌈log₂ 8⌉ = 3 planes, 8 sub-buckets —
+    // a block a FIXED single-level split would leave quadratic
+    val hot = syntheticVecs(400, "dominant", 33)
+    val cold = syntheticVecs(30, "cool", 44)
+    val e = toFrame(hot ++ cold)
+    try {
+      val sub = operators.Dedup.subdivide(e, 50, operators.Dedup.MaxPlanes)
+      val hotSub = sub.filter(col("label") === "dominant")
+        .groupBy("np", "sub").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(hotSub.map(_._1).distinct.toSeq == Seq(3),
+        s"an 8x-over block must sub-divide at depth 3, got ${hotSub.map(_._1).distinct.toSeq}")
+      assert(hotSub.map(_._2).forall(s => s >= 0 && s < 8),
+        "3-plane masking must keep sub-buckets in [0, 8)")
+      assert(hotSub.length >= 6, s"8-way split must populate most buckets, got ${hotSub.length}")
+      val maxSub = hotSub.map(_._3).max
+      assert(maxSub <= 2 * 50,
+        s"balanced planes must keep every sub-block near maxBlock, got $maxSub")
+      // correctness is unchanged in kind: still a subset of exact, cold exact
+      val exact = pairsOf(e, maxBlock = 1000)
+      val guarded = pairsOf(e, maxBlock = 50)
+      assert(guarded.subsetOf(exact), "guard must never invent pairs")
+      val coldIds = cold.map(_._1).toSet
+      assert(exact.filter(p => coldIds(p._1)) == guarded.filter(p => coldIds(p._1)),
+        "under-bound label pairs must be identical with and without the guard")
+      // prefix property: every 2-plane bucket is the 3-plane bucket masked —
+      // growing a block only ever SPLITS sub-buckets, never re-shuffles them
+      val fine = operators.Dedup.subdivide(e, 50, operators.Dedup.MaxPlanes)
+        .filter(col("label") === "dominant").select("vec_id", "sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val coarse = operators.Dedup.subdivide(e, 101, operators.Dedup.MaxPlanes)
+        .filter(col("label") === "dominant").select("vec_id", "sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(coarse.forall { case (id, c) => c == (fine(id) & 3L) },
+        "coarser depth must be the masked fine bucket (prefix property)")
     } finally CacheRegistry.clear()
   }
 }
