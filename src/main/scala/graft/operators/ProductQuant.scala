@@ -36,13 +36,16 @@ import org.apache.spark.sql.types.DecimalType
   * force, exactly as `ann_recall_ivf`): ADC ranking adds quantization
   * error on top of IVF's cell pruning, so recall@3 ≤ the uncompressed IVF
   * path's — the price of 128x smaller candidate storage. More codewords
-  * (8-bit codes: K=256) or more subspaces buy recall back with bits.
+  * buy recall back with bits: the SAME chain at K=256 (8-bit codes, 8
+  * B/vector = 64x) is the `ann_ivf_pq8` / `ann_pq8_recall` pair — the
+  * storage/recall curve's point between int8's 8x and 4-bit PQ's 128x.
   */
 object ProductQuant {
 
   private val M = 8      // subspaces
   private val Dsub = 8   // dims per subspace (M * Dsub = Similarity dims)
-  private val SeedK = 16 // codewords per subspace
+  private val SeedK = 16 // codewords per subspace (4-bit codes)
+  private val SeedK8 = 256 // codewords per subspace (8-bit codes)
 
   /** Normalized sub-vector table (vec_id, m, s): m 0-based, s = the unit
     * vector's dims [m*Dsub+1, (m+1)*Dsub].
@@ -86,16 +89,20 @@ object ProductQuant {
         p => p.getField("sx").cast("double") / p.getField("cnt")).as("cw"))
 
   /** The shared IVF-PQ chain: (pairs, codes, lut) — candidate (query,
-    * corpus) id pairs from the cosine cell probe, 4-bit codes per corpus
-    * vector/subspace, and the per-query ADC partials.
+    * corpus) id pairs from the cosine cell probe, `seedK`-codeword codes
+    * per corpus vector/subspace, and the per-query ADC partials. The IVF
+    * probe and the sub-vector table are seedK-independent and session-
+    * shared, so the 4-bit and 8-bit points pay for them once.
     */
-  private def pqChain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def pqChain(spark: SparkSession, sfDir: String,
+      seedK: Int): (DataFrame, DataFrame, DataFrame) = {
     val e = Similarity.vecs(spark, sfDir)
     // IVF candidate generation — identical cell machinery to ann_ivf
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val ranked = graft.CacheRegistry.persist(
-      Similarity.cellRanked(e, cents).select("vec_id", "cid", "crank"))
+    val ranked = graft.CacheRegistry.shared(s"pq_ranked:$sfDir") {
+      Similarity.cellRanked(e, cents).select("vec_id", "cid", "crank")
+    }
     val pairs = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
       .join(ranked.filter(col("crank") === 1)
@@ -103,8 +110,8 @@ object ProductQuant {
       .filter(col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
     // PQ codebook: deterministic seeds + one exact Lloyd step
-    val sub = graft.CacheRegistry.persist(subVectors(e))
-    val seeds = sub.filter(col("vec_id") < SeedK)
+    val sub = graft.CacheRegistry.shared(s"pq_sub:$sfDir")(subVectors(e))
+    val seeds = sub.filter(col("vec_id") < seedK)
       .select(col("m"), col("vec_id").as("k"), col("s").as("cw"))
     val cb = graft.CacheRegistry.persist(refine(assign(sub, seeds)))
     val codes = assign(sub, cb).select(col("vec_id"), col("m"), col("k").as("code"))
@@ -114,12 +121,14 @@ object ProductQuant {
     (pairs, codes, lut)
   }
 
-  /** ADC-scored top-3 per query over the probed cells. */
-  val annIvfPq: GraftQuery = new GraftQuery {
-    val name = "ann_ivf_pq"
+  /** ADC-scored top-3 per query over the probed cells, at `seedK`
+    * codewords per subspace.
+    */
+  private def pqTopK(qName: String, seedK: Int): GraftQuery = new GraftQuery {
+    val name = qName
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val (pairs, codes, lut) = pqChain(spark, sfDir)
+      val (pairs, codes, lut) = pqChain(spark, sfDir, seedK)
       val scored = pairs
         .join(codes, "vec_id")
         .join(broadcast(lut),
@@ -137,22 +146,29 @@ object ProductQuant {
         .orderBy("query_id", "rank")
     }
 
-    def oracle: Option[String] = Some(duckPqCtes + """
+    def oracle: Option[String] = Some(duckPqCtes(seedK) + """
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_bp
       FROM pq_ranked WHERE rank <= 3 ORDER BY query_id, rank
     """)
   }
 
+  /** ADC top-3 at 16 codewords (4-bit codes, 128x). */
+  val annIvfPq: GraftQuery = pqTopK("ann_ivf_pq", SeedK)
+
+  /** ADC top-3 at 256 codewords (8-bit codes, 64x). */
+  val annIvfPq8: GraftQuery = pqTopK("ann_ivf_pq8", SeedK8)
+
   /** recall@3 of the compressed search vs full-precision brute force —
-    * the tradeoff number for the 128x storage saving.
+    * the tradeoff number for the storage saving at `seedK` codewords.
     */
-  val pqRecall: GraftQuery = new GraftQuery {
-    val name = "ann_pq_recall"
+  private def pqRecallOf(qName: String, seedK: Int,
+      topk: GraftQuery): GraftQuery = new GraftQuery {
+    val name = qName
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val truth = Similarity.annTopK.run(spark, sfDir).filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
-      val got = annIvfPq.run(spark, sfDir)
+      val got = topk.run(spark, sfDir)
         .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
       truth
         .join(got, col("query_id") === col("g_query") &&
@@ -164,7 +180,7 @@ object ProductQuant {
         .orderBy("query_id")
     }
 
-    def oracle: Option[String] = Some(duckPqCtes + """
+    def oracle: Option[String] = Some(duckPqCtes(seedK) + """
       , brute AS (
         SELECT query_id, neighbor_id FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -185,10 +201,16 @@ object ProductQuant {
     """)
   }
 
+  /** recall@3 at 16 codewords (4-bit, 128x). */
+  val pqRecall: GraftQuery = pqRecallOf("ann_pq_recall", SeedK, annIvfPq)
+
+  /** recall@3 at 256 codewords (8-bit, 64x). */
+  val pq8Recall: GraftQuery = pqRecallOf("ann_pq8_recall", SeedK8, annIvfPq8)
+
   /** DuckDB mirror of the whole IVF-PQ chain up to
     * `pq_ranked(query_id, neighbor_id, adc_bp, rank)`.
     */
-  private def duckPqCtes: String = {
+  private def duckPqCtes(seedK: Int): String = {
     def dot(a: String, b: String, len: String) =
       s"list_sum(list_transform(generate_series(1, $len), i -> $a[i] * $b[i]))"
     val d2 = s"floor((${dot("s", "s", "len(s)")} - 2.0 * ${dot("s", "cw", "len(s)")} + " +
@@ -218,7 +240,7 @@ object ProductQuant {
       sub AS (
         SELECT vec_id, m, u[m*$Dsub+1 : m*$Dsub+$Dsub] AS s
         FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m)),
-      cb0 AS (SELECT m, vec_id AS k, s AS cw FROM sub WHERE vec_id < $SeedK),
+      cb0 AS (SELECT m, vec_id AS k, s AS cw FROM sub WHERE vec_id < $seedK),
       asg0 AS (
         SELECT sub.vec_id, sub.m, sub.s, cb0.k, $d2 AS d2_sc
         FROM sub JOIN cb0 ON sub.m = cb0.m),
@@ -386,5 +408,5 @@ object ProductQuant {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annInt8, int8Recall)
+  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annIvfPq8, pq8Recall, annInt8, int8Recall)
 }
