@@ -81,3 +81,73 @@ object DocQuality {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "doc_quality", exprs => DocQuality(exprs(0)), "built-in")
 }
+
+/** `doc_quality_trained(text)` — [[DocQuality]] with the weight lookup
+  * swapped for a LOADED model: `weights(b)` indexed by the feature's
+  * 16-bit hash bucket, exactly the "swap the table, keep the plan"
+  * deployment the hash-weight scorer documents. The weights array rides
+  * the expression as a codegen reference object (the broadcast-a-small-
+  * model shape — 64Ki doubles = 512 KiB), so scoring stays ONE compiled
+  * map-side pass with the same shuffle count as `doc_quality`: none.
+  */
+case class DocQualityTrained(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  require(weights.length == DocQualityTrained.Buckets,
+    s"weight table must cover all ${DocQualityTrained.Buckets} feature buckets")
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    DocQualityTrained.compute(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wref = ctx.addReferenceObj("trainedWeights", weights, "double[]")
+    val res = ctx.freshName("dqt")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $res = graft.expressions.DocQualityTrained.compute($c, $wref);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Long) $res).longValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DocQualityTrained {
+
+  /** Feature space size: the 16-bit md5-prefix bucket of [[DocQuality]]. */
+  val Buckets = 65536
+
+  private def bucketOf(md: MessageDigest, g: String): Int = {
+    val d = md.digest(g.getBytes("UTF-8"))
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+
+  /** Null for token-less text; otherwise floor(1e6 × mean looked-up
+    * weight) over unigrams then bigrams, left-to-right — identical
+    * feature extraction and fold order to [[DocQuality.compute]], only
+    * the per-feature weight source differs.
+    */
+  def compute(text: UTF8String, w: Array[Double]): Any = {
+    val toks = text.toLowerCase.toString.split("[^a-z0-9]+", -1).filter(_.nonEmpty)
+    if (toks.length == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) { sum += w(bucketOf(md, toks(i))); i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      sum += w(bucketOf(md, toks(i) + " " + toks(i + 1)))
+      i += 1
+    }
+    val n = 2 * toks.length - 1
+    java.lang.Long.valueOf(math.floor(sum / n * 1000000.0).toLong)
+  }
+
+  def register(spark: SparkSession, weights: Array[Double]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "doc_quality_trained", exprs => DocQualityTrained(exprs(0), weights), "built-in")
+}

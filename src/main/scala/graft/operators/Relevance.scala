@@ -218,8 +218,8 @@ object Relevance {
     * ([[graft.expressions.DocQuality]]): no corpus pass, no shuffle, one
     * scan at any scale (vs [[lmScore]], which must first aggregate the
     * corpus's own token distribution). The hash-derived weights stand in
-    * for trained ones; swapping in a trained table changes only the
-    * per-feature weight lookup, not the plan.
+    * for trained ones; [[qualityTrained]] PROVES the swap — same plan,
+    * weights loaded from a parquet model table instead.
     */
   val qualityScore: GraftQuery = new GraftQuery {
     val name = "doc_quality_score"
@@ -251,6 +251,95 @@ object Relevance {
                list_sum(list_transform(fs,
                  g -> (${duckHashHex("g", 4)} - 32767.5) / 32768.0)) AS s
         FROM feats)
+      SELECT doc_id, n_features,
+             CAST(floor(s / n_features * 1000000.0) AS BIGINT) AS quality_x1m,
+             CASE WHEN floor(s / n_features * 1000000.0) >= 0
+                  THEN 'keep' ELSE 'drop' END AS quality_class
+      FROM w ORDER BY doc_id
+    """)
+  }
+
+  /** The trained-weights fixture + load path behind `doc_quality_trained`.
+    * "Training" is a deterministic stand-in (weight(b) = the salted
+    * 16-bit hash of "w|b", scaled to (−1, 1) — a DIFFERENT model from
+    * [[graft.expressions.DocQuality]]'s hash-of-the-feature weights), but
+    * the LOAD PATH is the deployable part: the (feature_hash, weight)
+    * table is WRITTEN to parquet once, READ BACK like any user-supplied
+    * model artifact, collected to a 64Ki-entry array (512 KiB — the
+    * size class one broadcasts, not joins), and embedded in the same
+    * codegen'd scorer. A user swaps the parquet file; nothing else moves.
+    */
+  private[graft] object TrainedWeights {
+    private val cached = scala.collection.mutable.Map.empty[String, Array[Double]]
+
+    private[graft] def weightsPath: String =
+      sys.props("java.io.tmpdir") + "/graft_doc_quality_weights"
+
+    /** The fixture-generation formula, as one Spark projection over the
+      * bucket range (the "training job" stand-in).
+      */
+    private def generate(spark: SparkSession): DataFrame =
+      spark.range(graft.expressions.DocQualityTrained.Buckets)
+        .select(col("id").cast("int").as("feature_hash"),
+          ((conv(substring(md5(concat(lit("w|"), col("id").cast("string"))), 1, 4),
+            16, 10).cast("long") - lit(32767.5)) / lit(32768.0)).as("weight"))
+
+    /** Write-if-absent, then read back and densify: the model-load step. */
+    private[graft] def load(spark: SparkSession): Array[Double] = synchronized {
+      cached.getOrElseUpdate(weightsPath, {
+        if (!new java.io.File(weightsPath, "_SUCCESS").exists())
+          generate(spark).coalesce(1).write.mode("overwrite").parquet(weightsPath)
+        val rows = spark.read.parquet(weightsPath)
+          .select("feature_hash", "weight").collect()
+        val w = new Array[Double](graft.expressions.DocQualityTrained.Buckets)
+        rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+        w
+      })
+    }
+  }
+
+  /** [[qualityScore]] with TRAINED weights — proves the "swap the weight
+    * lookup, keep the plan" claim: same tokenization, feature extraction
+    * and fold, same map-only no-shuffle scoring plan (TrainedQualitySpec
+    * asserts exchange-count parity with `doc_quality_score`), but the
+    * per-feature weight comes from a loaded parquet model instead of the
+    * feature's own hash. The oracle mirrors the fixture's training
+    * formula analytically — weights round-trip parquet bit-exactly.
+    */
+  val qualityTrained: GraftQuery = new GraftQuery {
+    val name = "doc_quality_trained"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DocQualityTrained.register(spark, TrainedWeights.load(spark))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          expr("doc_quality_trained(text)").as("quality_x1m"))
+        .filter(col("n_toks") > 0)
+        .withColumn("n_features", (col("n_toks") * 2 - 1).cast("long"))
+        .withColumn("quality_class",
+          when(col("quality_x1m") >= 0, lit("keep")).otherwise(lit("drop")))
+        .select("doc_id", "n_features", "quality_x1m", "quality_class")
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , feats AS (
+        SELECT doc_id, len(ws) AS n_toks,
+               list_concat(ws,
+                 CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(ws)-1),
+                             i -> ws[i] || ' ' || ws[i+1]) END) AS fs
+        FROM toks WHERE len(ws) > 0),
+      bkt AS (
+        SELECT doc_id, n_toks,
+               list_transform(fs, g -> ${duckHashHex("g", 4)}) AS bl
+        FROM feats),
+      w AS (
+        SELECT doc_id, CAST(2 * n_toks - 1 AS BIGINT) AS n_features,
+               list_sum(list_transform(bl,
+                 b -> (${duckHashHex("'w|' || CAST(b AS VARCHAR)", 4)} - 32767.5) / 32768.0)) AS s
+        FROM bkt)
       SELECT doc_id, n_features,
              CAST(floor(s / n_features * 1000000.0) AS BIGINT) AS quality_x1m,
              CASE WHEN floor(s / n_features * 1000000.0) >= 0
@@ -442,5 +531,6 @@ object Relevance {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityRules, cmsTopk)
+    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityTrained,
+      qualityRules, cmsTopk)
 }
