@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * batch's bands — O(index x batch collisions), never O(corpus²). The old
   * corpus is re-read (a scan), never re-paired (no A x A candidates).
   * Ingesting the batch is an APPEND of its band/shingle rows — the index
-  * delta.
+  * delta. Each table is logically BASE ∪ DELTAS: [[compactIndex]]
+  * periodically folds the deltas into a new atomically-published
+  * [[graft.sources.SnapshotTable]] base (bounding file count, collapsing
+  * at-least-once replay duplicates, and — with a keepers frame — pruning
+  * dropped docs so index rows stay proportional to the RETAINED corpus).
   *
   * Keep/drop semantics: arrival order is priority order — a doc is dropped
   * iff it has a verified match (Jaccard ≥ 0.5) with ANY earlier-arrived
@@ -45,32 +49,128 @@ object IncrementalDedup {
     sys.props("java.io.tmpdir") + "/graft_band_index_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
 
-  /** The incremental pass over an (old batch, new batch) pair of document
-    * frames: (re)writes the index from the old batch, ingests the new
-    * batch as an append, and returns the full keep/drop verdict. The old
-    * batch's internal pairs are computed the same way the PREVIOUS crawl
-    * would have (self-join on its own bands) — phase 2 never generates an
-    * old x old candidate.
+  /** Marker a live [[graft.streaming.DedupStream]] plants in the index
+    * root so batch maintenance ([[clearIndex]], [[compactIndex]]) cannot
+    * delete state out from under a running stream — the next micro-batch
+    * would silently restart from an empty index and emit wrong verdicts.
     */
-  /** Delete the index root — the bootstrap of a fresh crawl sequence. */
-  private[graft] def clearIndex(spark: SparkSession, idx: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(idx)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val StreamMarker = "_STREAM_ACTIVE"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private[graft] def markStreamActive(spark: SparkSession, idx: String): Unit = {
+    val (fs, _) = fsOf(spark, idx)
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/$StreamMarker"), true).close()
+  }
+
+  private[graft] def clearStreamMarker(spark: SparkSession, idx: String): Unit = {
+    val (fs, _) = fsOf(spark, idx)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/$StreamMarker"), false)
+    ()
+  }
+
+  private[graft] def streamActive(spark: SparkSession, idx: String): Boolean = {
+    val (fs, _) = fsOf(spark, idx)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$StreamMarker"))
+  }
+
+  /** Delete the index root — the bootstrap of a fresh crawl sequence.
+    * Refuses while a stream is live on this index (marker present);
+    * `force` overrides for crash-recovery of a stale marker.
+    */
+  private[graft] def clearIndex(spark: SparkSession, idx: String,
+      force: Boolean = false): Unit = {
+    if (!force && streamActive(spark, idx))
+      throw new IllegalStateException(
+        s"refusing clearIndex($idx): a dedup stream is live on this index " +
+          "(stop the stream, or force=true to clear a stale crash marker)")
+    val (fs, path) = fsOf(spark, idx)
     fs.delete(path, true)
     ()
   }
 
-  /** Read one index table, or a schema-stable empty frame when the index
-    * does not exist yet (the first crawl). The reader frame lists files at
-    * CREATION time, so a frame created here never sees rows appended
-    * afterwards — callers rely on that to dedup a batch against the index
-    * state BEFORE the batch's own append.
+  /** Read one flat parquet dir, or a schema-stable empty frame when it
+    * does not exist yet. The reader frame lists files at CREATION time,
+    * so a frame created here never sees rows appended afterwards —
+    * callers rely on that to dedup a batch against the index state
+    * BEFORE the batch's own append.
     */
   private def readIndexOr(spark: SparkSession, dir: String,
       empty: DataFrame): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, path) = fsOf(spark, dir)
     if (fs.exists(path)) spark.read.parquet(dir) else empty
+  }
+
+  /** One logical index table = the compacted BASE (latest
+    * [[graft.sources.SnapshotTable]] version under `<idx>/<table>_base`,
+    * absent before the first compaction) ∪ the flat append DELTAS at
+    * `<idx>/<table>`. Appends stay cheap (one parquet append per crawl);
+    * compaction folds deltas into a new atomically-published base.
+    */
+  private def indexTable(spark: SparkSession, idx: String, table: String,
+      empty: DataFrame): DataFrame = {
+    val base = graft.sources.SnapshotTable.read(spark, s"$idx/${table}_base")
+      .getOrElse(empty)
+    base.unionByName(readIndexOr(spark, s"$idx/$table", empty))
+  }
+
+  private def emptyBandsOf(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"),
+      lit(1).as("band"), lit("").as("sig"))
+
+  private def emptyShinglesOf(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"),
+      array().cast("array<string>").as("sg"))
+
+  /** Fold the accumulated append deltas (plus the previous base) into ONE
+    * atomically-published base version and clear the delta dirs — the
+    * maintenance pass that bounds both FILE COUNT (per-crawl appends grow
+    * it monotonically; after compaction the index is one snapshot
+    * directory per table) and, with `keepers`, ROW COUNT.
+    *
+    * `keepers` (doc_id column) prunes the index to the RETAINED corpus:
+    * dropped docs' band/shingle rows are removed, so index rows are
+    * bounded by 3 band rows + 1 shingle row per KEPT doc regardless of how
+    * many crawls ingested. Semantics note, documented not hidden: under
+    * the any-earlier-doc rule a future doc whose ONLY verified partner
+    * was a dropped doc (a chain a<b<c where c matches b but not a) is
+    * kept after pruning — pruned compaction implements the
+    * "dedup against what you actually retained" policy, which is the
+    * production crawl-pipeline contract. Pass `keepers = None` for pure
+    * file compaction (replay-duplicate collapse only): that preserves the
+    * any-earlier-doc verdicts bit-exactly.
+    *
+    * Crash safety: the new base publishes atomically FIRST
+    * ([[graft.sources.SnapshotTable.publish]]); the delta delete follows.
+    * A crash between the two leaves rows present in both base and delta —
+    * duplicates the verdict path already tolerates (candidates are
+    * distinct-collapsed, verdicts min-aggregated), so recovery is rerun,
+    * not repair. Run compaction BETWEEN crawls (it rewrites files a
+    * not-yet-executed verdict plan may still reference), and never while
+    * a stream is live — the marker guard refuses.
+    */
+  private[graft] def compactIndex(spark: SparkSession, idx: String,
+      keepers: Option[DataFrame] = None): Unit = {
+    if (streamActive(spark, idx))
+      throw new IllegalStateException(
+        s"refusing compactIndex($idx): a dedup stream is live on this index")
+    val prune = (df: DataFrame) => keepers match {
+      case Some(k) => df.join(k.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      case None => df
+    }
+    for ((table, empty) <- Seq("bands" -> emptyBandsOf(spark),
+        "shingles" -> emptyShinglesOf(spark))) {
+      val root = s"$idx/${table}_base"
+      val next = "v" + (graft.sources.SnapshotTable.latestVersion(root)
+        .map(_.drop(1).toLong + 1).getOrElse(0L))
+      graft.sources.SnapshotTable.publish(
+        prune(indexTable(spark, idx, table, empty).distinct()), root, next)
+      val (fs, _) = fsOf(spark, idx)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/$table"), true)
+    }
   }
 
   /** Ingest ONE arriving batch: dedup it against the persisted index state
@@ -90,13 +190,10 @@ object IncrementalDedup {
     graft.expressions.MinHash9.register(spark)
     val sh = graft.CacheRegistry.persist(Dedup.shingleFrame(docs))
     val bands = graft.CacheRegistry.persist(Dedup.bandFrame(sh))
-    // pre-append index state (empty on the first crawl)
-    val emptyBands = spark.range(0).select(col("id").as("doc_id"),
-      lit(1).as("band"), lit("").as("sig"))
-    val emptySh = spark.range(0).select(col("id").as("doc_id"),
-      array().cast("array<string>").as("sg"))
-    val idxBands = readIndexOr(spark, s"$idx/bands", emptyBands)
-    val idxSh = readIndexOr(spark, s"$idx/shingles", emptySh)
+    // pre-append index state (empty on the first crawl): compacted base
+    // snapshot ∪ the flat deltas appended since the last compaction
+    val idxBands = indexTable(spark, idx, "bands", emptyBandsOf(spark))
+    val idxSh = indexTable(spark, idx, "shingles", emptyShinglesOf(spark))
     // one join: (index ∪ batch) bands x batch bands only — never re-pairs
     // index x index (doc_b is always a batch doc)
     val drops = Dedup.jaccardVerify(

@@ -36,12 +36,19 @@ object DedupStream {
 
   /** Start the dedup stream: `docs` must be a streaming DataFrame with
     * (doc_id, text). Verdict rows (doc_id, is_keeper, dup_of) append to
-    * `verdictsDir`; the band index lives at `idx` and is shared with (and
-    * identical to) the batch path's.
+    * `verdictsDir`; the band index lives at `idx` — IDENTICAL layout to
+    * the batch path's, but a live stream should own its index root: while
+    * this query runs, a `_STREAM_ACTIVE` marker in the root makes the
+    * batch maintenance ops (`clearIndex`, `compactIndex`) refuse to
+    * delete state out from under the stream (the marker is removed when
+    * the query terminates; a crash leaves a stale marker that
+    * `clearIndex(force = true)` clears).
     */
   def start(docs: DataFrame, idx: String, verdictsDir: String,
-      checkpointDir: String): StreamingQuery =
-    docs.writeStream
+      checkpointDir: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    IncrementalDedup.markStreamActive(spark, idx)
+    val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -51,4 +58,16 @@ object DedupStream {
         graft.CacheRegistry.clear()
       }
       .start()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          IncrementalDedup.clearStreamMarker(spark, idx)
+          spark.streams.removeListener(this)
+        }
+    })
+    q
+  }
 }

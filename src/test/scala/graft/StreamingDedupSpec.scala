@@ -28,15 +28,25 @@ class StreamingDedupSpec extends SparkSpec {
         (21L, text1), // dup of both 1 and 10 — keeper must be 1
         (22L, "another totally fresh line about mountains and snow today")))
 
-    val idx = operators.IncrementalDedup.indexDir("stream_spec")
+    // the stream owns a UNIQUE index root (no fixed shared path two test
+    // JVMs or a crashed prior run could race through)
+    val idx = java.nio.file.Files.createTempDirectory("dedup_stream_idx").toString + "/idx"
     val out = java.nio.file.Files.createTempDirectory("dedup_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("dedup_stream_ck").toString
-    operators.IncrementalDedup.clearIndex(spark, idx)
 
     val mem = MemoryStream[(Long, String)]
     val q = streaming.DedupStream.start(
       mem.toDS().toDF("doc_id", "text"), idx, out, ckpt)
     try {
+      // while live, the index is guarded against batch maintenance
+      assert(operators.IncrementalDedup.streamActive(spark, idx),
+        "live stream must plant its index marker")
+      intercept[IllegalStateException] {
+        operators.IncrementalDedup.clearIndex(spark, idx)
+      }
+      intercept[IllegalStateException] {
+        operators.IncrementalDedup.compactIndex(spark, idx)
+      }
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
       val got = spark.read.parquet(out).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -59,6 +69,16 @@ class StreamingDedupSpec extends SparkSpec {
         "fixture must drop the two text1 dups and the text2 near-dup")
       assert(got.find(_._1 == 21L).exists(_._3 == 1L),
         "chained dup must point at the EARLIEST keeper")
+
+      // termination releases the marker so batch maintenance may resume
+      q.stop()
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      while (operators.IncrementalDedup.streamActive(spark, idx) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!operators.IncrementalDedup.streamActive(spark, idx),
+        "terminated stream must clear its index marker")
+      operators.IncrementalDedup.clearIndex(spark, idx) // no longer refuses
     } finally {
       q.stop()
       CacheRegistry.clear()
