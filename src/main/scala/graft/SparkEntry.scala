@@ -15,7 +15,7 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ SpanDedup.all ++ IncrementalDedup.all ++
       Similarity.all ++ ProductQuant.all ++ TextEmbed.all ++ Multimodal.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
-      Packing.all
+      Packing.all ++ PipelineManifest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

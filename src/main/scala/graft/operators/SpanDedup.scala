@@ -220,7 +220,7 @@ object SpanDedup {
   /** DuckDB CTE chain ending in `sp(doc_a, doc_b, pos_a, pos_b,
     * span_tokens)` — the dedup_span pair table at the shared constants.
     */
-  private def duckSpanPairsCtes: String = duckGramCte(SpanN) + s"""
+  private[operators] def duckSpanPairsCtes: String = duckGramCte(SpanN) + s"""
       , keep AS (SELECT gram FROM g GROUP BY gram
                  HAVING count(DISTINCT doc_id) <= $SpanDfCap),
       gk AS (SELECT g.* FROM g JOIN keep USING (gram)),

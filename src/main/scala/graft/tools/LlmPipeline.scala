@@ -30,111 +30,39 @@ object LlmPipeline {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate("llm-pipeline")
-    import spark.implicits._
 
-    val raw = Tables.load(spark, sfDir, "documents")
-    val rawCt = raw.count()
+    // The survivor chain IS graft.operators.PipelineManifest.survivors —
+    // the same composition the oracled `pipeline_manifest` query pins
+    // against DuckDB, so the binary and the correctness gate cannot
+    // drift. This hook adds what a production run wants on top: manifest
+    // counts per stage, and STAGE BOUNDARIES after the two heavyweight
+    // stages (dedup: shingle arrays + per-round label frames; quality:
+    // the lmScores token explode) — write the surviving corpus to a
+    // staging dir (the between-apps topic analog), release the
+    // registered caches, continue from the staged read.
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def staged(name: String, key: String, df: org.apache.spark.sql.DataFrame) = {
+      df.write.mode("overwrite").parquet(s"$outDir/stage_$name")
+      graft.CacheRegistry.clear()
+      val back = spark.read.parquet(s"$outDir/stage_$name")
+      counts(key) = back.count()
+      back
+    }
+    val hook: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame = {
+      case ("raw", df) => counts("raw") = df.count(); df
+      case ("exact", df) => counts("exact_dedup") = df.count(); df
+      case ("dedup", df) => staged("dedup", "near_dedup", df)
+      case ("quality", df) => staged("quality", "quality", df)
+      case ("sampled", df) => counts("sampled") = df.count(); df
+      case ("mixed", df) => counts("mixed") = df.count(); df
+      case (_, df) => df
+    }
+    val assigned = graft.operators.PipelineManifest.survivors(spark, sfDir, hook)
 
-    // 1. exact dedup: keep the min doc_id per content hash
-    val keepers = raw.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactDeduped = raw.join(keepers, "doc_id")
-    val exactCt = exactDeduped.count()
-
-    // 2. near-dup removal: drop minhash-cluster members that are not the
-    //    cluster keeper (min id). STAGE BOUNDARY after it: the dedup
-    //    stage's heavyweight caches (shingle arrays, per-round label
-    //    frames) are registered with CacheRegistry and would otherwise
-    //    stay pinned through packing and the final write — write the
-    //    deduped corpus to a staging dir (the between-apps topic analog),
-    //    release the caches, continue from the staged read.
-    val dupLosers = Dedup.clusters.run(spark, sfDir)
-      .filter(col("is_keeper") === 0).select("doc_id")
-    // 2b. SEMANTIC prune (SemDeDup): drop documents whose embedding is
-    //     dominated by a lower-id cluster-mate — the SAME semanticDominated
-    //     the oracle-checked dedup_semantic query runs. The fixture's
-    //     embeddings table covers a prefix of the corpus with vec_id =
-    //     doc_id; docs without an embedding pass through untouched.
-    val semLosers = Dedup.semanticDominated(spark, sfDir)
-      .select(col("vec_id").as("doc_id"))
-    // 2c. span decontamination: drop documents ≥ 50% covered by text
-    //     shared with other documents — the SAME spanCoverage verdict the
-    //     oracle-checked span_coverage query computes
-    val spanLosers = graft.operators.SpanDedup.spanCoverage.run(spark, sfDir)
-      .filter(col("drop_flag") === 1).select("doc_id")
-    exactDeduped
-      .join(dupLosers, Seq("doc_id"), "left_anti")
-      .join(semLosers, Seq("doc_id"), "left_anti")
-      .join(spanLosers, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$outDir/stage_dedup")
-    graft.CacheRegistry.clear()
-    val nearDeduped = spark.read.parquet(s"$outDir/stage_dedup")
-    val nearCt = nearDeduped.count()
-
-    // 3. quality filter: the Gopher hard-gate rule battery (the SAME
-    //    ruleFrame the oracle-checked doc_quality_rules query runs — word
-    //    count, mean word length, alphabetic/stopword/repetition rules),
-    //    then the corpus-LM score (the doc_lm_score op over THIS corpus's
-    //    own distribution) drops rare-token-gibberish outliers
-    val ruleKeep = graft.operators.Relevance.ruleFrame(nearDeduped)
-      .filter(col("keep") === 1).select("doc_id")
-    val shaped = nearDeduped.join(ruleKeep, "doc_id")
-    // the classifier-style scorer (doc_quality_score's expression) rides
-    // the same scan as the shape filter — map-side, no extra pass; the
-    // loose threshold mirrors a trained-classifier keep decision
-    graft.expressions.DocQuality.register(spark)
-    val classed = shaped.filter(
-      coalesce(expr("doc_quality(text)"), lit(Long.MinValue)) >= -100000L)
-    val lmKeep = graft.operators.Relevance.lmScores(classed)
-      .filter(col("avg_lp_x1m") >= -3600000L) // avg token logprob ≥ -3.6
-      .select("doc_id")
-    // STAGE BOUNDARY: lmScores persists the full token-explode (the
-    // job's largest intermediate) and four downstream actions would
-    // otherwise re-run its shuffles from lineage — stage the filtered
-    // corpus and release the scoring caches before sampling/packing
-    shaped.join(lmKeep, "doc_id")
-      .write.mode("overwrite").parquet(s"$outDir/stage_quality")
-    graft.CacheRegistry.clear()
-    val quality = spark.read.parquet(s"$outDir/stage_quality")
-    val qualityCt = quality.count()
-
-    // 4. deterministic stratified sample — the SAME sampleHash the
-    //    oracle-checked sample_stratified query runs
-    val rates = Sampling.rateRows.toDF("source", "rate_bp")
-    val sampled = quality
-      .withColumn("h", Sampling.sampleHash(col("doc_id")))
-      .join(broadcast(rates), "source")
-      .filter(col("h") < col("rate_bp"))
-      .drop("h", "rate_bp")
-    val sampledCt = sampled.count()
-
-    // 4b. data mixture: re-weight the surviving source composition toward
-    //     the target weights under the token budget — the SAME rates and
-    //     salted hash the oracle-checked sample_mixture query runs
-    val mixed = Sampling.applyMixture(sampled.withColumn("tok_ct",
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
-      .drop("tok_ct")
-    val mixedCt = mixed.count()
-
-    // 5. PII redaction
-    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phonePat = "\\+[0-9]{7,}"
-    val published = mixed.withColumn("text",
-      regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
-        phonePat, "<PHONE>"))
-
-    // 6. train/val/test split — the SAME withSplit the oracle-checked
-    //    split_assign query runs (salted hash, broadcast boundaries)
-    val assigned = Sampling.withSplit(published)
-
-    // 7. sequence packing per split — the SAME two-pass prefix sum the
-    //    oracle-checked pack_sequences runs, partitioned one level deeper
-    //    so each training split packs independently
-    val toks = assigned.withColumn("n_tokens",
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
-      .filter(col("n_tokens") > 0)
-    val packed = Packing.withPackedOffsets(toks, Seq("split"))
+    // sequence packing per split — the SAME two-pass prefix sum the
+    // oracle-checked pack_sequences runs, partitioned one level deeper
+    // so each training split packs independently
+    val packed = Packing.withPackedOffsets(assigned, Seq("split"))
 
     packed.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
     val splitCts = packed.groupBy("split").agg(
@@ -142,8 +70,9 @@ object LlmPipeline {
       .collect().map(r => s""""${r.getString(0)}":{"docs":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
       .sorted.mkString(",")
     val manifest =
-      s"""{"raw":$rawCt,"exact_dedup":$exactCt,"near_dedup":$nearCt,""" +
-        s""""quality":$qualityCt,"sampled":$sampledCt,"mixed":$mixedCt,"splits":{$splitCts}}"""
+      s"""{"raw":${counts("raw")},"exact_dedup":${counts("exact_dedup")},""" +
+        s""""near_dedup":${counts("near_dedup")},"quality":${counts("quality")},""" +
+        s""""sampled":${counts("sampled")},"mixed":${counts("mixed")},"splits":{$splitCts}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[llm-pipeline] $manifest")
     graft.CacheRegistry.clearAll()
