@@ -20,7 +20,25 @@ import org.apache.spark.sql.SparkSession
   * for the whole suite (their cost is the `shared_build` line).
   */
 object Bench {
+
+  /** The three /proc/loadavg load averages (1/5/15 min), or NaNs where
+    * unreadable (non-Linux) — the contention telemetry a gate reads to
+    * flag a noisy capture instead of ingesting 10x-contended numbers as
+    * if they were plan regressions.
+    */
+  private def loadAvg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case scala.util.control.NonFatal(_) => Seq.fill(3)(Double.NaN) }
+
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.map(x => if (x.isNaN) "null" else x.toString).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
+    // capture the PRE-RUN load: this is the other-tenant noise baseline
+    // (the end-of-run value mostly measures our own 32 threads)
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -83,7 +101,18 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()}}"""
+    // contention telemetry: pre/post load averages, total harness wall
+    // time (includes session + warmup + both runs — a contended machine
+    // inflates it far beyond sum(queries)), and a mechanical verdict a
+    // gate can act on without re-running: the PRE-run 1-min load is
+    // other-tenant noise (our own threads haven't started), so a capture
+    // starting above the threshold is flagged up front
+    val loadEnd = loadAvg()
+    val loadThreshold = sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD")
+      .map(_.toDouble).getOrElse(1.5)
+    val contended = !loadStart.head.isNaN && loadStart.head > loadThreshold
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":$wallSec,"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended}"""
     println(line)
     // stdout goes through sbt, which interleaves its own log lines — also
     // land the result in a file so a gate never depends on log scraping
