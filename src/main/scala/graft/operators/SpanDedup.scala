@@ -107,17 +107,30 @@ object SpanDedup {
       .orderBy(ida, idb, posa, posb)
   }
 
-  /** Contamination spans (bench = doc_id < 20) over a positional gram
-    * table — the [[contaminationSpan]] body, fixture-testable.
+  /** The contamination core over SEPARATE corpus/bench positional gram
+    * tables: bench grams broadcast, map-only match, diagonal run
+    * reconstruction. Each corpus document's spans depend only on itself
+    * and the (static) bench set — which is exactly why this unit streams:
+    * [[graft.streaming.SpanStream]] runs it per micro-batch against the
+    * same broadcast bench grams, and the accumulated spans provably equal
+    * the one-shot result (SpanStreamSpec).
     */
-  private[graft] def contaminationSpansOf(g: DataFrame, n: Int, minSpan: Int): DataFrame = {
-    val bench = g.filter(col("doc_id") < 20)
+  private[graft] def contaminationSpansAgainst(corpusG: DataFrame,
+      benchG: DataFrame, n: Int, minSpan: Int): DataFrame = {
+    val bench = benchG
       .select(col("doc_id").as("bench_id"), col("gram"), col("pos").as("pos_b"))
-    val m = g.filter(col("doc_id") >= 20)
+    val m = corpusG
       .join(broadcast(bench), "gram")
       .select(col("doc_id"), col("bench_id"), col("pos"), col("pos_b"))
     spans(m, n, minSpan, "doc_id", "bench_id", "pos", "pos_b")
   }
+
+  /** Contamination spans (bench = doc_id < 20) over a positional gram
+    * table — the [[contaminationSpan]] body, fixture-testable.
+    */
+  private[graft] def contaminationSpansOf(g: DataFrame, n: Int, minSpan: Int): DataFrame =
+    contaminationSpansAgainst(g.filter(col("doc_id") >= 20),
+      g.filter(col("doc_id") < 20), n, minSpan)
 
   /** Corpus-corpus shared spans over a positional gram table — the
     * [[dedupSpan]] body, fixture-testable.
