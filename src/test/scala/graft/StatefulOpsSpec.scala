@@ -162,6 +162,40 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState bounce agrees with flatMapGroupsWithState on all 4 paths") {
+    implicit val sqlCtx = spark.sqlContext
+    // the union of the four path fixtures above: match, timeout,
+    // follow-up (no bounce), late second entry (both bounce)
+    val logs = Seq(
+      PageLog("m1", "", ts("2024-01-01 00:00:00")),
+      PageLog("m1", "", ts("2024-01-01 00:00:05")),
+      PageLog("m1", "home", ts("2024-01-01 00:00:07")),
+      PageLog("m2", "", ts("2024-01-01 00:00:00")),
+      PageLog("m3", "", ts("2024-01-01 00:00:00")),
+      PageLog("m3", "home", ts("2024-01-01 00:00:06")),
+      PageLog("m4", "", ts("2024-01-01 00:00:00")),
+      PageLog("m4", "", ts("2024-01-01 00:00:30")))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "false")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "16")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "16")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxOpenFiles", "100")
+    try {
+      val tws = runStream(logs, farFuture)(BounceProcessor(_))
+        .filter(_.mid != "zz-no-op").map(b => (b.mid, b.ts.getTime)).toSet
+      val fmgws = runStream(logs, farFuture)(StatefulOps.bounces)
+        .filter(_.mid != "zz-no-op").map(b => (b.mid, b.ts.getTime)).toSet
+      assert(tws == fmgws, s"APIs disagree: tws=$tws fmgws=$fmgws")
+      assert(tws == Set(
+        ("m1", ts("2024-01-01 00:00:00").getTime),
+        ("m2", ts("2024-01-01 00:00:00").getTime),
+        ("m4", ts("2024-01-01 00:00:00").getTime),
+        ("m4", ts("2024-01-01 00:00:30").getTime)),
+        "the 4-path fixture must bounce m1 (match), m2 (timeout), m4 twice")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("new-user fixup: claimed is_new=1 rewritten to 0 for a seen mid") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[FlaggedLog]
