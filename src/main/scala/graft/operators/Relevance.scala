@@ -481,16 +481,27 @@ object Relevance {
     private val width = CmsWidth
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val words = graft.CacheRegistry.persist(
+      // persisted frame = the AGGREGATED (word, count) table, not the
+      // exploded occurrence stream: the exact side (this query's
+      // comparison harness) needs the word aggregation anyway, and
+      // caching ~vocabulary rows instead of every occurrence keeps the
+      // operator's own constant-state argument honest at larger
+      // fixtures. The grid derives from it by summing counts per cell —
+      // identical cells, two orders of magnitude less storage. (The
+      // PURE sketch path — no exact side — builds the grid straight off
+      // the stream with map-side combine; that shape is
+      // streaming/HeavyHitters, which shares cmsBucket/cmsDigest.)
+      val wordCounts = graft.CacheRegistry.persist(
         Tables.load(spark, sfDir, "documents")
-          .select(explode(tokens(col("text"))).as("word")))
-      val exact = words.groupBy("word").agg(count(lit(1)).as("exact_ct"))
-      val top = exact.orderBy(col("exact_ct").desc, col("word")).limit(20)
-      val grid = words
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("exact_ct")))
+      val top = wordCounts.orderBy(col("exact_ct").desc, col("word")).limit(20)
+      val grid = wordCounts
         .withColumn("h", cmsDigest(col("word")))
-        .select(posexplode(array((0 until depth).map(r => cmsBucket(r, col("h"))): _*))
-          .as(Seq("r", "bucket")))
-        .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+        .select(col("exact_ct"),
+          posexplode(array((0 until depth).map(r => cmsBucket(r, col("h"))): _*))
+            .as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(sum(col("exact_ct")).as("cell"))
       val probes = top
         .withColumn("h", cmsDigest(col("word")))
         .select(col("word"), col("exact_ct"),
