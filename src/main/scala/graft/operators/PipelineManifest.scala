@@ -31,14 +31,36 @@ object PipelineManifest {
   private[graft] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private[graft] val PhonePat = "\\+[0-9]{7,}"
 
+  /** The default stage hook: MATERIALIZE (lineage-truncating persist,
+    * [[graft.CacheRegistry.materialize]]) the two boundaries the pipeline
+    * binary stages to parquet (post-dedup, post-quality). Both halves of
+    * that choice are load-bearing:
+    *  - the persist itself: the deduped/quality frames feed several
+    *    downstream branches (rules, classifier, LM threshold, final
+    *    join), which would otherwise re-derive the three loser joins per
+    *    branch;
+    *  - the LINEAGE CUT: the composed logical plan (connected components
+    *    + span windows + semantic cells + corpus-LM) is so large that
+    *    Catalyst re-analysis alone cost ~10 s PER downstream ACTION with
+    *    a plain persist (cache substitution happens after the full tree
+    *    is re-optimized) — measured 47 s query → ~13 s by cutting to a
+    *    LogicalRDD leaf at the same two boundaries. The pipeline binary
+    *    gets the identical effect from its parquet staging round-trip.
+    */
+  private def persistBoundaries(name: String, df: DataFrame): DataFrame = name match {
+    case "dedup" | "quality" => graft.CacheRegistry.materialize(df)
+    case _ => df
+  }
+
   /** The full survivor chain, stage by stage; `stage(name, df)` is a
-    * pass-through hook the pipeline binary uses for staging
-    * materialization and manifest counts (names: raw, exact, dedup,
-    * quality, sampled, mixed). Returns the final per-document frame
-    * (doc_id, source, redacted text, split, n_tokens > 0).
+    * hook the pipeline binary swaps for its staging materialization and
+    * manifest counts (names: raw, exact, dedup, quality, sampled,
+    * mixed); the default persists the two heavy boundaries. Returns the
+    * final per-document frame (doc_id, source, redacted text, split,
+    * n_tokens > 0).
     */
   private[graft] def survivors(spark: SparkSession, sfDir: String,
-      stage: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+      stage: (String, DataFrame) => DataFrame = persistBoundaries): DataFrame = {
     import spark.implicits._
     val raw = stage("raw", Tables.load(spark, sfDir, "documents"))
 
