@@ -58,21 +58,44 @@ object ProductQuant {
   /** Floor-scaled squared L2 distance ||s − cw||² between column pairs —
     * expanded as dot(s,s) − 2·dot(s,cw) + dot(cw,cw) so both engines fold
     * left-to-right identically; scaled by 1e8 before floor so compares are
-    * integer-exact.
+    * integer-exact. The two self-dots are INVARIANTS of their own sides
+    * (per sub-vector / per codeword) and arrive precomputed as `s2`/`cw2`
+    * — recomputing them per CANDIDATE was K× wasted work per sub-vector;
+    * the double arithmetic is the same values in the same order, so the
+    * scores are bit-identical to the inline form.
     */
   private def d2Scaled: org.apache.spark.sql.Column =
-    floor((expr("dot_double(s, s)") - lit(2.0) * expr("dot_double(s, cw)") +
-      expr("dot_double(cw, cw)")) * lit(1e8)).cast("long")
+    floor((col("s2") - lit(2.0) * expr("dot_double(s, cw)") + col("cw2")) *
+      lit(1e8)).cast("long")
 
-  /** Nearest codeword per (vec_id, m): broadcast the codebook, rank by
-    * scaled d2 then codeword id.
+  /** Nearest codeword per (vec_id, m): broadcast the codebook, pick the
+    * min (scaled d2, codeword id) pair per sub-vector with `min_by` — a
+    * hash aggregation with map-side partials, so the corpus × K candidate
+    * rows collapse per partition BEFORE any exchange (ties impossible: k
+    * breaks them). The earlier row_number window shuffled and sorted the
+    * full candidate table — at K=256 that was 4M sorted rows per assign
+    * and the dominant cost of the 8-bit point.
     */
   private def assign(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2_sc"), col("k"))
-    sub.join(broadcast(cb), "m")
-      .withColumn("d2_sc", d2Scaled)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // the (d2, k) lexicographic argmin rides ONE primitive long through
+    // the corpus × K aggregation: d2_sc ≥ 0 and k < 1024, so
+    // d2_sc * 1024 + k orders exactly like (d2_sc, k) and min() stays a
+    // codegen'd long comparison with map-side partials (a struct-ordered
+    // min_by, and before it a row_number window over the sorted candidate
+    // table, both measured slower at K=256 — the buffer carried arrays /
+    // interpreted struct compares through 4M rows). The winners then pick
+    // their sub-vector back up via a broadcast of the tiny result.
+    val best = sub.withColumn("s2", expr("dot_double(s, s)"))
+      .join(broadcast(cb.withColumn("cw2", expr("dot_double(cw, cw)"))), "m")
+      .groupBy("vec_id", "m")
+      .agg(min(d2Scaled * lit(1024L) + col("k")).as("ord"))
+      // pmod, not %: d2_sc can be −1 when a codeword nearly equals its
+      // member (the expanded form s2−2s·cw+cw2 of a ~0 distance floors
+      // to −1 under fp rounding), and Java % of the then-negative packed
+      // value would corrupt the decoded k (ordering is unaffected — the
+      // packing is monotone for negative d2 too)
+      .select(col("vec_id"), col("m"), pmod(col("ord"), lit(1024L)).as("k"))
+    sub.join(broadcast(best), Seq("vec_id", "m"))
       .select(col("vec_id"), col("m"), col("k"), col("s"))
   }
 
