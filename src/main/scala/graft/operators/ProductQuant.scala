@@ -42,18 +42,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ProductQuant {
 
-  private val M = 8      // subspaces
-  private val Dsub = 8   // dims per subspace (M * Dsub = Similarity dims)
+  private val Dims = 64  // Similarity vector width (M * Dsub = Dims)
+  private val M = 8      // default subspace count
   private val SeedK = 16 // codewords per subspace (4-bit codes)
   private val SeedK8 = 256 // codewords per subspace (8-bit codes)
+  private val M16 = 16   // the subspace LEVER: 16 x 4-dim subspaces
 
   /** Normalized sub-vector table (vec_id, m, s): m 0-based, s = the unit
-    * vector's dims [m*Dsub+1, (m+1)*Dsub].
+    * vector's dims [m*dsub+1, (m+1)*dsub] for dsub = Dims / mCount.
     */
-  private def subVectors(e: DataFrame): DataFrame =
+  private def subVectors(e: DataFrame, mCount: Int): DataFrame = {
+    val dsub = Dims / mCount
     e.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      .select(col("vec_id"), posexplode(array((0 until M).map(m =>
-        slice(col("u"), m * Dsub + 1, Dsub)): _*)).as(Seq("m", "s")))
+      .select(col("vec_id"), posexplode(array((0 until mCount).map(m =>
+        slice(col("u"), m * dsub + 1, dsub)): _*)).as(Seq("m", "s")))
+  }
 
   /** Floor-scaled squared L2 distance ||s − cw||² between column pairs —
     * expanded as dot(s,s) − 2·dot(s,cw) + dot(cw,cw) so both engines fold
@@ -118,7 +121,7 @@ object ProductQuant {
     * shared, so the 4-bit and 8-bit points pay for them once.
     */
   private def pqChain(spark: SparkSession, sfDir: String,
-      seedK: Int): (DataFrame, DataFrame, DataFrame) = {
+      seedK: Int, mCount: Int): (DataFrame, DataFrame, DataFrame) = {
     val e = Similarity.vecs(spark, sfDir)
     // IVF candidate generation — identical cell machinery to ann_ivf
     val cents = e.filter(col("vec_id") < 16)
@@ -133,7 +136,8 @@ object ProductQuant {
       .filter(col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
     // PQ codebook: deterministic seeds + one exact Lloyd step
-    val sub = graft.CacheRegistry.shared(s"pq_sub:$sfDir")(subVectors(e))
+    val sub = graft.CacheRegistry.shared(s"pq_sub:$mCount:$sfDir")(
+      subVectors(e, mCount))
     val seeds = sub.filter(col("vec_id") < seedK)
       .select(col("m"), col("vec_id").as("k"), col("s").as("cw"))
     val cb = graft.CacheRegistry.persist(refine(assign(sub, seeds)))
@@ -147,11 +151,12 @@ object ProductQuant {
   /** ADC-scored top-3 per query over the probed cells, at `seedK`
     * codewords per subspace.
     */
-  private def pqTopK(qName: String, seedK: Int): GraftQuery = new GraftQuery {
+  private def pqTopK(qName: String, seedK: Int,
+      mCount: Int = M): GraftQuery = new GraftQuery {
     val name = qName
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val (pairs, codes, lut) = pqChain(spark, sfDir, seedK)
+      val (pairs, codes, lut) = pqChain(spark, sfDir, seedK, mCount)
       val scored = pairs
         .join(codes, "vec_id")
         .join(broadcast(lut),
@@ -169,7 +174,7 @@ object ProductQuant {
         .orderBy("query_id", "rank")
     }
 
-    def oracle: Option[String] = Some(duckPqCtes(seedK) + """
+    def oracle: Option[String] = Some(duckPqCtes(seedK, mCount) + """
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_bp
       FROM pq_ranked WHERE rank <= 3 ORDER BY query_id, rank
     """)
@@ -181,11 +186,17 @@ object ProductQuant {
   /** ADC top-3 at 256 codewords (8-bit codes, 64x). */
   val annIvfPq8: GraftQuery = pqTopK("ann_ivf_pq8", SeedK8)
 
+  /** ADC top-3 at 16 subspaces of 4 dims, 16 codewords (64x) — the
+    * SUBSPACE lever at the same 8 B/vec budget as [[annIvfPq8]], so the
+    * two answer "spend the byte on codewords or on subspaces?" directly.
+    */
+  val annIvfPqM16: GraftQuery = pqTopK("ann_ivf_pq_m16", SeedK, M16)
+
   /** recall@3 of the compressed search vs full-precision brute force —
     * the tradeoff number for the storage saving at `seedK` codewords.
     */
   private def pqRecallOf(qName: String, seedK: Int,
-      topk: GraftQuery): GraftQuery = new GraftQuery {
+      topk: GraftQuery, mCount: Int = M): GraftQuery = new GraftQuery {
     val name = qName
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
@@ -203,7 +214,7 @@ object ProductQuant {
         .orderBy("query_id")
     }
 
-    def oracle: Option[String] = Some(duckPqCtes(seedK) + """
+    def oracle: Option[String] = Some(duckPqCtes(seedK, mCount) + """
       , brute AS (
         SELECT query_id, neighbor_id FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -230,10 +241,15 @@ object ProductQuant {
   /** recall@3 at 256 codewords (8-bit, 64x). */
   val pq8Recall: GraftQuery = pqRecallOf("ann_pq8_recall", SeedK8, annIvfPq8)
 
+  /** recall@3 at 16 x 4-dim subspaces (64x via subspace count). */
+  val pqM16Recall: GraftQuery =
+    pqRecallOf("ann_pq_m16_recall", SeedK, annIvfPqM16, M16)
+
   /** DuckDB mirror of the whole IVF-PQ chain up to
     * `pq_ranked(query_id, neighbor_id, adc_bp, rank)`.
     */
-  private def duckPqCtes(seedK: Int): String = {
+  private def duckPqCtes(seedK: Int, mCount: Int): String = {
+    val dsub = Dims / mCount
     def dot(a: String, b: String, len: String) =
       s"list_sum(list_transform(generate_series(1, $len), i -> $a[i] * $b[i]))"
     val d2 = s"floor((${dot("s", "s", "len(s)")} - 2.0 * ${dot("s", "cw", "len(s)")} + " +
@@ -261,8 +277,8 @@ object ProductQuant {
         WHERE q.vec_id <> c.vec_id),
       u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
       sub AS (
-        SELECT vec_id, m, u[m*$Dsub+1 : m*$Dsub+$Dsub] AS s
-        FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m)),
+        SELECT vec_id, m, u[m*$dsub+1 : m*$dsub+$dsub] AS s
+        FROM u CROSS JOIN (SELECT unnest(generate_series(0, ${mCount - 1})) AS m)),
       cb0 AS (SELECT m, vec_id AS k, s AS cw FROM sub WHERE vec_id < $seedK),
       asg0 AS (
         SELECT sub.vec_id, sub.m, sub.s, cb0.k, $d2 AS d2_sc
@@ -431,5 +447,6 @@ object ProductQuant {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annIvfPq8, pq8Recall, annInt8, int8Recall)
+  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annIvfPq8, pq8Recall,
+    annIvfPqM16, pqM16Recall, annInt8, int8Recall)
 }
