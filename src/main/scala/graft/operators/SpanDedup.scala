@@ -68,7 +68,7 @@ object SpanDedup {
     * otherwise.
     */
   /** The session-shared tokenized corpus (doc_id, ws). */
-  private def sharedToks(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def sharedToks(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.shared(s"doc_toks:$sfDir") {
       Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("ws"))

@@ -71,7 +71,7 @@ object TextEmbed {
         (acc, x) => zip_with(acc, x, _ + _)).as("e"))
   }
 
-  private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def docVectors(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.shared(s"doc_embed:$sfDir") {
       embedFrame(Tables.load(spark, sfDir, "documents"))
     }

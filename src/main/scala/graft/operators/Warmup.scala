@@ -3,12 +3,14 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Materializes the session-shared frames ([[graft.CacheRegistry.shared]])
-  * outside any per-query timer. Three frames are shared across the suite —
+  * outside any per-query timer. Five frames are shared across the suite —
   * the enriched-events derivation (seven log queries), the normalized
-  * embedding vectors (six ANN queries) and the char-5-gram sketches (ngram
-  * dedup + contamination). Without an explicit warmup, whichever query a
-  * harness happens to run first against each frame is charged its full
-  * build cost, making per-query timings order-dependent.
+  * embedding vectors (the ANN family), the char-5-gram sketches (ngram
+  * dedup + contamination), the tokenized corpus (the span family +
+  * pipeline manifest) and the derived document embeddings (doc_embed /
+  * doc_embed_ann / dedup_semantic_text). Without an explicit warmup,
+  * whichever query a harness happens to run first against each frame is
+  * charged its full build cost, making per-query timings order-dependent.
   */
 object Warmup {
 
@@ -20,6 +22,8 @@ object Warmup {
     LogStats.enriched(spark, sfDir).count()
     Similarity.vecs(spark, sfDir).count()
     Dedup.ngramSketches(spark, sfDir).count()
+    SpanDedup.sharedToks(spark, sfDir).count()
+    TextEmbed.docVectors(spark, sfDir).count()
     (System.nanoTime() - t0) / 1e9
   }
 }
