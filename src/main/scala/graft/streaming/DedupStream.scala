@@ -23,10 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - Delivery: foreachBatch is at-least-once on failure/replay. A
   *    replayed micro-batch re-appends its band rows (candidate dupes are
   *    collapsed by `bandCandidates`' distinct and the min() verdict agg,
-  *    so verdicts stay CORRECT) and re-appends its verdict rows (readers
-  *    take the per-doc min/any — the rows are identical). Exactly-once
-  *    index maintenance would swap the raw appends for the
-  *    [[graft.sources.SnapshotTable]] atomic publish keyed by batch id.
+  *    so verdicts stay CORRECT). Verdict OUTPUT upgrades to exactly-once
+  *    with `exactlyOnce = true` — the batch-id-keyed idempotent commit
+  *    ([[ExactlyOnce.write]], ExactlyOnceSpec proves replay leaves one
+  *    copy); the index appends stay at-least-once BY DESIGN (correctness
+  *    does not depend on them being unique, and a batch-id-keyed index
+  *    layout would force a directory listing per crawl to reconstruct
+  *    state the flat append already is).
   *  - The per-batch caches registered by `ingestBatch` are released after
   *    each verdict write via `CacheRegistry.clear()` — the stream owns the
   *    session's per-query registry while running, exactly like one
@@ -45,15 +48,22 @@ object DedupStream {
     * `clearIndex(force = true)` clears).
     */
   def start(docs: DataFrame, idx: String, verdictsDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, exactlyOnce: Boolean = false): StreamingQuery = {
     val spark = docs.sparkSession
     IncrementalDedup.markStreamActive(spark, idx)
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          IncrementalDedup.ingestBatch(batch.sparkSession, batch, idx)
-            .write.mode("append").parquet(verdictsDir)
+          val verdicts = IncrementalDedup.ingestBatch(batch.sparkSession, batch, idx)
+          // exactly-once verdict commit: batch content is deterministic
+          // (same docs → same index join → same verdicts), so the
+          // batch-id-keyed overwrite makes a replay byte-identical; the
+          // index append side stays at-least-once BY DESIGN (duplicates
+          // are collapsed by the candidate distinct / min verdict, see
+          // class doc)
+          if (exactlyOnce) ExactlyOnce.write(verdicts, verdictsDir, batchId)
+          else verdicts.write.mode("append").parquet(verdictsDir)
         }
         graft.CacheRegistry.clear()
       }

@@ -31,17 +31,22 @@ object SpanStream {
     * (doc_id, bench_id, pos, pos_b, span_tokens) append to `outDir`.
     */
   def start(docs: DataFrame, benchDocs: DataFrame, outDir: String,
-      checkpointDir: String, n: Int = 5, minSpan: Int = 12): StreamingQuery = {
+      checkpointDir: String, n: Int = 5, minSpan: Int = 12,
+      exactlyOnce: Boolean = false): StreamingQuery = {
     // built once, session-cached: the bench side is small by contract
     // (an eval set), exactly the frame the batch query broadcasts
     val benchG = SpanDedup.gramTableOf(benchDocs, n).persist()
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          SpanDedup.contaminationSpansAgainst(
+          val spans = SpanDedup.contaminationSpansAgainst(
             SpanDedup.gramTableOf(batch, n), benchG, n, minSpan)
-            .write.mode("append").parquet(outDir)
+          // span rows are a pure function of (batch, bench), so the
+          // batch-id-keyed overwrite commit upgrades delivery from
+          // at-least-once to exactly-once
+          if (exactlyOnce) ExactlyOnce.write(spans, outDir, batchId)
+          else spans.write.mode("append").parquet(outDir)
         }
         ()
       }
