@@ -284,11 +284,35 @@ object Relevance {
           ((conv(substring(md5(concat(lit("w|"), col("id").cast("string"))), 1, 4),
             16, 10).cast("long") - lit(32767.5)) / lit(32768.0)).as("weight"))
 
-    /** Write-if-absent, then read back and densify: the model-load step. */
+    /** Write-if-absent, then read back and densify: the model-load step.
+      * The publish is staged + atomically renamed so two JVMs racing the
+      * first write (test suite vs Verify) cannot expose each other a
+      * half-written directory: the loser's rename fails and it reads the
+      * winner's table. A crash-orphaned target (exists, no _SUCCESS) is
+      * removed before staging.
+      */
     private[graft] def load(spark: SparkSession): Array[Double] = synchronized {
       cached.getOrElseUpdate(weightsPath, {
-        if (!new java.io.File(weightsPath, "_SUCCESS").exists())
-          generate(spark).coalesce(1).write.mode("overwrite").parquet(weightsPath)
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val target = Paths.get(weightsPath)
+        def complete = Files.exists(target.resolve("_SUCCESS"))
+        if (!complete) {
+          if (Files.exists(target)) { // crash garbage from a prior attempt
+            val garbage = Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+            try garbage.forEach(p => { Files.deleteIfExists(p); () })
+            finally garbage.close()
+          }
+          val tmp = weightsPath + ".stage." + java.util.UUID.randomUUID()
+          generate(spark).coalesce(1).write.mode("overwrite").parquet(tmp)
+          try Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // a concurrent JVM published first — drop our stage, use theirs
+              val stage = Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+              try stage.forEach(p => { Files.deleteIfExists(p); () })
+              finally stage.close()
+          }
+        }
         val rows = spark.read.parquet(weightsPath)
           .select("feature_hash", "weight").collect()
         val w = new Array[Double](graft.expressions.DocQualityTrained.Buckets)
