@@ -786,6 +786,90 @@ object Dedup {
     * never invalidates); a production diagnostic over similar sources
     * wants 128+; the merge/estimate shape is width-independent.
     */
+  /** Per-source keeper priority (lower = preferred) — the broadcast
+    * config of [[priorityDedup]]: a training pipeline keeps the COPY
+    * FROM THE BEST SOURCE (curated > books > crawl), not the lowest id.
+    * Fixture shape: sources cycle through three tiers.
+    */
+  private[graft] val sourcePriority: Seq[(String, Int)] =
+    Seq.tabulate(20)(i => (s"src$i", i % 3))
+
+  /** PRIORITY-AWARE near-dup dedup — the production keeper policy over
+    * the [[clusters]] connected components: within each near-dup
+    * cluster, the keeper is the member with the best (source priority,
+    * doc_id), so a curated copy survives a lower-id crawl copy that the
+    * id-min rule would have kept. Reported per clustered document:
+    * cluster, keeper, its own priority and the keep flag.
+    *
+    * Shape: the cluster labels (log-round CC, unchanged) join the
+    * broadcast priority config; the per-cluster argmin rides ONE packed
+    * long — priority * 2^40 + doc_id, exact integer lexicographic order
+    * (ids are far below 2^40 at any realistic corpus shard; both
+    * engines compute the identical packing) — through a map-side-
+    * combinable min, the same aggregation-not-window shape as the PQ
+    * codeword argmin. Cost over plain [[clusters]]: one broadcast join
+    * + one ≤|clustered docs| aggregation; no new shuffle family.
+    */
+  val priorityDedup: GraftQuery = new GraftQuery {
+    val name = "dedup_priority"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val pairs = minhashLsh.run(spark, sfDir).select("doc_a", "doc_b")
+      val edges = graft.CacheRegistry.persist(pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      val (labels, _) = propagateLabels(edges)
+      val prio = sourcePriority.toDF("source", "prio")
+      val member = labels
+        .join(Tables.load(spark, sfDir, "documents").select("doc_id", "source"),
+          labels("doc") === col("doc_id"))
+        .join(broadcast(prio), "source")
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          col("prio").cast("long").as("prio"))
+      val keeper = member
+        .groupBy("cluster_id")
+        .agg(min(col("prio") * lit(1099511627776L) + col("doc_id")).as("ord"))
+        .select(col("cluster_id"), pmod(col("ord"), lit(1099511627776L)).as("keeper_id"))
+      member.join(broadcast(keeper), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("prio"),
+          col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).cast("long").as("is_keeper"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = {
+      val vals = sourcePriority.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      Some(duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+      , dup AS (
+        SELECT doc_a, doc_b FROM v WHERE floor(inter * 10000.0 / uni) >= 5000),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      lbl AS (
+        SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        FROM reach GROUP BY s),
+      pr(source, prio) AS (VALUES $vals),
+      member AS (
+        SELECT lbl.doc_id, lbl.cluster_id, CAST(pr.prio AS BIGINT) AS prio
+        FROM lbl JOIN documents d ON lbl.doc_id = d.doc_id
+        JOIN pr ON d.source = pr.source),
+      keeper AS (
+        SELECT cluster_id,
+               min(prio * 1099511627776 + doc_id) % 1099511627776 AS keeper_id
+        FROM member GROUP BY cluster_id)
+      SELECT m.doc_id, m.cluster_id, m.prio,
+             CAST(k.keeper_id AS BIGINT) AS keeper_id,
+             CAST(m.doc_id = k.keeper_id AS BIGINT) AS is_keeper
+      FROM member m JOIN keeper k USING (cluster_id)
+      ORDER BY m.doc_id
+      """)
+    }
+  }
+
   val sourceOverlap: GraftQuery = new GraftQuery {
     val name = "source_overlap"
 
@@ -878,5 +962,6 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
-      embeddingLsh, semantic, contamination, clusters, sourceOverlap)
+      embeddingLsh, semantic, contamination, clusters, priorityDedup,
+      sourceOverlap)
 }
