@@ -272,5 +272,62 @@ object Sampling {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(stratified, splitAssign, mixture)
+  /** Shard count of [[corpusShard]] — a config in production (one shard
+    * per training data-loader worker), a fixture constant here.
+    */
+  private[graft] val ShardCount = 8
+
+  /** Deterministic SHARD + TRAINING-ORDER assignment — the last step
+    * before a training job consumes the corpus: every document lands in
+    * exactly one of [[ShardCount]] shards (salted hash, decorrelated
+    * from the sampling/split/mixture hashes), and WITHIN its shard gets
+    * a reproducible shuffle position (order by a second salted hash,
+    * doc_id tie-break). Re-running on any cluster regenerates the
+    * identical read order — the property that makes a training run
+    * resumable and an ablation comparable. Output is the per-shard
+    * audit: document/token counts and an ORDER-SENSITIVE checksum
+    * (md5 over the doc-id sequence IN shuffLE ORDER), so the oracle
+    * match proves the exact permutation, not just the membership.
+    *
+    * Shape: two codegen'd hash projections, one groupBy(shard) whose
+    * collect_list sorts per shard — at 100 TB the real op materializes
+    * the order as a per-shard sort (exactly the distributed sort you
+    * want: partition by shard, sort within partitions, write); the
+    * audit form here aggregates the same permutation into a checksum.
+    */
+  val corpusShard: GraftQuery = new GraftQuery {
+    val name = "corpus_shard"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok_ct"),
+          (hash24(concat(lit("shard:"), col("doc_id").cast("string"))) % ShardCount)
+            .cast("long").as("shard"),
+          hash24(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("tok_ct")).cast("long").as("tokens"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              p => p.getField("doc_id").cast("string")))).as("order_md5"))
+        .orderBy("shard")
+
+    def oracle: Option[String] = Some(
+      graft.functions.TextFunctions.duckToksCte + s"""
+      , d AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS tok_ct,
+               ${duckHashHex("'shard:' || CAST(doc_id AS VARCHAR)", 6)} % $ShardCount AS shard,
+               ${duckHashHex("'order:' || CAST(doc_id AS VARCHAR)", 6)} AS ord
+        FROM toks)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             count(*) AS docs,
+             CAST(sum(tok_ct) AS BIGINT) AS tokens,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord, doc_id)) AS order_md5
+      FROM d GROUP BY shard ORDER BY shard
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(stratified, splitAssign, mixture, corpusShard)
 }
