@@ -59,4 +59,37 @@ class SpanStreamSpec extends SparkSpec {
       CacheRegistry.clear()
     }
   }
+
+  test("span stream resumes from checkpoint without loss or duplication") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val benchDf = Seq((1L, s"stem $run tail")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("span_ck_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("span_ck_ck").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q1 = streaming.SpanStream.start(
+      mem.toDS().toDF("doc_id", "text"), benchDf, out, ckpt, exactlyOnce = true)
+    try {
+      mem.addData((100L, s"first page with $run quoted"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // a NEW query object over the SAME checkpoint continues the stream
+    val q2 = streaming.SpanStream.start(
+      mem.toDS().toDF("doc_id", "text"), benchDf, out, ckpt, exactlyOnce = true)
+    try {
+      mem.addData((200L, s"second page also containing $run verbatim"),
+        (201L, "clean page about nothing relevant at all"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(100L, 200L),
+        s"restart must keep batch-1 spans and add batch-2's exactly once: $got")
+    } finally {
+      q2.stop()
+      CacheRegistry.clear()
+    }
+  }
 }
