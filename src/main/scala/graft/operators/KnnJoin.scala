@@ -45,18 +45,22 @@ object KnnJoin {
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
       val queryProbe = ranked.filter(col("crank") <= 2)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      // project the vectors AWAY before the rank window: the candidate
+      // frame is ~2·n·√n rows, and shuffling it with two 64-dim doubles
+      // per row is ~50x the bytes of the (query, neighbor, score) triple
+      // (measured 151 s → ~3 s on the 10x blowup for the recall twin)
       val scored = queryProbe.as("q")
         .join(corpusCell.as("c"),
           col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-        .withColumn("cos_bp",
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
           floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /
-            (col("q.nrm") * col("c.nrm"))).cast("long"))
-      val w = Window.partitionBy(col("q.vec_id"))
-        .orderBy(col("cos_bp").desc, col("c.vec_id"))
+            (col("q.nrm") * col("c.nrm"))).cast("long").as("cos_bp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_bp").desc, col("neighbor_id"))
       scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("cos_bp"))
     }
 
@@ -121,17 +125,19 @@ object KnnJoin {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val e = Similarity.vecs(spark, sfDir)
       val q = e.filter(col("vec_id") % 17 === 0)
+      // same column-slimming as [[knnRows]]: score in the scan, shuffle
+      // only the id/score triple into the rank window
       val scored = e.as("c")
         .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
-        .withColumn("cos_bp",
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
           floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /
-            (col("q.nrm") * col("c.nrm"))).cast("long"))
-      val w = Window.partitionBy(col("q.vec_id"))
-        .orderBy(col("cos_bp").desc, col("c.vec_id"))
+            (col("q.nrm") * col("c.nrm"))).cast("long").as("cos_bp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_bp").desc, col("neighbor_id"))
       val truth = scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
       val got = knnRows(spark, sfDir)
         .filter(col("query_id") % 17 === 0)
         .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
