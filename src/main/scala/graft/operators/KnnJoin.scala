@@ -46,9 +46,12 @@ object KnnJoin {
       val queryProbe = ranked.filter(col("crank") <= 2)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
       // project the vectors AWAY before the rank window: the candidate
-      // frame is ~2·n·√n rows, and shuffling it with two 64-dim doubles
-      // per row is ~50x the bytes of the (query, neighbor, score) triple
-      // (measured 151 s → ~3 s on the 10x blowup for the recall twin)
+      // frame is ~2·n·√n rows, and carrying two 64-dim doubles per row is
+      // ~50x the bytes of the (query, neighbor, score) triple. The
+      // `rank <= 3` filter then rewrites to a PARTIAL WindowGroupLimit
+      // (visible in the plan): each map partition keeps only its own top-3
+      // per query BEFORE the exchange, so the window shuffle is bounded at
+      // ~3 rows per (query, partition) — the map-side-combine of top-k.
       val scored = queryProbe.as("q")
         .join(corpusCell.as("c"),
           col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
@@ -126,8 +129,12 @@ object KnnJoin {
       val e = Similarity.vecs(spark, sfDir)
       val q = e.filter(col("vec_id") % 17 === 0)
       // same column-slimming as [[knnRows]]: score in the scan, shuffle
-      // only the id/score triple into the rank window
-      val scored = e.as("c")
+      // only the id/score triple into the rank window. The corpus side
+      // widens to session parallelism FIRST — this broadcast brute pass is
+      // CPU-dense map-only work (|sample| dots per corpus row) running on
+      // the cached frame's 1-2 scan partitions; without the exchange it
+      // saturated two cores (52.7 s on the 10x fixture, ~3 s widened).
+      val scored = e.repartition(spark.sparkContext.defaultParallelism).as("c")
         .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
           floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /

@@ -180,8 +180,71 @@ object ProductQuant {
     """)
   }
 
+  /** Flat-array ADC — the production form of the lookup the join-form
+    * doc comment names: per-vector codes pack into ONE `array<int>` of
+    * length M, the per-query LUT into ONE `array<double>` of length
+    * M·K (position m·K + k), and a candidate is scored by a single
+    * codegen'd `aggregate` over m — M positional `element_at`s and a
+    * DECIMAL fold. vs the join form this removes the M-row explode per
+    * candidate, the (m, k) lookup join AND the per-candidate groupBy:
+    * the candidate frame stays ONE row wide end to end, so the only
+    * per-candidate shuffle left is the final rank window's skinny
+    * triple. The dense-array positions are filled through a map
+    * (absent = dropped codeword → 0.0, never referenced by any code),
+    * so a sparse surviving codebook cannot shift positions — the
+    * correctness caveat that kept the join form as the oracled
+    * default. Scores are bit-identical to [[annIvfPq]] (same partials,
+    * DECIMAL addition is exact so fold order is irrelevant) — proven
+    * by sharing its oracle verbatim and by PqFlatSpec's frame-equality
+    * check against the join form.
+    */
+  private def pqTopKFlat(qName: String, seedK: Int,
+      mCount: Int = M): GraftQuery = new GraftQuery {
+    val name = qName
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val (pairs, codes, lut) = pqChain(spark, sfDir, seedK, mCount)
+      val codesArr = codes.groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p.getField("code").cast("int")).as("codes"))
+      val lutArr = lut
+        .groupBy("qid")
+        .agg(map_from_entries(collect_list(struct(
+          (col("m") * seedK + col("k")).cast("int"), col("part")))).as("mm"))
+        .select(col("qid"), expr(
+          s"transform(sequence(0, ${mCount * seedK - 1}), " +
+            "i -> coalesce(element_at(mm, int(i)), cast(0.0 as double)))")
+          .as("lut"))
+      val adc = expr(
+        s"aggregate(sequence(0, ${mCount - 1}), cast(0.0 as decimal(27,10)), " +
+          s"(acc, m) -> cast(acc + cast(element_at(lut, " +
+          s"int(m) * $seedK + element_at(codes, int(m) + 1) + 1) " +
+          "as decimal(27,10)) as decimal(27,10)))")
+      val scored = pairs.join(codesArr, "vec_id").join(broadcast(lutArr), "qid")
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          floor(adc * lit(10000)).cast("long").as("adc_bp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_bp").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("adc_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some(duckPqCtes(seedK, mCount) + """
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_bp
+      FROM pq_ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
   /** ADC top-3 at 16 codewords (4-bit codes, 128x). */
   val annIvfPq: GraftQuery = pqTopK("ann_ivf_pq", SeedK)
+
+  /** Flat-array ADC at the same 16 codewords — identical results to
+    * [[annIvfPq]] through the packed-array scorer.
+    */
+  val annIvfPqFlat: GraftQuery = pqTopKFlat("ann_ivf_pq_flat", SeedK)
 
   /** ADC top-3 at 256 codewords (8-bit codes, 64x). */
   val annIvfPq8: GraftQuery = pqTopK("ann_ivf_pq8", SeedK8)
@@ -447,6 +510,6 @@ object ProductQuant {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(annIvfPq, pqRecall, annIvfPq8, pq8Recall,
-    annIvfPqM16, pqM16Recall, annInt8, int8Recall)
+  val all: Seq[GraftQuery] = Seq(annIvfPq, annIvfPqFlat, pqRecall, annIvfPq8,
+    pq8Recall, annIvfPqM16, pqM16Recall, annInt8, int8Recall)
 }

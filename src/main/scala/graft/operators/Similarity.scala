@@ -87,18 +87,15 @@ object Similarity {
     // shared: ann_recall composes the brute-force and LSH queries, so the
     // normalized-vector frame is read by several plans per session
     graft.CacheRegistry.shared(s"vecs:$sfDir") {
-      // Widen to session parallelism BEFORE caching: the embeddings table
-      // is small in BYTES (64 floats/row), so the file scan yields 1-2
-      // partitions — but every ANN consumer multiplies per-row work
-      // (center assign = xK dots, broadcast-join fan-out = x|sample|), and
-      // that work runs on the CACHED partitioning. Measured on the 10x
-      // fixture: the brute-truth rank went 52.7 s -> ~3 s once the map
-      // side actually used the cores. At production scale the scan is
-      // already wide and the exchange is one pass of a skinny frame.
-      val raw = Tables.load(spark, sfDir, "embeddings")
-      val width = spark.sparkContext.defaultParallelism
-      val wide = if (raw.rdd.getNumPartitions >= width) raw else raw.repartition(width)
-      wide
+      // Cached on the SCAN partitioning deliberately: the embeddings table
+      // is byte-small (1-2 scan partitions at test scale), and most
+      // consumers either shuffle on their own keys (blocked joins widen to
+      // spark.sql.shuffle.partitions) or are cheap map passes — a global
+      // repartition here fragmented every downstream stage into 32
+      // micro-partitions and cost ~1 s of task overhead PER QUERY at
+      // sf0.1. The one genuinely CPU-dense map-only consumer (the brute
+      // recall truth) widens LOCALLY — see [[wideVecs]].
+      Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
@@ -434,29 +431,39 @@ object Similarity {
     * machinery matters for real, clustered corpora — this query proves the
     * refinement loop runs exactly and reproducibly at scale.
     */
-  /** Cross join each vector against the (small, broadcast) center table
-    * and rank centers per vector by floor-scaled cosine — `crank = 1` is
-    * the vector's cell, `crank <= p` its p-cell probe set.
-    */
-  /** Only the top [[CellRankKeep]] centers per vector survive (every
-    * consumer probes at most 2 cells); keeping the cut INSIDE this helper
-    * lets the rank window shuffle the skinny (vec_id, cid, ccos_bp)
-    * triple — n·K rows of 24 bytes — instead of n·K vector-bearing rows
-    * (~550 B each at 64 dims), with the vectors re-attached by one narrow
-    * equi-join afterwards. Measured on the 10x fixture (20k vectors, 142
-    * centers): the knn shared-frame build dropped 6.9 s → ~2 s.
+  /** Rank the (small, broadcast) centers per vector by floor-scaled
+    * cosine — `crank = 1` is the vector's cell, `crank <= p` its p-cell
+    * probe set. Only the top [[CellRankKeep]] centers survive (every
+    * consumer probes at most 2 cells).
+    *
+    * MAP-ONLY by construction: IVF assignment is embarrassingly parallel,
+    * so no exchange belongs here at any scale. The center table collapses
+    * to ONE broadcast row holding an array of (cid, cv, cnrm) structs
+    * (k ≈ √n of a 10⁹-vector corpus is ~31k centers ≈ 16 MB — broadcast
+    * range), and each vector scores all centers in-row through the
+    * codegen'd [[graft.expressions.TopCells]] kernel — packed-long top-k,
+    * (10000 − ccos_bp) · 2³² + cid ascending exactly as (ccos_bp DESC,
+    * cid ASC), the same one-primitive-long argmin idiom as the PQ assign.
+    * Earlier forms paid a window shuffle over n·K vector-bearing rows
+    * (round 5), a slimmed window plus a re-attach join, or an interpreted
+    * `transform`/`array_sort` lambda chain (~100x a codegen'd loop per
+    * element — measured SLOWER than the window it replaced); this pays
+    * per-vector O(K) CPU inside the scan and no exchange at all.
     */
   private val CellRankKeep = 3
 
   private[graft] def cellRanked(e: DataFrame, centers: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos_bp").desc, col("cid"))
-    val slim = e.crossJoin(broadcast(centers))
-      .select(col("vec_id"), col("cid"),
-        floor(expr("dot_double(v, cv)") * lit(10000.0) / (col("nrm") * col("cnrm")))
-          .cast("long").as("ccos_bp"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= CellRankKeep)
-    e.join(slim, "vec_id")
+    graft.expressions.TopCells.register(e.sparkSession)
+    val packed = centers.agg(
+      collect_list(struct(col("cid"), col("cv"), col("cnrm"))).as("cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("top", expr(s"top_cells(v, nrm, cents, $CellRankKeep)"))
+      .drop("cents")
+      .select(col("*"), posexplode(col("top")).as(Seq("pos", "ord")))
+      .withColumn("cid", pmod(col("ord"), lit(4294967296L)))
+      .withColumn("ccos_bp", lit(10000L) - expr("(ord - cid) div 4294967296"))
+      .withColumn("crank", (col("pos") + 1).cast("int"))
+      .drop("top", "pos", "ord")
   }
 
   private def assignCells(e: DataFrame, centers: DataFrame): DataFrame =

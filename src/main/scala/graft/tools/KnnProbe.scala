@@ -26,9 +26,16 @@ object KnnProbe {
     }
     val e = Similarity.vecs(spark, sf)
     time("vecs")(e.count())
+    if (sys.env.contains("KNN_PROBE_EXPLAIN")) {
+      val plan = KnnJoin.knnRows(spark, sf).queryExecution.executedPlan.toString
+      println(s"[probe] knnRows exchanges: ${"(?i)exchange hashpartitioning".r.findAllIn(plan).size}")
+      println(plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Window") || l.contains("Sort")).mkString("\n"))
+    }
     println("[probe] knn rows: " + time("knnRows")(KnnJoin.knnRows(spark, sf).count()))
     val q = e.filter(col("vec_id") % 17 === 0)
-    val scored = e.as("c").join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+    val scored = e.repartition(spark.sparkContext.defaultParallelism).as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /
           (col("q.nrm") * col("c.nrm"))).cast("long").as("cos_bp"))
