@@ -1,0 +1,324 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions.hash24
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal enrichment operators: as-of join and SCD2 dimension versioning.
+  *
+  * The reference joins facts to dims either keyed-latest (dim upsert,
+  * `RT/app/function/DimSinkFunction.java:22-76`) or within a symmetric
+  * interval (intervalJoin, `RT/app/dwm/OrderWideApp.java:84-104`). The
+  * operator BOTH of those approximate is the as-of join: each fact matched
+  * to the single most recent dimension version at or before the fact's
+  * event time. Spark has no built-in as-of join; the scalable form is the
+  * union-merge: tag both sides, union, ONE shuffle on the key, and a
+  * running `last(ignoreNulls)` window carries the latest version forward
+  * into each fact row. No range-join candidate explosion, no per-fact
+  * probe: cost is one sort-merge pass per key regardless of fact:version
+  * ratio — at 100 TB the shuffle is the same one any keyed join pays, and
+  * the window is a single ordered scan within each key partition.
+  *
+  * The fixture instantiation is last-touch attribution inside the events
+  * table: each `purchase` is attributed to the user's most recent
+  * preceding `view`/`click` touchpoint. The DuckDB oracle runs its native
+  * ASOF JOIN — a genuinely independent implementation of the semantics
+  * (plane-sweep in DuckDB vs union-merge window here), so a hash match is
+  * strong evidence the operator is right, including the >=-matches-equal
+  * tie rule.
+  *
+  * All time comparisons run on BIGINT epoch microseconds (`unix_micros` /
+  * `epoch_us`) — events.ts is parquet TIMESTAMP(NANOS), and the two
+  * engines must dedupe and compare at the SAME truncation or a
+  * nanosecond-apart pair of touches could dedupe differently.
+  */
+object Temporal {
+
+  /** One-hour attribution window for the tolerance variant, in micros. */
+  private[graft] val ToleranceUs = 3600000000L
+
+  /** Raw touch-point stream (no dedupe): the as-of path does not need
+    * one — the running `last()` in [[asofMatch]], ordered by (tsu, side,
+    * event_id), already resolves a same-microsecond tie to the max
+    * event_id touch, which is exactly the dedupe rule the oracle applies
+    * before its ASOF join. Feeding raw rows deletes a full shuffle+sort
+    * of the touch side from the attribution queries.
+    */
+  private[graft] def rawTouchPoints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("props").as("touch_props"))
+
+  /** Deduped touch-point versions: at most one `view`/`click` row per
+    * (user, microsecond) — keep max event_id, mirroring the oracle — for
+    * the SCD2 interval build, where a duplicate timestamp would produce a
+    * zero-width version. The dedupe is a lag-compare partitioned by
+    * user_id ALONE (first row of each tsu group under an event_id-desc
+    * sort), so the downstream `lead` window reuses the same exchange and
+    * sort instead of paying a second (user, tsu) shuffle.
+    */
+  private[graft] def touchPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("touch_id").desc)
+    rawTouchPoints(spark, sfDir)
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(w))
+      .filter(col("prev_tsu").isNull || col("prev_tsu") =!= col("tsu"))
+      .select(col("user_id"), col("tsu"), col("touch_type"), col("touch_props"))
+  }
+
+  /** Purchase facts with epoch-micro event time. */
+  private[graft] def purchases(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+
+  /** The union-merge as-of join: every fact row gains the latest
+    * version-side columns with version time <= fact time (equal times
+    * match, like DuckDB ASOF `>=`). Expects `versions(user_id, tsu,
+    * touch_type, touch_props)` and `facts(user_id, tsu, event_id, value)`;
+    * returns one row per fact with `m_type/m_props/m_tsu` (null when no
+    * version precedes) and `gap_us`.
+    *
+    * Versions sort BEFORE facts at an equal timestamp (side 0 < 1), which
+    * is exactly the >=-inclusive rule; `ord` (event_id on both sides —
+    * `touch_id` when the version frame carries one) totalizes the order
+    * so the window never evaluates over tied peers, and same-timestamp
+    * duplicate versions resolve to the max id, the oracle's dedupe rule.
+    */
+  private[graft] def asofMatch(versions: DataFrame, facts: DataFrame): DataFrame = {
+    val vOrd =
+      if (versions.columns.contains("touch_id")) col("touch_id").cast("long")
+      else lit(0L)
+    val v = versions.select(
+      col("user_id"), col("tsu"), lit(0).as("side"), vOrd.as("ord"),
+      col("touch_type"), col("touch_props"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val f = facts.select(
+      col("user_id"), col("tsu"), lit(1).as("side"), col("event_id").as("ord"),
+      lit(null).cast("string").as("touch_type"),
+      lit(null).cast("string").as("touch_props"),
+      col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("side"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionByName(f)
+      .withColumn("m_type", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("m_props", last(col("touch_props"), ignoreNulls = true).over(w))
+      .withColumn("m_tsu",
+        last(when(col("side") === 0, col("tsu")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap_us", col("tsu") - col("m_tsu"))
+      .select("user_id", "tsu", "event_id", "value",
+        "m_type", "m_props", "m_tsu", "gap_us")
+  }
+
+  /** Shared oracle prologue: deduped touches + purchases + the ASOF match. */
+  private val duckAsofCtes = """
+      WITH t0 AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_type, props,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('view', 'click')),
+      touches AS (
+        SELECT user_id, tsu, event_type AS m_type, props AS m_props
+        FROM t0 WHERE rn = 1),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT p.user_id, p.tsu, p.event_id, p.value,
+               t.m_type, t.m_props, t.tsu AS m_tsu,
+               p.tsu - t.tsu AS gap_us
+        FROM p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.tsu >= t.tsu)"""
+
+  /** As-of last-touch attribution: purchases grouped by the touch type the
+    * as-of join assigned them (`none` when the purchase precedes every
+    * touch). The id checksum pins the exact per-row assignment — any
+    * fact matched to a different version changes `id_sum`, not just the
+    * counts.
+    */
+  val asofAttribution: GraftQuery = new GraftQuery {
+    val name = "asof_attribution"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      asofMatch(rawTouchPoints(spark, sfDir), purchases(spark, sfDir))
+        .groupBy(coalesce(col("m_type"), lit("none")).as("touch_type"))
+        .agg(
+          count(lit(1)).as("purchase_ct"),
+          countDistinct(col("user_id")).as("user_ct"),
+          Money.sumCents(col("value")).as("value_cents"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("gap_us_sum"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+        .orderBy("touch_type")
+
+    def oracle: Option[String] = Some(s"""
+      $duckAsofCtes
+      SELECT coalesce(m_type, 'none') AS touch_type,
+             count(*) AS purchase_ct,
+             count(DISTINCT user_id) AS user_ct,
+             ${Money.sumCentsSql("value")} AS value_cents,
+             CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS gap_us_sum,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM m GROUP BY 1 ORDER BY touch_type
+    """)
+  }
+
+  /** As-of with a lookback tolerance: a touch older than 1 hour does not
+    * get the credit. Because the as-of match is the MOST RECENT preceding
+    * version, "most recent within the window" is a post-filter on the
+    * matched gap — no second join. (DuckDB ASOF cannot express the bound
+    * directly; its oracle applies the identical CASE over the plain ASOF
+    * result.) `expired_ct` counts the attributions the bound voided —
+    * all land in the `none` group by construction.
+    */
+  val asofTolerance: GraftQuery = new GraftQuery {
+    val name = "asof_tolerance"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      asofMatch(rawTouchPoints(spark, sfDir), purchases(spark, sfDir))
+        .withColumn("eff_type",
+          when(col("gap_us") <= ToleranceUs, col("m_type")))
+        .groupBy(coalesce(col("eff_type"), lit("none")).as("touch_type"))
+        .agg(
+          count(lit(1)).as("purchase_ct"),
+          countDistinct(col("user_id")).as("user_ct"),
+          Money.sumCents(col("value")).as("value_cents"),
+          sum(when(col("m_type").isNotNull && col("gap_us") > ToleranceUs, 1)
+            .otherwise(0)).cast("long").as("expired_ct"))
+        .orderBy("touch_type")
+
+    def oracle: Option[String] = Some(s"""
+      $duckAsofCtes
+      SELECT coalesce(CASE WHEN gap_us <= $ToleranceUs THEN m_type END,
+                      'none') AS touch_type,
+             count(*) AS purchase_ct,
+             count(DISTINCT user_id) AS user_ct,
+             ${Money.sumCentsSql("value")} AS value_cents,
+             CAST(sum(CASE WHEN m_type IS NOT NULL AND gap_us > $ToleranceUs
+                           THEN 1 ELSE 0 END) AS BIGINT) AS expired_ct
+      FROM m GROUP BY 1 ORDER BY touch_type
+    """)
+  }
+
+  /** SCD2 version intervals from the touch stream: each touch opens a
+    * version valid [its time, next touch's time) per user, the last one
+    * open-ended — `lead` over a per-user sort whose key is unique after
+    * the dedupe, so both engines see a total order. This is the interval
+    * form of the reference's keep-latest dim upsert: instead of
+    * overwriting, history is retained and facts can join the version that
+    * was current AT THEIR TIME.
+    */
+  private[graft] def scd2Versions(spark: SparkSession, sfDir: String): DataFrame =
+    touchPoints(spark, sfDir)
+      .withColumn("valid_to_us", lead(col("tsu"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("tsu"))))
+      .withColumnRenamed("tsu", "valid_from_us")
+
+  /** Per-user SCD2 history audit: version count, covered duration, and a
+    * hash checksum over every (user, from, type, to) tuple — the checksum
+    * IS the interval-set proof: any misplaced boundary on either engine
+    * shifts it.
+    */
+  val scd2History: GraftQuery = new GraftQuery {
+    val name = "scd2_history"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      scd2Versions(spark, sfDir)
+        .withColumn("vh", hash24(concat_ws(":",
+          col("user_id"), col("valid_from_us"), col("touch_type"),
+          coalesce(col("valid_to_us"), lit(-1L)))))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("version_ct"),
+          coalesce(sum(col("valid_to_us") - col("valid_from_us")), lit(0L))
+            .cast("long").as("covered_us"),
+          sum(col("vh")).cast("long").as("interval_hash_sum"))
+        .orderBy("user_id")
+
+    def oracle: Option[String] = {
+      import graft.functions.TextFunctions.duckHashHex
+      val tuple = "CAST(user_id AS VARCHAR) || ':' || CAST(valid_from_us AS VARCHAR)" +
+        " || ':' || touch_type || ':' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)"
+      Some(s"""
+      WITH t0 AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_type, props,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('view', 'click')),
+      v AS (
+        SELECT user_id, tsu AS valid_from_us, event_type AS touch_type,
+               lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS valid_to_us
+        FROM t0 WHERE rn = 1)
+      SELECT user_id,
+             count(*) AS version_ct,
+             CAST(coalesce(sum(valid_to_us - valid_from_us), 0) AS BIGINT)
+               AS covered_us,
+             CAST(sum(${duckHashHex(tuple, 6)}) AS BIGINT) AS interval_hash_sum
+      FROM v GROUP BY 1 ORDER BY user_id
+      """)
+    }
+  }
+
+  /** Fact enrichment THROUGH the SCD2 intervals: purchases left-joined to
+    * the version current at their time (equi user key + range residual —
+    * the interval-join plan shape, vs [[asofAttribution]]'s union-merge;
+    * TemporalSpec proves the two assign identical versions). Grouped by
+    * the version's props channel: the 100-value dimension attribution the
+    * touch-type rollup is too coarse to check.
+    */
+  val scd2Enrich: GraftQuery = new GraftQuery {
+    val name = "scd2_enrich"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val v = scd2Versions(spark, sfDir)
+      val p = purchases(spark, sfDir)
+      p.join(v,
+          p("user_id") === v("user_id") &&
+            p("tsu") >= v("valid_from_us") &&
+            (v("valid_to_us").isNull || p("tsu") < v("valid_to_us")),
+          "left")
+        .groupBy(coalesce(v("touch_props"), lit("none")).as("channel"))
+        .agg(
+          count(lit(1)).as("purchase_ct"),
+          countDistinct(p("user_id")).as("user_ct"),
+          Money.sumCents(p("value")).as("value_cents"),
+          sum(p("event_id")).cast("long").as("id_sum"))
+        .orderBy("channel")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH t0 AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_type, props,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('view', 'click')),
+      v AS (
+        SELECT user_id, tsu AS valid_from_us, props,
+               lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS valid_to_us
+        FROM t0 WHERE rn = 1),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT coalesce(v.props, 'none') AS channel,
+             count(*) AS purchase_ct,
+             count(DISTINCT p.user_id) AS user_ct,
+             CAST(sum(CAST(p.value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS value_cents,
+             CAST(sum(p.event_id) AS BIGINT) AS id_sum
+      FROM p LEFT JOIN v
+        ON p.user_id = v.user_id
+       AND p.tsu >= v.valid_from_us
+       AND (v.valid_to_us IS NULL OR p.tsu < v.valid_to_us)
+      GROUP BY 1 ORDER BY channel
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(asofAttribution, asofTolerance, scd2History, scd2Enrich)
+}
