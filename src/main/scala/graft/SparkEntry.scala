@@ -15,7 +15,8 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++
       Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++ Multimodal.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
-      Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all
+      Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
+      HistQuantiles.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
