@@ -68,13 +68,18 @@ class TemporalSpec extends SparkSpec {
       .select(col("event_id"), col("m_tsu"))
     val v = Temporal.scd2Versions(spark, sf)
     val p = Temporal.purchases(spark, sf)
-    val viaScd2 = p.join(v,
+    val naive = p.join(v,
         p("user_id") === v("user_id") &&
           p("tsu") >= v("valid_from_us") &&
           (v("valid_to_us").isNull || p("tsu") < v("valid_to_us")),
         "left")
       .select(p("event_id"), v("valid_from_us").as("m_tsu"))
-    assert(viaAsof.exceptAll(viaScd2).isEmpty && viaScd2.exceptAll(viaAsof).isEmpty)
+    val bucketed = Temporal.intervalJoin(v, p)
+      .select(p("event_id"), org.apache.spark.sql.functions.col("m_valid_from_us").as("m_tsu"))
+    assert(viaAsof.exceptAll(naive).isEmpty && naive.exceptAll(viaAsof).isEmpty)
+    assert(viaAsof.exceptAll(bucketed).isEmpty &&
+      bucketed.exceptAll(viaAsof).isEmpty,
+      "chunk-bucketed interval join must equal the naive and as-of forms")
   }
 
   test("tolerance variant only ever moves credit to none, never between touches") {
