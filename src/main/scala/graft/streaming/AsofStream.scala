@@ -27,9 +27,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   *    interleaving is handled exactly, because the union-merge window
   *    orders by (tsu, side, id) — a fact matches a same-batch touch that
   *    precedes it. AsofStreamSpec proves N-batch feed ≡ one-shot.
-  *  - State is ONE row per user (the latest touch): bounded by user
-  *    cardinality no matter how long the stream runs, published via the
-  *    snapshot table's atomic versioned publish.
+  *    `stateDepth > 1` relaxes the cross-batch half of the contract to
+  *    bounded out-of-orderness (see [[enrichBatch]]).
+  *  - State is `stateDepth` rows per user (default 1, the latest touch):
+  *    bounded by user cardinality no matter how long the stream runs,
+  *    published via the snapshot table's atomic versioned publish.
   *  - Replay: state versions are KEYED BY BATCH ID, and a batch always
   *    reads the newest version numbered BELOW its own id. This matters:
   *    the obvious "read latest" breaks when a crash lands between the
@@ -73,9 +75,18 @@ object AsofStream {
   /** Enrich one micro-batch and return (matched facts, new state) — the
     * unit the stream runs and the spec replays. `batch` is event-shaped:
     * (user_id, tsu, event_id, event_type, props, value).
+    *
+    * `stateDepth` is the out-of-orderness tolerance: state retains the
+    * last `stateDepth` touches per user (not just the latest), so a LATE
+    * fact — one older than the user's newest touch — still finds its
+    * correct version as long as it lands within the retained window.
+    * With depth 1 (the default, the strict in-order contract) a late
+    * fact would silently mis-match to `none` because keep-latest
+    * compaction already dropped its touch; the spec pins both behaviors.
+    * State stays bounded at `stateDepth` rows per user.
     */
   private[graft] def enrichBatch(spark: SparkSession, batch: DataFrame,
-      stateRoot: String, batchId: Long): (DataFrame, DataFrame) = {
+      stateRoot: String, batchId: Long, stateDepth: Int = 1): (DataFrame, DataFrame) = {
     val touches = batch.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("tsu"), col("event_id").as("touch_id"),
         col("event_type").as("touch_type"), col("props").as("touch_props"))
@@ -86,7 +97,7 @@ object AsofStream {
     val newState = versions.withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("tsu").desc, col("touch_id").desc)))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") <= stateDepth).drop("rn")
     (matched, newState)
   }
 
@@ -95,13 +106,15 @@ object AsofStream {
     * the latest-touch dim state lives as a snapshot table at `stateRoot`.
     */
   def start(events: DataFrame, stateRoot: String, outDir: String,
-      checkpointDir: String, exactlyOnce: Boolean = false): StreamingQuery =
+      checkpointDir: String, exactlyOnce: Boolean = false,
+      stateDepth: Int = 1): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val (matched, newState) = enrichBatch(spark, batch, stateRoot, batchId)
+          val (matched, newState) =
+            enrichBatch(spark, batch, stateRoot, batchId, stateDepth)
           if (exactlyOnce) ExactlyOnce.write(matched, outDir, batchId)
           else matched.write.mode("append").parquet(outDir)
           SnapshotTable.publish(newState, stateRoot, s"v$batchId")

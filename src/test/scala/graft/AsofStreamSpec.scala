@@ -65,6 +65,25 @@ class AsofStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateDepth bounds out-of-order tolerance: a late fact matches iff its touch is retained") {
+    // batch A: touches at 100 ("view") and 200 ("click") for user 1;
+    // batch B arrives LATE with a purchase at 150, whose correct match
+    // (the 100 view) is not the user's newest touch
+    val bA = toDf(Seq((1L, 100L, 1L, "view", "a", 0.0),
+      (1L, 200L, 2L, "click", "b", 0.0)))
+    val bB = toDf(Seq((1L, 150L, 3L, "purchase", "", 5.0)))
+    for ((depth, expected) <- Seq(1 -> None, 2 -> Some("view"))) {
+      val st = java.nio.file.Files.createTempDirectory(s"asof_late$depth").toString
+      val (_, s1) = AsofStream.enrichBatch(spark, bA, st, 0L, depth)
+      graft.sources.SnapshotTable.publish(s1, st, "v0")
+      assert(s1.count() == depth, "state must hold exactly depth rows")
+      val (m, _) = AsofStream.enrichBatch(spark, bB, st, 1L, depth)
+      assert(matchedOf(m) ==
+        Set((3L, expected, expected.map(_ => 100L))),
+        s"depth $depth late-fact match")
+    }
+  }
+
   test("post-publish replay of a batch recomputes identical matches") {
     val st = java.nio.file.Files.createTempDirectory("asof_state2").toString
     val b1 = toDf(batches(0))

@@ -28,6 +28,30 @@ class HllSpec extends SparkSpec {
     assert(once.exceptAll(tripled).isEmpty && tripled.exceptAll(once).isEmpty)
   }
 
+  test("streamed micro-batches accumulate exactly the batch register grid") {
+    // the grid core is a plain max aggregation over (group, bucket) —
+    // bounded state (groups x 256) a stream can carry in Complete mode,
+    // the HeavyHitters argument for the HLL family
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = elems.select("event_type", "elem").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val qn = s"hll${System.nanoTime()}"
+    val q = HllDistinct.hllGrid(mem.toDS().toDF("event_type", "elem"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table(qn)
+      val batch = HllDistinct.hllGrid(elems.drop("event_id"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() <= 5 * 256)
+    } finally q.stop()
+  }
+
   test("estimate lands within sketch tolerance of the exact count") {
     // sf0.01 so each group (~1.5-1.9k distinct) is clear of the
     // small-range regime for m=256 buckets; the standard error there is
