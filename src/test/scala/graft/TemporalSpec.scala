@@ -82,6 +82,33 @@ class TemporalSpec extends SparkSpec {
       "chunk-bucketed interval join must equal the naive and as-of forms")
   }
 
+  test("randomized as-of fixtures match a brute-force reference (fixed seed)") {
+    // dense timestamp range forces equal-ts collisions between versions
+    // and facts AND duplicate version timestamps — every tie rule fires
+    val rnd = new scala.util.Random(7)
+    val versions = Seq.tabulate(120) { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, 1000L + i,
+        if (rnd.nextBoolean()) "view" else "click", s"p${rnd.nextInt(8)}")
+    }
+    val facts = Seq.tabulate(80) { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(45).toLong, i.toLong, 1.0)
+    }
+    import spark.implicits._
+    val got = Temporal.asofMatch(
+      versions.toDF("user_id", "tsu", "touch_id", "touch_type", "touch_props"),
+      factsOf(facts))
+      .select("event_id", "m_tsu", "m_type", "m_props").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    for ((u, t, id, _) <- facts) {
+      // reference rule: latest version at or before t; ties on tsu to max id
+      val best = versions.filter(v => v._1 == u && v._2 <= t)
+        .sortBy(v => (v._2, v._3)).lastOption
+      assert(got(id) == (best.map(_._2), best.map(_._4), best.map(_._5)),
+        s"fact $id (user $u, t $t): expected $best")
+    }
+  }
+
   test("tolerance variant only ever moves credit to none, never between touches") {
     val strict = Temporal.asofTolerance.run(spark, sf)
       .select("touch_type", "purchase_ct").collect()
