@@ -45,5 +45,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash18].getName, "minhash18"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHash18(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("doc_quality"),
+      new ExpressionInfo(classOf[DocQuality].getName, "doc_quality"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DocQuality(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "top_cells"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopCells(exprs(0), exprs(1), exprs(2), exprs(3).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_cells k must be an integer literal, got $other")
+        })))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_hits"),
+      new ExpressionInfo(classOf[BloomHits].getName, "bloom_hits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomHits(exprs(0), exprs(1))))
   }
 }

@@ -45,6 +45,26 @@ class ExtensionsSpec extends SparkSpec {
       val sk = s2.sql(
         "SELECT ngram_sketch_hash('hello world hello') AS k").head.getSeq[Int](0)
       assert(sk == sk.sorted && sk.forall(h => h % 4 == 0))
+      val dq = s2.sql(
+        "SELECT doc_quality('a plain readable sentence about gardening') AS q,"
+          + " doc_quality('zxq vvkw qqj9 zzt') AS q0").head
+      assert(!dq.isNullAt(0) && dq.getLong(0) != dq.getLong(1))
+      // v=(9,9) against axis center 0 and diagonal center 1: best cell is
+      // 1 (cos 1.0) then 0 (cos ~0.707) — decode cid from the packed long
+      val tc = s2.sql(
+        """SELECT top_cells(array(9.0d, 9.0d), 12.727922061357855d, array(
+             named_struct('cid', 0L, 'cv', array(1.0d, 0.0d), 'cnrm', 1.0d),
+             named_struct('cid', 1L, 'cv', array(1.0d, 1.0d),
+                          'cnrm', 1.4142135623730951d)), 2) AS c""")
+        .head.getSeq[Long](0)
+      assert(tc.map(_ % 4294967296L) == Seq(1L, 0L))
+      // 3-word filter (192 bits): h=0 probes bits 0 and 7 (word 0),
+      // h=64 probes bit 64 and (31*64+7) mod 192 = 71 (word 1) — setting
+      // bits {0,7} in both words makes both grams hit
+      val bh = s2.sql(
+        "SELECT bloom_hits(array(0, 64), array(129L, 129L, 0L)) AS h")
+        .head.getLong(0)
+      assert(bh == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
