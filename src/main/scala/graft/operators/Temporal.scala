@@ -265,8 +265,9 @@ object Temporal {
     }
   }
 
-  /** One-hour co-partitioning chunk for the interval join, in micros. */
-  private[graft] val ChunkUs = 3600000000L
+  /** Per-user chunk width clamp bounds (micros): ~4.2 s .. ~1.6 days. */
+  private[graft] val MinChunkUs = 1L << 22
+  private[graft] val MaxChunkUs = 1L << 37
 
   /** The interval join, bucketed for skew: joining facts to versions on
     * user_id alone is quadratic in any hot user's row count (the 10x
@@ -274,28 +275,62 @@ object Temporal {
     * every other temporal query stayed ~1 s — ~80k versions x 40k facts
     * meeting under ONE key). Instead both sides co-key on (user_id,
     * time-chunk): a fact lives in exactly one chunk, a version is
-    * exploded into just the chunks its validity overlaps (the open-ended
-    * last version up to the newest fact's chunk), so the covering
-    * version is ALWAYS in the fact's chunk and every hot key is spread
-    * over the time axis — the range-join bucketing a warehouse range-join
-    * hint performs. Returns one row per fact (left semantics), matched
-    * version columns null when no version covers it.
+    * exploded into just the chunks its validity overlaps, so the
+    * covering version is ALWAYS in the fact's chunk and every hot key is
+    * spread over the time axis — the range-join bucketing a warehouse
+    * range-join hint performs.
+    *
+    * The chunk width is PER USER, not a global knob: a power of two near
+    * 4x the user's mean closed-interval length (clamped). A dense (hot)
+    * user gets fine chunks — few versions meet few facts per key — while
+    * a sparse user gets coarse ones, so the tiling explode stays ~O(1)
+    * copies per version for EVERY key-density profile at once; a global
+    * width must sacrifice one end (1 h on the 10x fixture: 10.1M tiled
+    * rows from the 31 h-gap sparse users; 1 day: ~100M hot-user pairs).
+    * Both join sides read the width from the same per-user frame, so the
+    * keys agree by construction, and result rows are width-invariant
+    * (TemporalSpec proves equality with the naive join and the as-of).
+    * Returns one row per fact (left semantics), matched version columns
+    * null when no version covers it.
     */
   private[graft] def intervalJoin(versions: DataFrame, facts: DataFrame): DataFrame = {
+    val closedV = versions.filter(col("valid_to_us").isNotNull)
+    // per-user width: the groupBy rides the user_id partitioning the
+    // version build already has; the result is one row per user
+    val widths = closedV.groupBy(col("user_id"))
+      .agg(avg(col("valid_to_us") - col("valid_from_us")).as("mean_len"))
+      .withColumn("cw", pow(lit(2.0), ceil(log(2.0,
+          greatest(lit(MinChunkUs.toDouble),
+            least(lit(MaxChunkUs.toDouble), col("mean_len") * 4)))))
+        .cast("long"))
+      .select(col("user_id"), col("cw"))
     // CLOSED versions: chunk-bucketed — the explode is bounded by each
-    // interval's real length in chunks, never by the corpus time span
-    val vc = versions.filter(col("valid_to_us").isNotNull)
-      .withColumn("chunk", explode(sequence(
-        expr(s"valid_from_us div $ChunkUs"),
-        expr(s"(valid_to_us - 1) div $ChunkUs"))))
-    val fc = facts.withColumn("chunk", expr(s"tsu div $ChunkUs"))
-    // the explode multiplies vc ~28x AFTER the size estimate Catalyst
-    // broadcasts on — without the hint AQE ships a ~10M-row broadcast
+    // interval's real length in ITS USER'S chunks. Columns are renamed
+    // (v_/o_ prefixes) so both joins resolve by NAME: the widths frame
+    // feeds both sides, and dataset-column references across shared
+    // lineage trip the ambiguous-self-join check
+    val vc = closedV.join(widths, "user_id")
+      .withColumn("v_chunk", explode(sequence(
+        expr("valid_from_us div cw"),
+        expr("(valid_to_us - 1) div cw"))))
+      .select(col("user_id").as("v_user_id"), col("v_chunk"),
+        col("valid_from_us").as("v_valid_from_us"),
+        col("valid_to_us").as("v_valid_to_us"),
+        col("touch_type").as("v_touch_type"),
+        col("touch_props").as("v_touch_props"))
+    // per-user width lookup: one row per user on the build side, so even
+    // the hot user costs a linear probe (AQE picks broadcast vs shuffle
+    // from the real user count)
+    val fc = facts.join(widths, Seq("user_id"), "left")
+      .withColumn("chunk", expr("tsu div cw"))
+      .drop("cw")
+    // the explode multiplies vc AFTER the size estimate Catalyst
+    // broadcasts on — without the hint AQE shipped a ~10M-row broadcast
     // hash relation to every task (measured 13.5 s on the 10x blowup vs
     // 1.9 s as a shuffled hash join on the fine (user, chunk) key)
     val closed = fc.join(vc.hint("shuffle_hash"),
-        fc("user_id") === vc("user_id") && fc("chunk") === vc("chunk") &&
-          fc("tsu") >= vc("valid_from_us") && fc("tsu") < vc("valid_to_us"),
+        col("user_id") === col("v_user_id") && col("chunk") === col("v_chunk") &&
+          col("tsu") >= col("v_valid_from_us") && col("tsu") < col("v_valid_to_us"),
         "left")
     // OPEN version (exactly one per user): a plain equi join — the build
     // side is one row per user, so even a pathologically hot user costs a
@@ -308,14 +343,15 @@ object Temporal {
     // intervals partition each user's timeline, so every fact matches the
     // closed pass xor the open pass xor neither; coalesce merges them
     closed.join(vo,
-        fc("user_id") === vo("o_user_id") &&
-          fc("tsu") >= vo("o_valid_from_us"),
+        col("user_id") === col("o_user_id") &&
+          col("tsu") >= col("o_valid_from_us"),
         "left")
       .withColumn("m_valid_from_us",
-        coalesce(vc("valid_from_us"), col("o_valid_from_us")))
-      .withColumn("m_touch_type", coalesce(vc("touch_type"), col("o_touch_type")))
+        coalesce(col("v_valid_from_us"), col("o_valid_from_us")))
+      .withColumn("m_touch_type",
+        coalesce(col("v_touch_type"), col("o_touch_type")))
       .withColumn("m_touch_props",
-        coalesce(vc("touch_props"), col("o_touch_props")))
+        coalesce(col("v_touch_props"), col("o_touch_props")))
   }
 
   /** Fact enrichment THROUGH the SCD2 intervals: purchases left-joined to
@@ -330,15 +366,18 @@ object Temporal {
     val name = "scd2_enrich"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val v = scd2Versions(spark, sfDir)
+      // three consumers (widths, closed, open) would each replay the
+      // dedupe+lead window pipeline from the scan; the frame is ~1 row
+      // per touch — cache it once
+      val v = graft.CacheRegistry.persist(scd2Versions(spark, sfDir))
       val p = purchases(spark, sfDir)
       intervalJoin(v, p)
         .groupBy(coalesce(col("m_touch_props"), lit("none")).as("channel"))
         .agg(
           count(lit(1)).as("purchase_ct"),
-          countDistinct(p("user_id")).as("user_ct"),
-          Money.sumCents(p("value")).as("value_cents"),
-          sum(p("event_id")).cast("long").as("id_sum"))
+          countDistinct(col("user_id")).as("user_ct"),
+          Money.sumCents(col("value")).as("value_cents"),
+          sum(col("event_id")).cast("long").as("id_sum"))
         .orderBy("channel")
     }
 

@@ -75,7 +75,7 @@ class TemporalSpec extends SparkSpec {
         "left")
       .select(p("event_id"), v("valid_from_us").as("m_tsu"))
     val bucketed = Temporal.intervalJoin(v, p)
-      .select(p("event_id"), org.apache.spark.sql.functions.col("m_valid_from_us").as("m_tsu"))
+      .select(col("event_id"), col("m_valid_from_us").as("m_tsu"))
     assert(viaAsof.exceptAll(naive).isEmpty && naive.exceptAll(viaAsof).isEmpty)
     assert(viaAsof.exceptAll(bucketed).isEmpty &&
       bucketed.exceptAll(viaAsof).isEmpty,
