@@ -408,6 +408,102 @@ object Temporal {
     """)
   }
 
+  /** Multi-touch LINEAR attribution: every touch in the hour before a
+    * purchase shares its credit — the many-to-many bounded-window range
+    * join, vs the as-of's most-recent-one and the SCD2 intervals'
+    * exactly-one. Credit is integer basis points (10000 per purchase:
+    * each touch gets 10000 div n, the LAST touch absorbs the remainder),
+    * so the split is exact cross-engine and the invariant "total credit
+    * = 10000 x purchases" holds to the point (`none` rows carry
+    * unattributed purchases' full credit).
+    *
+    * Scale shape: because the window is BOUNDED, the join bands on
+    * (user_id, window-chunk) with chunk width = the window itself — each
+    * purchase probes exactly two chunks (its own and the previous), each
+    * touch lives in one, so pair count is window density, never a hot
+    * user's full history squared.
+    */
+  val attributionLinear: GraftQuery = new GraftQuery {
+    val name = "attribution_linear"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val W = ToleranceUs
+      val t = rawTouchPoints(spark, sfDir)
+        .select(col("user_id").as("t_user_id"), col("tsu").as("t_tsu"),
+          col("touch_id"), col("touch_type"))
+        .withColumn("t_chunk", expr(s"t_tsu div $W"))
+      val p = purchases(spark, sfDir)
+      val pc = p.withColumn("chunk",
+        explode(array(expr(s"tsu div $W - 1"), expr(s"tsu div $W"))))
+      val pairs = pc.join(t,
+        col("user_id") === col("t_user_id") && col("chunk") === col("t_chunk") &&
+          col("t_tsu") <= col("tsu") && col("t_tsu") >= col("tsu") - W)
+      // pure-aggregation credit split (a per-pair rank window measured
+      // ~2.3x slower at 10x and an anti-join pass for the unmatched rows
+      // repaid the whole banded join): per (purchase, type) counts with
+      // the struct-max identifying the LAST touch, one roll-up to per-
+      // purchase totals, credit arithmetic on the joined pair
+      val byType = pairs.groupBy(col("event_id"), col("touch_type"))
+        .agg(count(lit(1)).as("ct"),
+          max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
+      val perEvent = byType.groupBy(col("event_id"))
+        .agg(sum(col("ct")).as("n"), max(col("mx")).as("mxall"))
+      val credited = byType.join(perEvent, "event_id")
+        .select(col("touch_type"), col("ct"),
+          (col("ct") * expr("10000 div n") +
+            when(col("mx") === col("mxall"),
+              lit(10000L) - col("n") * expr("10000 div n"))
+              .otherwise(lit(0L))).as("bp_sum"))
+      // unattributed purchases: the count gap between all purchases and
+      // matched ones — two 1-row aggregates, no second banded join
+      val none = p.agg(count(lit(1)).as("total_ct"))
+        .crossJoin(perEvent.agg(count(lit(1)).as("matched_ct")))
+        .select(lit("none").as("touch_type"),
+          (col("total_ct") - col("matched_ct")).as("ct"),
+          ((col("total_ct") - col("matched_ct")) * 10000L).as("bp_sum"))
+      credited.unionByName(none)
+        .groupBy(col("touch_type"))
+        .agg(sum(col("ct")).cast("long").as("credit_ct"),
+          sum(col("bp_sum")).cast("long").as("credit_bp_sum"))
+        .filter(col("credit_ct") > 0)
+        .orderBy("touch_type")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH t AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id AS touch_id,
+               event_type AS touch_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      pairs AS (
+        SELECT p.event_id, t.tsu AS ttsu, t.touch_id, t.touch_type
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tsu <= p.tsu AND t.tsu >= p.tsu - $ToleranceUs),
+      n AS (
+        SELECT *, count(*) OVER (PARTITION BY event_id) AS n,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY ttsu DESC, touch_id DESC) AS rn
+        FROM pairs),
+      c AS (
+        SELECT touch_type,
+               CASE WHEN rn = 1 THEN 10000 - (n - 1) * (10000 // n)
+                    ELSE 10000 // n END AS bp
+        FROM n),
+      un AS (
+        SELECT 'none' AS touch_type, 10000 AS bp FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t WHERE t.user_id = p.user_id
+           AND t.tsu <= p.tsu AND t.tsu >= p.tsu - $ToleranceUs)),
+      allc AS (SELECT * FROM c UNION ALL SELECT * FROM un)
+      SELECT touch_type, count(*) AS credit_ct,
+             CAST(sum(bp) AS BIGINT) AS credit_bp_sum
+      FROM allc GROUP BY 1 ORDER BY touch_type
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(asofAttribution, asofTolerance, scd2History, scd2Enrich)
+    Seq(asofAttribution, asofTolerance, scd2History, scd2Enrich,
+      attributionLinear)
 }

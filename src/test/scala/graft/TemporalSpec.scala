@@ -109,6 +109,12 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("linear attribution conserves credit: total bp = 10000 x purchases") {
+    val total = Temporal.attributionLinear.run(spark, sf)
+      .agg(sum(col("credit_bp_sum"))).head.getLong(0)
+    assert(total == 10000L * Temporal.purchases(spark, sf).count())
+  }
+
   test("tolerance variant only ever moves credit to none, never between touches") {
     val strict = Temporal.asofTolerance.run(spark, sf)
       .select("touch_type", "purchase_ct").collect()
