@@ -109,6 +109,18 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("the exploded closed-version side joins shuffled, never broadcast") {
+    // Catalyst sizes the exploded frame on PRE-explode stats; without the
+    // shuffle_hash hint AQE shipped a ~10M-row broadcast hash relation on
+    // the 10x blowup (BASELINE.md) — pin the plan shape
+    val df = Temporal.scd2Enrich.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "closed interval join must stay a shuffled hash join")
+    CacheRegistry.clear()
+  }
+
   test("linear attribution conserves credit: total bp = 10000 x purchases") {
     val total = Temporal.attributionLinear.run(spark, sf)
       .agg(sum(col("credit_bp_sum"))).head.getLong(0)
