@@ -503,7 +503,105 @@ object Temporal {
     """)
   }
 
+  /** Time-decay attribution — the third member of the standard trio
+    * (last-touch = [[asofAttribution]], linear = [[attributionLinear]]):
+    * a touch's weight halves every 15 minutes of age, and each
+    * purchase's 10000 bp are split per touch TYPE proportionally to the
+    * type's summed weight, the division remainder going to the type
+    * holding the most recent touch. Everything stays integer-exact
+    * cross-engine: weights are dyadic (2^(13-bucket), bucket capped at
+    * 13), shares are integer division — the reason credit is allocated
+    * at type granularity (floor-of-sum ≠ sum-of-floors, so per-touch
+    * floors would not be reconstructible from a type-level oracle).
+    * Same banded join and pure-aggregation shape as the linear form.
+    */
+  val attributionDecay: GraftQuery = new GraftQuery {
+    val name = "attribution_decay"
+
+    /** 15-minute decay bucket, weights 2^(13-bucket) capped at 13. */
+    private val DecayUs = 900000000L
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val W = ToleranceUs
+      val t = rawTouchPoints(spark, sfDir)
+        .select(col("user_id").as("t_user_id"), col("tsu").as("t_tsu"),
+          col("touch_id"), col("touch_type"))
+        .withColumn("t_chunk", expr(s"t_tsu div $W"))
+      val p = purchases(spark, sfDir)
+      val pc = p.withColumn("chunk",
+        explode(array(expr(s"tsu div $W - 1"), expr(s"tsu div $W"))))
+      val pairs = pc.join(t,
+          col("user_id") === col("t_user_id") && col("chunk") === col("t_chunk") &&
+            col("t_tsu") <= col("tsu") && col("t_tsu") >= col("tsu") - W)
+        .withColumn("wgt", expr(
+          s"cast(pow(2.0, 13 - least(13L, (tsu - t_tsu) div $DecayUs)) as bigint)"))
+      val byType = pairs.groupBy(col("event_id"), col("touch_type"))
+        .agg(sum(col("wgt")).as("w_type"),
+          max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
+      val perEvent = byType.groupBy(col("event_id"))
+        .agg(sum(col("w_type")).as("w_all"), max(col("mx")).as("mxall"))
+      val credited = byType.join(perEvent, "event_id")
+        .withColumn("base", expr("(10000 * w_type) div w_all"))
+      val rema = credited.groupBy(col("event_id"))
+        .agg((lit(10000L) - sum(col("base"))).as("rem"))
+      val bp = credited.join(rema, "event_id")
+        .select(col("touch_type"),
+          (col("base") + when(col("mx") === col("mxall"), col("rem"))
+            .otherwise(lit(0L))).as("bp_sum"))
+      val none = p.agg(count(lit(1)).as("total_ct"))
+        .crossJoin(perEvent.agg(count(lit(1)).as("matched_ct")))
+        .select(lit("none").as("touch_type"),
+          ((col("total_ct") - col("matched_ct")) * 10000L).as("bp_sum"))
+      bp.unionByName(none)
+        .groupBy(col("touch_type"))
+        .agg(sum(col("bp_sum")).cast("long").as("credit_bp_sum"))
+        .filter(col("credit_bp_sum") > 0)
+        .orderBy("touch_type")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH t AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id AS touch_id,
+               event_type AS touch_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id
+        FROM events WHERE event_type = 'purchase'),
+      pairs AS (
+        SELECT p.event_id, t.tsu AS ttsu, t.touch_id, t.touch_type,
+               CAST(pow(2.0, 13 - least(13, (p.tsu - t.tsu) // $DecayUs))
+                    AS BIGINT) AS wgt
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tsu <= p.tsu AND t.tsu >= p.tsu - $ToleranceUs),
+      bt AS (
+        SELECT event_id, touch_type, sum(wgt) AS w_type,
+               max(row(ttsu, touch_id)) AS mx
+        FROM pairs GROUP BY 1, 2),
+      pe AS (
+        SELECT event_id, sum(w_type) AS w_all, max(mx) AS mxall
+        FROM bt GROUP BY 1),
+      cr AS (
+        SELECT bt.event_id, touch_type, mx, mxall,
+               (10000 * w_type) // w_all AS base
+        FROM bt JOIN pe USING (event_id)),
+      rm AS (
+        SELECT event_id, 10000 - sum(base) AS rem FROM cr GROUP BY 1),
+      bp AS (
+        SELECT touch_type,
+               base + CASE WHEN mx = mxall THEN rem ELSE 0 END AS bp_sum
+        FROM cr JOIN rm USING (event_id)),
+      un AS (
+        SELECT 'none' AS touch_type, 10000 AS bp_sum FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t WHERE t.user_id = p.user_id
+           AND t.tsu <= p.tsu AND t.tsu >= p.tsu - $ToleranceUs)),
+      allc AS (SELECT * FROM bp UNION ALL SELECT * FROM un)
+      SELECT touch_type, CAST(sum(bp_sum) AS BIGINT) AS credit_bp_sum
+      FROM allc GROUP BY 1 HAVING sum(bp_sum) > 0 ORDER BY touch_type
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asofAttribution, asofTolerance, scd2History, scd2Enrich,
-      attributionLinear)
+      attributionLinear, attributionDecay)
 }

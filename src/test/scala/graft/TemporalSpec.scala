@@ -121,10 +121,13 @@ class TemporalSpec extends SparkSpec {
     CacheRegistry.clear()
   }
 
-  test("linear attribution conserves credit: total bp = 10000 x purchases") {
-    val total = Temporal.attributionLinear.run(spark, sf)
-      .agg(sum(col("credit_bp_sum"))).head.getLong(0)
-    assert(total == 10000L * Temporal.purchases(spark, sf).count())
+  test("linear and decay attribution both conserve credit: total bp = 10000 x purchases") {
+    val expected = 10000L * Temporal.purchases(spark, sf).count()
+    for (q <- Seq(Temporal.attributionLinear, Temporal.attributionDecay)) {
+      val total = q.run(spark, sf)
+        .agg(sum(col("credit_bp_sum"))).head.getLong(0)
+      assert(total == expected, s"${q.name} leaked credit")
+    }
   }
 
   test("tolerance variant only ever moves credit to none, never between touches") {
