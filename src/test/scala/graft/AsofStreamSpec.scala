@@ -84,6 +84,28 @@ class AsofStreamSpec extends SparkSpec {
     }
   }
 
+  test("a depth-2 stream end-to-end recovers a late fact's match across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("asof_ooo_out").toString
+    val st = java.nio.file.Files.createTempDirectory("asof_ooo_state").toString
+    val ck = java.nio.file.Files.createTempDirectory("asof_ooo_ck").toString
+    // batch 1 carries both touches; batch 2 arrives LATE with a purchase
+    // between them — only depth >= 2 state still holds the older touch
+    val ooo = Seq(
+      Seq((1L, 100L, 1L, "view", "a", 0.0), (1L, 200L, 2L, "click", "b", 0.0)),
+      Seq((1L, 150L, 3L, "purchase", "", 5.0)))
+    val mem = MemoryStream[(Long, Long, Long, String, String, Double)]
+    val q = AsofStream.start(
+      mem.toDS().toDF("user_id", "tsu", "event_id", "event_type", "props", "value"),
+      st, out, ck, stateDepth = 2)
+    try {
+      ooo.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      assert(matchedOf(spark.read.parquet(out)) ==
+        Set((3L, Some("view"), Some(100L))))
+    } finally q.stop()
+  }
+
   test("post-publish replay of a batch recomputes identical matches") {
     val st = java.nio.file.Files.createTempDirectory("asof_state2").toString
     val b1 = toDf(batches(0))
