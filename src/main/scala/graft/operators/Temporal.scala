@@ -423,49 +423,65 @@ object Temporal {
     * touch lives in one, so pair count is window density, never a hot
     * user's full history squared.
     */
+  /** The banded in-window pair build shared by the batch attribution
+    * queries and the streaming twin: `touches(user_id, tsu, touch_id,
+    * touch_type)` x `facts(user_id, tsu, event_id, value)` on
+    * (user, window-chunk).
+    */
+  private[graft] def windowPairs(touches: DataFrame, facts: DataFrame): DataFrame = {
+    val W = ToleranceUs
+    val t = touches
+      .select(col("user_id").as("t_user_id"), col("tsu").as("t_tsu"),
+        col("touch_id"), col("touch_type"))
+      .withColumn("t_chunk", expr(s"t_tsu div $W"))
+    val pc = facts.withColumn("chunk",
+      explode(array(expr(s"tsu div $W - 1"), expr(s"tsu div $W"))))
+    pc.join(t,
+      col("user_id") === col("t_user_id") && col("chunk") === col("t_chunk") &&
+        col("t_tsu") <= col("tsu") && col("t_tsu") >= col("tsu") - W)
+  }
+
+  /** Linear credit split over [[windowPairs]] output, per touch type with
+    * the `none` row carrying unattributed facts — the unit both the
+    * oracled batch query and each stream micro-batch run.
+    *
+    * Pure-aggregation form: a per-pair rank window measured ~2.3x slower
+    * at 10x and an anti-join pass for the unmatched rows repaid the
+    * whole banded join — per (purchase, type) counts with the struct-max
+    * identifying the LAST touch, one roll-up to per-purchase totals,
+    * credit arithmetic on the joined pair, and the unattributed count as
+    * the gap between two 1-row aggregates.
+    */
+  private[graft] def linearSplit(pairs: DataFrame, facts: DataFrame): DataFrame = {
+    val byType = pairs.groupBy(col("event_id"), col("touch_type"))
+      .agg(count(lit(1)).as("ct"),
+        max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
+    val perEvent = byType.groupBy(col("event_id"))
+      .agg(sum(col("ct")).as("n"), max(col("mx")).as("mxall"))
+    val credited = byType.join(perEvent, "event_id")
+      .select(col("touch_type"), col("ct"),
+        (col("ct") * expr("10000 div n") +
+          when(col("mx") === col("mxall"),
+            lit(10000L) - col("n") * expr("10000 div n"))
+            .otherwise(lit(0L))).as("bp_sum"))
+    val none = facts.agg(count(lit(1)).as("total_ct"))
+      .crossJoin(perEvent.agg(count(lit(1)).as("matched_ct")))
+      .select(lit("none").as("touch_type"),
+        (col("total_ct") - col("matched_ct")).as("ct"),
+        ((col("total_ct") - col("matched_ct")) * 10000L).as("bp_sum"))
+    credited.unionByName(none)
+      .groupBy(col("touch_type"))
+      .agg(sum(col("ct")).cast("long").as("credit_ct"),
+        sum(col("bp_sum")).cast("long").as("credit_bp_sum"))
+      .filter(col("credit_ct") > 0)
+  }
+
   val attributionLinear: GraftQuery = new GraftQuery {
     val name = "attribution_linear"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val W = ToleranceUs
-      val t = rawTouchPoints(spark, sfDir)
-        .select(col("user_id").as("t_user_id"), col("tsu").as("t_tsu"),
-          col("touch_id"), col("touch_type"))
-        .withColumn("t_chunk", expr(s"t_tsu div $W"))
       val p = purchases(spark, sfDir)
-      val pc = p.withColumn("chunk",
-        explode(array(expr(s"tsu div $W - 1"), expr(s"tsu div $W"))))
-      val pairs = pc.join(t,
-        col("user_id") === col("t_user_id") && col("chunk") === col("t_chunk") &&
-          col("t_tsu") <= col("tsu") && col("t_tsu") >= col("tsu") - W)
-      // pure-aggregation credit split (a per-pair rank window measured
-      // ~2.3x slower at 10x and an anti-join pass for the unmatched rows
-      // repaid the whole banded join): per (purchase, type) counts with
-      // the struct-max identifying the LAST touch, one roll-up to per-
-      // purchase totals, credit arithmetic on the joined pair
-      val byType = pairs.groupBy(col("event_id"), col("touch_type"))
-        .agg(count(lit(1)).as("ct"),
-          max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
-      val perEvent = byType.groupBy(col("event_id"))
-        .agg(sum(col("ct")).as("n"), max(col("mx")).as("mxall"))
-      val credited = byType.join(perEvent, "event_id")
-        .select(col("touch_type"), col("ct"),
-          (col("ct") * expr("10000 div n") +
-            when(col("mx") === col("mxall"),
-              lit(10000L) - col("n") * expr("10000 div n"))
-              .otherwise(lit(0L))).as("bp_sum"))
-      // unattributed purchases: the count gap between all purchases and
-      // matched ones — two 1-row aggregates, no second banded join
-      val none = p.agg(count(lit(1)).as("total_ct"))
-        .crossJoin(perEvent.agg(count(lit(1)).as("matched_ct")))
-        .select(lit("none").as("touch_type"),
-          (col("total_ct") - col("matched_ct")).as("ct"),
-          ((col("total_ct") - col("matched_ct")) * 10000L).as("bp_sum"))
-      credited.unionByName(none)
-        .groupBy(col("touch_type"))
-        .agg(sum(col("ct")).cast("long").as("credit_ct"),
-          sum(col("bp_sum")).cast("long").as("credit_bp_sum"))
-        .filter(col("credit_ct") > 0)
+      linearSplit(windowPairs(rawTouchPoints(spark, sfDir), p), p)
         .orderBy("touch_type")
     }
 

@@ -51,27 +51,6 @@ object AsofStream {
     StructField("touch_id", LongType), StructField("touch_type", StringType),
     StructField("touch_props", StringType)))
 
-  /** Pre-batch state for batch `batchId`: the newest published version
-    * numbered below the batch's own id (see class doc — plain "latest"
-    * would be wrong under post-publish replay). Versions retained by the
-    * snapshot table cover the one-step lookback this needs.
-    */
-  private def stateOf(spark: SparkSession, root: String, batchId: Long): DataFrame = {
-    val prior = Option(new java.io.File(root).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
-      .filter(_ < batchId)
-      .sorted.lastOption
-    prior match {
-      case Some(v) if SnapshotTable.latestVersion(root).isDefined =>
-        SnapshotTable.readVersion(spark, root, s"v$v")
-      case _ =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-    }
-  }
-
   /** Enrich one micro-batch and return (matched facts, new state) — the
     * unit the stream runs and the spec replays. `batch` is event-shaped:
     * (user_id, tsu, event_id, event_type, props, value).
@@ -92,7 +71,8 @@ object AsofStream {
         col("event_type").as("touch_type"), col("props").as("touch_props"))
     val facts = batch.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tsu"), col("event_id"), col("value"))
-    val versions = stateOf(spark, stateRoot, batchId).unionByName(touches)
+    val versions = VersionedState.readBelow(spark, stateRoot, batchId, stateSchema)
+      .unionByName(touches)
     val matched = Temporal.asofMatch(versions, facts)
     val newState = versions.withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
