@@ -18,18 +18,29 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** Read one table. `events.ts` is parquet TIMESTAMP(NANOS) which Spark
-    * cannot represent; it is read as Long nanos (legacy.parquet.nanosAsLong)
-    * and normalized here to a micros `ts` timestamp plus a full-precision
-    * `ts_ns` long for deterministic tie-breaking.
+  /** Normalize an events frame to the engine contract regardless of how the
+    * fixture stores `ts`: a micros `ts` timestamp plus a full-precision
+    * `ts_ns` long for deterministic tie-breaking. Fixture generations have
+    * stored `ts` either as parquet TIMESTAMP(NANOS) — which Spark cannot
+    * represent and reads as Long nanos under legacy.parquet.nanosAsLong —
+    * or as a plain micros timestamp; both land on the identical contract
+    * (micros precision carries the full information in the second case).
     */
+  def normalizeEvents(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ =>
+      df.withColumn("ts_ns",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+        .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
+  /** Read one table; `events` goes through [[normalizeEvents]]. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
     val df = spark.read.parquet(path(sfDir, name))
-    if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEvents(df) else df
   }
 
   /** Register every table as a temp view (names match the DuckDB oracle's). */

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   */
 object Pipelines {
 
-  /** events schema as stored (ts = nanos long per TESTDATA parquet). */
+  /** events schema as stored by fixture generations that used a nanos long
+    * `ts`; kept for specs that synthesize such files. Real staging dirs are
+    * read with the schema inferred from the files already present (see
+    * [[eventsStream]]), so either storage form works.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -21,15 +25,15 @@ object Pipelines {
 
   /** Streaming source over a directory of events parquet files (stand-in
     * for the Kafka ODS topic — file-source streaming picks up new files per
-    * micro-batch, the staging-table pattern from SURVEY §7.1); normalizes
-    * ts exactly like the batch loader.
+    * micro-batch, the staging-table pattern from SURVEY §7.1). The schema
+    * comes from a one-off batch read of the dir (file-source streams need
+    * it up front), and ts is then normalized exactly like the batch loader.
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     GraftSession.tune(spark)
-    spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stored = spark.read.parquet(eventsDir).schema
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(stored).parquet(eventsDir))
   }
 
   /** A1 as a live query: watermarked 10 s tumbling visitor-stats window

@@ -115,27 +115,42 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** RawEvent stream over a staged events dir, whatever ts storage form the
+    * fixture uses (eventsStream normalizes it).
+    */
+  private def rawEventStream(dir: String) =
+    graft.streaming.Pipelines.eventsStream(spark, dir)
+      .withColumnRenamed("ts_ns", "tsNs")
+      .select("user_id", "event_id", "ts", "tsNs")
+      .withWatermark("ts", "1 second")
+
+  /** Append a far-future (2025-01-01) event matching the staged files'
+    * schema so the stream's watermark advances past every pending timer.
+    */
+  private def appendWatermarkSentinel(dir: String): Unit = {
+    val base = spark.read.parquet(s"$sf/events.parquet")
+    val tsCol = base.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(1735689600L * 1000000000L)
+      case dt => lit(java.time.LocalDateTime.of(2025, 1, 1, 0, 0)).cast(dt)
+    }
+    base.limit(1)
+      .withColumn("ts", tsCol)
+      .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
+      .write.mode("append").parquet(dir)
+  }
+
   test("streaming sessionization bounce set equals the batch bounce flags") {
     import graft.streaming.{RawEvent, StatefulOps, UserBounce}
     val dir = java.nio.file.Files.createTempDirectory("sessdocs")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
-    val raw = spark.readStream
-      .schema(graft.streaming.Pipelines.eventsSchema).parquet(dir.toString)
-      .withColumn("tsNs", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("user_id", "event_id", "ts", "tsNs")
-      .withWatermark("ts", "1 second")
-      .as[RawEvent]
+    val raw = rawEventStream(dir.toString).as[RawEvent]
     val q = StatefulOps.sessionBounces(raw)
       .writeStream.format("memory").queryName("sb").outputMode("append").start()
     try {
       q.processAllAvailable()
       // advance the watermark far past every pending 10-min timer
-      spark.read.parquet(s"$sf/events.parquet").limit(1)
-        .withColumn("ts", lit(1735689600L * 1000000000L)) // 2025-01-01 in ns
-        .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
-        .write.mode("append").parquet(dir.toString)
+      appendWatermarkSentinel(dir.toString)
       q.processAllAvailable()
       val streamed = spark.table("sb").as[UserBounce].collect()
         .filter(_.user_id >= 0).map(b => (b.user_id, b.tsNs)).toSet
@@ -158,13 +173,7 @@ class StreamingPipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"), evDir.resolve("part-0.parquet"))
     val stage = java.nio.file.Files.createTempDirectory("ujstage").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ujckpt").toString
-    val raw = spark.readStream
-      .schema(Pipelines.eventsSchema).parquet(evDir.toString)
-      .withColumn("tsNs", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("user_id", "event_id", "ts", "tsNs")
-      .withWatermark("ts", "1 second")
-      .as[RawEvent]
+    val raw = rawEventStream(evDir.toString).as[RawEvent]
     // foreachBatch append (not the parquet streaming sink): the streaming
     // sink's _spark_metadata log would make the phase-2 file source ignore
     // any file not in the log — including the watermark sentinel below
@@ -176,10 +185,7 @@ class StreamingPipelineSpec extends SparkSpec {
       .option("checkpointLocation", ckpt).outputMode("append").start()
     q1.processAllAvailable()
     // watermark sentinel: flushes every pending 10-min bounce timer
-    spark.read.parquet(s"$sf/events.parquet").limit(1)
-      .withColumn("ts", lit(1735689600L * 1000000000L))
-      .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
-      .write.mode("append").parquet(evDir.toString)
+    appendWatermarkSentinel(evDir.toString)
     q1.processAllAvailable()
     q1.stop()
     // phase 2 — VisitorStatsApp analog: the staged bounces, windowed by
