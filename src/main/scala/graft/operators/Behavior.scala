@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavior analytics over the events stream: windowed funnel, cohort
+  * retention, session-gap transition matrix, rolling active users.
+  *
+  * The reference's ADS layer stops at per-window visitor/product rollups
+  * (the `PUB/mapper` Java mappers); these are the next queries a warehouse
+  * user asks
+  * of the same events table. All four are exact-integer end to end
+  * (basis-point ratios via floor, ns timestamps via `ts_ns`) so the DuckDB
+  * oracle hash-matches bit for bit.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - funnel: ONE shuffle on user_id; per-user state is the sorted event
+  *    array of the three stage types only (filtered before the shuffle),
+  *    folded left in a single pass — the ClickHouse `windowFunnel` shape.
+  *  - cohort: two key-aligned shuffles (min-per-user, then the activity
+  *    groupBy); the per-cell matrix is |weeks|² rows — tiny at any scale.
+  *  - transitions: one user_id window shuffle; the (src,dst) grid is
+  *    |event_type|² — constant.
+  *  - rolling actives: the window expansion happens on the PRE-AGGREGATED
+  *    distinct (day,user) frame (bounded 7× fan-out), never on raw events,
+  *    and the day-grid join broadcasts — no range self-join of the fact
+  *    table.
+  */
+object Behavior {
+
+  /** Funnel completion window: each later stage must land within 72 h of
+    * the stage-1 entry (and strictly after the previous stage).
+    */
+  private val FunnelWindowNs = 72L * 3600 * 1000 * 1000 * 1000
+
+  /** Session gap for the transition matrix — same 30 min the session
+    * window family uses (`LogStats.sessionStats`).
+    */
+  private val GapNs = 30L * 60 * 1000 * 1000 * 1000
+
+  private val stages = Seq("view" -> 1, "click" -> 2, "purchase" -> 3)
+
+  /** Per-user staged entry times from a (user_id, stage, tsn) frame:
+    * t1 = first stage-1; t2 = first stage-2 strictly after t1 within the
+    * window; t3 = first stage-3 strictly after t2 within t1's window.
+    * One groupBy(user_id) shuffle; the sorted-array left fold visits each
+    * qualifying event once, so the first qualifying hit IS the min — the
+    * same values the oracle computes with three sequential min() CTEs.
+    */
+  private[graft] def funnelTimes(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("tsn"), col("stage")))).as("evs"))
+      .withColumn("f", expr(
+        s"""aggregate(
+              evs,
+              named_struct('t1', CAST(NULL AS BIGINT),
+                           't2', CAST(NULL AS BIGINT),
+                           't3', CAST(NULL AS BIGINT)),
+              (acc, x) -> CASE
+                WHEN x.stage = 1 AND acc.t1 IS NULL
+                  THEN named_struct('t1', x.tsn, 't2', acc.t2, 't3', acc.t3)
+                WHEN x.stage = 2 AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
+                     AND x.tsn > acc.t1 AND x.tsn <= acc.t1 + ${FunnelWindowNs}L
+                  THEN named_struct('t1', acc.t1, 't2', x.tsn, 't3', acc.t3)
+                WHEN x.stage = 3 AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
+                     AND x.tsn > acc.t2 AND x.tsn <= acc.t1 + ${FunnelWindowNs}L
+                  THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', x.tsn)
+                ELSE acc END)"""))
+      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
+        col("f.t3").as("t3"))
+
+  /** view → click → purchase conversion funnel, 72 h completion window. */
+  val funnelConversion: GraftQuery = new GraftQuery {
+    val name = "funnel_conversion"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val stageCol = stages.foldLeft(lit(null).cast("int")) {
+        case (acc, (t, s)) => when(col("event_type") === t, lit(s)).otherwise(acc)
+      }
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), stageCol.as("stage"), col("ts_ns").as("tsn"))
+        .filter(col("stage").isNotNull)
+      val u = funnelTimes(ev).agg(
+        count(col("t1")).as("u1"),
+        count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      val stageRows = array(
+        struct(lit(1L).as("stage"), lit("view").as("stage_name"),
+          col("u1").as("users"), col("u1").as("prev")),
+        struct(lit(2L).as("stage"), lit("click").as("stage_name"),
+          col("u2").as("users"), col("u1").as("prev")),
+        struct(lit(3L).as("stage"), lit("purchase").as("stage_name"),
+          col("u3").as("users"), col("u2").as("prev")))
+      u.select(explode(stageRows).as("s"), col("u1"))
+        .select(
+          col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+          col("s.users").as("users"),
+          floor(col("s.users") * lit(10000L) / col("u1")).as("conv_total_bp"),
+          floor(col("s.users") * lit(10000L) / col("s.prev")).as("conv_step_bp"))
+        .orderBy("stage")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+      v AS (SELECT user_id, min(tsn) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, min(tsn) AS t2 FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND tsn > v.t1
+              AND tsn <= v.t1 + $FunnelWindowNs GROUP BY 1),
+      p AS (SELECT ev.user_id, min(tsn) AS t3
+            FROM ev JOIN c USING (user_id) JOIN v ON ev.user_id = v.user_id
+            WHERE event_type = 'purchase' AND tsn > c.t2
+              AND tsn <= v.t1 + $FunnelWindowNs GROUP BY 1),
+      u AS (SELECT (SELECT count(*) FROM v) AS u1,
+                   (SELECT count(*) FROM c) AS u2,
+                   (SELECT count(*) FROM p) AS u3)
+      SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             CAST(users AS BIGINT) AS users,
+             CAST(floor(users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
+             CAST(floor(users * 10000.0 / prev) AS BIGINT) AS conv_step_bp
+      FROM (
+        SELECT 1 AS stage, 'view' AS stage_name, u1 AS users, u1 AS prev, u1 FROM u
+        UNION ALL
+        SELECT 2, 'click', u2, u1, u1 FROM u
+        UNION ALL
+        SELECT 3, 'purchase', u3, u2, u1 FROM u)
+      ORDER BY stage
+    """)
+  }
+
+  /** Weekly cohort retention matrix: cohort = ISO week of the user's first
+    * event; a user counts in cell (cohort, k) when active in cohort+k.
+    */
+  val cohortRetention: GraftQuery = new GraftQuery {
+    val name = "cohort_retention"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("ts_ns"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_ns")).as("first_tsn"))
+        .withColumn("cohort_week",
+          date_trunc("week",
+            timestamp_micros(expr("first_tsn div 1000"))).cast("date"))
+        .select(col("user_id"), col("cohort_week"))
+      val cells = ev.select(col("user_id"), col("week")).distinct()
+        .join(cohorts, "user_id")
+        .withColumn("offset_w",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy(col("cohort_week"), col("offset_w"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = cells.filter(col("offset_w") === 0)
+        .select(col("cohort_week"), col("active_users").as("cohort_size"))
+      cells.join(sizes, "cohort_week")
+        .select(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_w"), col("active_users"), col("cohort_size"),
+          floor(col("active_users") * lit(10000L) / col("cohort_size"))
+            .as("retention_bp"))
+        .orderBy("cohort_week", "offset_w")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn,
+                         CAST(date_trunc('week', ts) AS DATE) AS week
+                  FROM events),
+      cohorts AS (SELECT user_id,
+                         CAST(date_trunc('week',
+                           make_timestamp(min(tsn) // 1000)) AS DATE)
+                           AS cohort_week
+                  FROM ev GROUP BY 1),
+      cells AS (SELECT cohort_week,
+                       date_diff('day', cohort_week, week) // 7 AS offset_w,
+                       count(DISTINCT a.user_id) AS active_users
+                FROM (SELECT DISTINCT user_id, week FROM ev) a
+                JOIN cohorts USING (user_id)
+                GROUP BY 1, 2),
+      sizes AS (SELECT cohort_week, active_users AS cohort_size
+                FROM cells WHERE offset_w = 0)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+             CAST(offset_w AS BIGINT) AS offset_w,
+             CAST(active_users AS BIGINT) AS active_users,
+             CAST(cohort_size AS BIGINT) AS cohort_size,
+             CAST(floor(active_users * 10000.0 / cohort_size) AS BIGINT)
+               AS retention_bp
+      FROM cells JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, offset_w
+    """)
+  }
+
+  /** Within-session transition counts from a (user_id, event_id, tsn,
+    * event_type) frame: consecutive pairs under (tsn, event_id) order with
+    * gap ≤ 30 min, with floor-bp row probabilities per source type.
+    * Exposed for the spec's gap-edge fixture.
+    */
+  private[graft] def transitionGrid(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+    val pairs = ev
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ns", lead(col("tsn"), 1).over(w) - col("tsn"))
+      .filter(col("dst").isNotNull && col("gap_ns") <= GapNs)
+      .select(col("event_type").as("src"), col("dst"))
+    val grid = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("src"))
+    grid
+      .withColumn("src_total", sum(col("n")).over(tw))
+      .select(col("src"), col("dst"), col("n"),
+        floor(col("n") * lit(10000L) / col("src_total")).as("prob_bp"))
+  }
+
+  /** Event-type Markov transition matrix within 30-min sessions. */
+  val eventTransitions: GraftQuery = new GraftQuery {
+    val name = "event_transitions"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      transitionGrid(
+        Tables.load(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+            col("event_type")))
+        .orderBy("src", "dst")
+
+    def oracle: Option[String] = Some(s"""
+      WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+                  FROM events),
+      pairs AS (SELECT event_type AS src,
+                       lead(event_type) OVER w AS dst,
+                       lead(tsn) OVER w - tsn AS gap_ns
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      grid AS (SELECT src, dst, count(*) AS n FROM pairs
+               WHERE dst IS NOT NULL AND gap_ns <= $GapNs GROUP BY 1, 2)
+      SELECT src, dst, CAST(n AS BIGINT) AS n,
+             CAST(floor(n * 10000.0 / sum(n) OVER (PARTITION BY src))
+               AS BIGINT) AS prob_bp
+      FROM grid ORDER BY src, dst
+    """)
+  }
+
+  /** Rolling actives from a distinct (day, user_id) frame: each activity
+    * day contributes the user to the 7 window-end days d..d+6, restricted
+    * to days that exist in the data (matching the oracle's day-grid join).
+    */
+  private[graft] def rollingActive(du: DataFrame): DataFrame = {
+    val days = du.select(col("day")).distinct()
+    val wau = du
+      .withColumn("k", explode(sequence(lit(0), lit(6))))
+      .withColumn("wday", date_add(col("day"), col("k")))
+      .join(broadcast(days.select(col("day").as("wday"))), "wday")
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau_ct"))
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau_ct"))
+    wau.join(dau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau_ct"), col("wau_ct"))
+  }
+
+  /** Daily and trailing-7-day distinct active users (DAU / WAU). */
+  val rollingActives: GraftQuery = new GraftQuery {
+    val name = "rolling_actives"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      rollingActive(
+        Tables.load(spark, sfDir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+        .orderBy("day")
+
+    def oracle: Option[String] = Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d FROM du),
+      wau AS (SELECT days.d, count(DISTINCT du.user_id) AS wau_ct
+              FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+              GROUP BY 1),
+      dau AS (SELECT d, count(DISTINCT user_id) AS dau_ct FROM du GROUP BY 1)
+      SELECT strftime(wau.d, '%Y-%m-%d') AS day, dau_ct, wau_ct
+      FROM wau JOIN dau ON wau.d = dau.d ORDER BY day
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(funnelConversion, cohortRetention, eventTransitions, rollingActives)
+}

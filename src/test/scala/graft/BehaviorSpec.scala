@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the behavior-analytics family on planted fixtures
+  * (the sf oracles prove the aggregate numbers; these pin the per-user
+  * rules the aggregates are built from).
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000 * 1000 * 1000 // 1 h in ns
+
+  test("funnel stages must be strictly ordered and inside the 72 h window") {
+    // u1: clean view→click→purchase; u2: click BEFORE its first view (the
+    // later click converts); u3: purchase before click (never converts);
+    // u4: click lands after the 72 h window.
+    val ev = Seq(
+      (1L, 1, 1 * H), (1L, 2, 2 * H), (1L, 3, 3 * H),
+      (2L, 2, 1 * H), (2L, 1, 2 * H), (2L, 2, 3 * H),
+      (3L, 1, 1 * H), (3L, 3, 2 * H), (3L, 2, 3 * H),
+      (4L, 1, 1 * H), (4L, 2, 80 * H)
+    ).toDF("user_id", "stage", "tsn")
+    val t = Behavior.funnelTimes(ev).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(t(1L) === ((Some(1 * H), Some(2 * H), Some(3 * H))))
+    assert(t(2L) === ((Some(2 * H), Some(3 * H), None)))
+    assert(t(3L) === ((Some(1 * H), Some(3 * H), None)))
+    assert(t(4L) === ((Some(1 * H), None, None)))
+  }
+
+  test("funnel equal-timestamp events do not satisfy the strictly-after rule") {
+    val ev = Seq((1L, 1, 1 * H), (1L, 2, 1 * H), (1L, 2, 2 * H))
+      .toDF("user_id", "stage", "tsn")
+    val r = Behavior.funnelTimes(ev).collect().head
+    assert(r.getLong(1) === 1 * H)
+    assert(r.getLong(2) === 2 * H) // the same-instant click is skipped
+  }
+
+  test("transition pairs split at the 30-minute session gap") {
+    val m = 60L * 1000 * 1000 * 1000 // 1 min ns
+    val ev = Seq(
+      (1L, 1L, 0 * m, "view"), (1L, 2L, 10 * m, "click"), // in-session pair
+      (1L, 3L, 50 * m, "view"), // 40 min gap — no click→view pair
+      (1L, 4L, 80 * m, "click") // exactly 30 min — inclusive bound, kept
+    ).toDF("user_id", "event_id", "tsn", "event_type")
+    val grid = Behavior.transitionGrid(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(grid === Map(("view", "click") -> 2L))
+  }
+
+  test("transition probabilities floor to basis points per source row") {
+    val grid = Behavior.transitionGrid(
+      Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+          col("event_type")))
+    val bySrc = grid.groupBy("src")
+      .agg(sum("prob_bp").as("s"), count(lit(1)).as("k"))
+      .collect()
+    bySrc.foreach { r =>
+      val s = r.getLong(1)
+      // floor per row: total in (10000 - rows, 10000]
+      assert(s <= 10000 && s > 10000 - r.getLong(2), s"src=${r.get(0)} sum=$s")
+    }
+  }
+
+  test("rolling WAU covers exactly the trailing 7 days and dominates DAU") {
+    val du = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-05", 3L),
+      ("2024-01-08", 1L), // day 1 users fall OUT of the 8th's window
+      ("2024-01-20", 4L) // isolated day far outside every other window
+    ).toDF("day", "user_id").withColumn("day", to_date(col("day")))
+    val r = Behavior.rollingActive(du).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("2024-01-01") === ((2L, 2L)))
+    assert(r("2024-01-05") === ((1L, 3L))) // 1st+5th inside one window
+    assert(r("2024-01-08") === ((1L, 2L))) // 5th still in, 1st evicted
+    assert(r("2024-01-20") === ((1L, 1L)))
+    assert(r.size === 4) // only days present in the data appear
+    r.values.foreach { case (dau, wau) => assert(wau >= dau) }
+  }
+
+  test("cohort retention at offset zero is always 10000 bp") {
+    val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(1) == 0L)
+      .foreach(r => assert(r.getLong(4) === 10000L, r.toString))
+    // every cell's active set is a subset of its cohort
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3), r.toString))
+  }
+}
