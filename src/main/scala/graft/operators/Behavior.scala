@@ -137,24 +137,35 @@ object Behavior {
     val name = "cohort_retention"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ev = Tables.load(spark, sfDir, "events")
+      // ONE scan and ONE user_id shuffle produce both the cohort label and
+      // the user's distinct activity weeks (collect_set is bounded by the
+      // calendar, not the event count); exploding the set yields unique
+      // (user, week) pairs, so the cell count needs no distinct machinery.
+      // The cohort size is the cell matrix's own offset-0 row, read back
+      // with a window over the tiny (|weeks|²-row) frame — a self-join
+      // here would recompute the whole aggregation subtree (Catalyst
+      // cannot reuse the exchange once the offset-0 filter is pushed
+      // through one copy).
+      val perUser = Tables.load(spark, sfDir, "events")
         .select(col("user_id"), col("ts_ns"),
           date_trunc("week", col("ts")).cast("date").as("week"))
-      val cohorts = ev.groupBy(col("user_id"))
-        .agg(min(col("ts_ns")).as("first_tsn"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_ns")).as("first_tsn"),
+          collect_set(col("week")).as("weeks"))
         .withColumn("cohort_week",
           date_trunc("week",
             timestamp_micros(expr("first_tsn div 1000"))).cast("date"))
-        .select(col("user_id"), col("cohort_week"))
-      val cells = ev.select(col("user_id"), col("week")).distinct()
-        .join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          explode(col("weeks")).as("week"))
+      val cells = perUser
         .withColumn("offset_w",
           (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
         .groupBy(col("cohort_week"), col("offset_w"))
-        .agg(countDistinct(col("user_id")).as("active_users"))
-      val sizes = cells.filter(col("offset_w") === 0)
-        .select(col("cohort_week"), col("active_users").as("cohort_size"))
-      cells.join(sizes, "cohort_week")
+        .agg(count(lit(1)).as("active_users"))
+      val byCohort = Window.partitionBy(col("cohort_week"))
+      cells
+        .withColumn("cohort_size",
+          max(when(col("offset_w") === 0, col("active_users"))).over(byCohort))
         .select(
           date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
           col("offset_w"), col("active_users"), col("cohort_size"),
@@ -262,9 +273,12 @@ object Behavior {
     val name = "rolling_actives"
 
     def run(spark: SparkSession, sfDir: String): DataFrame =
-      rollingActive(
+      // the distinct (day,user) frame — the only full-width shuffle — is
+      // persisted once and feeds all three consumers (day grid, WAU
+      // fan-out, DAU), instead of re-scanning events per branch
+      rollingActive(graft.CacheRegistry.persist(
         Tables.load(spark, sfDir, "events")
-          .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()))
         .orderBy("day")
 
     def oracle: Option[String] = Some("""
