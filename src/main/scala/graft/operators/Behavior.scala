@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
 object Behavior {
 
   /** Funnel completion window: each later stage must land within 72 h of
-    * the stage-1 entry (and strictly after the previous stage).
+    * the stage-1 entry (and strictly after the previous stage). Shared
+    * with the streaming twin (`streaming.StatefulOps.funnelProgress`).
     */
-  private val FunnelWindowNs = 72L * 3600 * 1000 * 1000 * 1000
+  private[graft] val FunnelWindowNs = 72L * 3600 * 1000 * 1000 * 1000
 
   /** Session gap for the transition matrix — same 30 min the session
     * window family uses (`LogStats.sessionStats`).

@@ -30,6 +30,14 @@ case class UserBounce(user_id: Long, tsNs: Long)
 /** A document entering the ingest pipeline: content fingerprint + id. */
 case class DocRecord(fp: String, docId: Long, ts: Timestamp)
 
+/** A funnel stage event (stage ∈ 1..3) with full-precision event time. */
+case class StageEvent(user_id: Long, stage: Int, ts: Timestamp, tsNs: Long)
+
+/** A user's funnel progression; -1 marks a stage not yet reached. */
+case class FunnelTimes(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+private case class FunnelSt(t1: Long, t2: Long, t3: Long)
+
 private case class SessionState(lastNs: Long, pendingNs: Long)
 
 private case class PendingEntry(tsMillis: Long)
@@ -215,6 +223,43 @@ object StatefulOps {
     * hash; bound it with an event-time TTL when the dedup window is finite
     * (the [[uniqueVisits]] timeout pattern applies unchanged).
     */
+  /** Live funnel progression — the streaming twin of
+    * `operators.Behavior.funnelTimes`. State per user is just the three
+    * stage entry times (-1 = not reached); each micro-batch's events fold
+    * through the SAME strictly-after / 72 h-window step rule the batch
+    * query applies to the full sorted array, so under the in-order
+    * contract (micro-batches arrive in event-time order per user — the
+    * AttributionStream contract) N-batch state ≡ the one-shot fold:
+    * the fold is a left fold and (t1,t2,t3) is its entire accumulator,
+    * so folding batch k+1 from batch k's end state IS folding the
+    * concatenation. Emits the user's progression after every batch that
+    * touches it (update mode); fields transition -1 → value at most once,
+    * so the final row per user is the per-field max of emitted rows.
+    * State: 3 longs per user, bounded by the user population.
+    */
+  def funnelProgress(ev: Dataset[StageEvent]): Dataset[FunnelTimes] = {
+    implicit val fe = Encoders.product[FunnelTimes]
+    implicit val se = Encoders.product[FunnelSt]
+    val W = graft.operators.Behavior.FunnelWindowNs
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelSt, FunnelTimes](GroupStateTimeout.NoTimeout) {
+        case (uid, events, state) =>
+          var s = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+          // within-batch order matches the batch sort_array struct order
+          events.toSeq.sortBy(e => (e.tsNs, e.stage)).foreach { e =>
+            s =
+              if (e.stage == 1 && s.t1 < 0) s.copy(t1 = e.tsNs)
+              else if (e.stage == 2 && s.t1 >= 0 && s.t2 < 0 &&
+                e.tsNs > s.t1 && e.tsNs <= s.t1 + W) s.copy(t2 = e.tsNs)
+              else if (e.stage == 3 && s.t2 >= 0 && s.t3 < 0 &&
+                e.tsNs > s.t2 && e.tsNs <= s.t1 + W) s.copy(t3 = e.tsNs)
+              else s
+          }
+          state.update(s)
+          FunnelTimes(uid, s.t1, s.t2, s.t3)
+      }
+  }
+
   def dedupeStream(recs: Dataset[DocRecord]): Dataset[DocRecord] = {
     implicit val de = Encoders.product[DocRecord]
     implicit val se = Encoders.product[Seen]

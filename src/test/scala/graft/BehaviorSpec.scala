@@ -83,6 +83,45 @@ class BehaviorSpec extends SparkSpec {
     r.values.foreach { case (dau, wau) => assert(wau >= dau) }
   }
 
+  test("streamed funnel progression equals the one-shot batch fold") {
+    import graft.streaming.{FunnelTimes, StageEvent, StatefulOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val stageOf = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    val evRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("ts_ns"))
+      .collect()
+      .flatMap(r => stageOf.get(r.getString(1)).map(s =>
+        StageEvent(r.getLong(0), s, r.getTimestamp(2), r.getLong(3))))
+      .sortBy(_.tsNs)
+    // three time-ordered micro-batches (the in-order contract)
+    val chunks = evRows.grouped((evRows.length + 2) / 3).toSeq
+    val mem = MemoryStream[StageEvent]
+    val q = StatefulOps.funnelProgress(mem.toDS())
+      .writeStream.format("memory").queryName("fp")
+      .outputMode(OutputMode.Update).start()
+    try {
+      chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      // fields move -1 → value at most once, so per-field max = final state
+      val streamed = spark.table("fp").as[FunnelTimes].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rs) =>
+          u -> ((rs.map(_.t1).max, rs.map(_.t2).max, rs.map(_.t3).max))
+        }
+      val batch = Behavior.funnelTimes(
+        evRows.toSeq.toDF("user_id", "stage", "ts", "tsn")
+          .select(col("user_id"), col("stage"), col("tsn")))
+        .collect()
+        .map { r =>
+          def g(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+          r.getLong(0) -> ((g(1), g(2), g(3)))
+        }.toMap
+      assert(streamed === batch)
+      assert(batch.values.exists(_._3 >= 0)) // some user completes the funnel
+    } finally q.stop()
+  }
+
   test("cohort retention at offset zero is always 10000 bp") {
     val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
