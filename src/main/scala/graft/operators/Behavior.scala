@@ -294,6 +294,83 @@ object Behavior {
     """)
   }
 
+  /** Maximum events contributing to a session's path string. A whale
+    * session (the 10x fixture's hot user runs 200k-event sessions) would
+    * otherwise produce megabyte path strings nobody reads — the cap keeps
+    * the assembled value bounded at any scale while leaving real
+    * people-length sessions untouched.
+    */
+  private val PathCap = 24
+
+  /** Top session paths: sessions split at the 30-min gap (the same
+    * gaps-and-islands counter `session_stats` uses), each session's
+    * ordered event-type sequence (first [[PathCap]] events) joined into a
+    * path string, counted and ranked. Scale shape: one user_id window
+    * shuffle to stamp session ids, one narrow (user, session) shuffle to
+    * assemble paths (value bounded by the cap), then the path grid — the
+    * heavy frames never carry more than a session's events per key. The
+    * final top-20 is a TakeOrdered over the path grid, not a global sort.
+    */
+  /** Per-session capped path strings from a (user_id, event_id, tsn,
+    * event_type) frame — the grid [[sessionPaths]] ranks. Exposed for the
+    * spec's whale-session cap fixture.
+    */
+  private[graft] def sessionPathGrid(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+    ev
+      .withColumn("new_sess",
+          when(col("tsn") - lag(col("tsn"), 1).over(w) > GapNs ||
+            lag(col("tsn"), 1).over(w).isNull, lit(1)).otherwise(lit(0)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sess", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sess_start", max(when(col("new_sess") === 1, col("rn"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // drop beyond-cap rows BEFORE the path-assembly shuffle — the
+        // whale session contributes PathCap rows downstream, not 200k
+        .filter(col("rn") - col("sess_start") < PathCap)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(sort_array(collect_list(
+          struct(col("tsn"), col("event_id"), col("event_type")))).as("evs"))
+        .select(array_join(
+          transform(col("evs"), x => x("event_type")), "->").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+  }
+
+  val sessionPaths: GraftQuery = new GraftQuery {
+    val name = "session_paths"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      sessionPathGrid(
+        Tables.load(spark, sfDir, "events")
+          .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+            col("event_type")))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+
+    def oracle: Option[String] = Some(s"""
+      WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type
+                  FROM events),
+      x AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+                             OR tsn - lag(tsn) OVER w > $GapNs
+                           THEN 1 ELSE 0 END AS new_sess,
+                      row_number() OVER w AS rn
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      s AS (SELECT *, sum(new_sess) OVER wc AS sess,
+                      max(CASE WHEN new_sess = 1 THEN rn END) OVER wc
+                        AS sess_start
+            FROM x WINDOW wc AS (PARTITION BY user_id
+              ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING)),
+      p AS (SELECT user_id, sess,
+                   string_agg(event_type, '->' ORDER BY tsn, event_id) AS path
+            FROM s WHERE rn - sess_start < $PathCap GROUP BY 1, 2)
+      SELECT path, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(funnelConversion, cohortRetention, eventTransitions, rollingActives)
+    Seq(funnelConversion, cohortRetention, eventTransitions, rollingActives,
+      sessionPaths)
 }

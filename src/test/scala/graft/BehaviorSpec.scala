@@ -122,6 +122,19 @@ class BehaviorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session paths split at the gap and cap whale sessions at 24 events") {
+    val m = 60L * 1000 * 1000 * 1000
+    // u1: 30-event single session (capped); u2: two 1-event sessions
+    val ev = ((1 to 30).map(i => (1L, i.toLong, i * m, "view")) ++
+      Seq((2L, 100L, 0 * m, "click"), (2L, 101L, 60 * m, "click")))
+      .toDF("user_id", "event_id", "tsn", "event_type")
+    val grid = Behavior.sessionPathGrid(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grid(Seq.fill(24)("view").mkString("->")) === 1L)
+    assert(grid("click") === 2L)
+    assert(grid.size === 2)
+  }
+
   test("cohort retention at offset zero is always 10000 bp") {
     val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
