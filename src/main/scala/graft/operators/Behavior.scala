@@ -37,63 +37,72 @@ object Behavior {
   private[graft] val FunnelWindowNs = 72L * 3600 * 1000 * 1000 * 1000
 
   /** Session gap for the transition matrix — same 30 min the session
-    * window family uses (`LogStats.sessionStats`).
+    * window family uses (`LogStats.sessionStats`). Shared with the
+    * streaming twin (`streaming.StatefulOps.transitionPairs`).
     */
-  private val GapNs = 30L * 60 * 1000 * 1000 * 1000
+  private[graft] val GapNs = 30L * 60 * 1000 * 1000 * 1000
 
-  private val stages = Seq("view" -> 1, "click" -> 2, "purchase" -> 3)
+  /** The generated left-fold step for an n-stage funnel: stage 1 takes
+    * the first stage-1 event; stage k takes the first stage-k event
+    * strictly after t(k-1) and within t1's window. Stage count and window
+    * are PARAMETERS — the funnel is an operator, not a fixed query.
+    */
+  private def funnelFoldExpr(n: Int, windowNs: Long): String = {
+    val fields = (1 to n).map(k => s"t$k")
+    def mkStruct(vals: Seq[String]) =
+      fields.zip(vals).map { case (f, v) => s"'$f', $v" }
+        .mkString("named_struct(", ", ", ")")
+    val init = mkStruct(fields.map(_ => "CAST(NULL AS BIGINT)"))
+    val whens = (1 to n).map { k =>
+      val cond =
+        if (k == 1) "x.stage = 1 AND acc.t1 IS NULL"
+        else s"""x.stage = $k AND acc.t${k - 1} IS NOT NULL AND acc.t$k IS NULL
+                 AND x.tsn > acc.t${k - 1} AND x.tsn <= acc.t1 + ${windowNs}L"""
+      val assign = mkStruct(fields.map(f => if (f == s"t$k") "x.tsn" else s"acc.$f"))
+      s"WHEN $cond THEN $assign"
+    }.mkString("\n")
+    s"aggregate(evs, $init, (acc, x) -> CASE $whens ELSE acc END)"
+  }
 
-  /** Per-user staged entry times from a (user_id, stage, tsn) frame:
-    * t1 = first stage-1; t2 = first stage-2 strictly after t1 within the
-    * window; t3 = first stage-3 strictly after t2 within t1's window.
+  /** Per-user staged entry times from a (user_id, stage, tsn) frame.
     * One groupBy(user_id) shuffle; the sorted-array left fold visits each
     * qualifying event once, so the first qualifying hit IS the min — the
-    * same values the oracle computes with three sequential min() CTEs.
+    * same values the oracle computes with sequential min() CTEs.
     */
-  private[graft] def funnelTimes(ev: DataFrame): DataFrame =
+  private[graft] def funnelTimes(ev: DataFrame, n: Int = 3,
+      windowNs: Long = FunnelWindowNs): DataFrame =
     ev.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("tsn"), col("stage")))).as("evs"))
-      .withColumn("f", expr(
-        s"""aggregate(
-              evs,
-              named_struct('t1', CAST(NULL AS BIGINT),
-                           't2', CAST(NULL AS BIGINT),
-                           't3', CAST(NULL AS BIGINT)),
-              (acc, x) -> CASE
-                WHEN x.stage = 1 AND acc.t1 IS NULL
-                  THEN named_struct('t1', x.tsn, 't2', acc.t2, 't3', acc.t3)
-                WHEN x.stage = 2 AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
-                     AND x.tsn > acc.t1 AND x.tsn <= acc.t1 + ${FunnelWindowNs}L
-                  THEN named_struct('t1', acc.t1, 't2', x.tsn, 't3', acc.t3)
-                WHEN x.stage = 3 AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
-                     AND x.tsn > acc.t2 AND x.tsn <= acc.t1 + ${FunnelWindowNs}L
-                  THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', x.tsn)
-                ELSE acc END)"""))
-      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
-        col("f.t3").as("t3"))
+      .withColumn("f", expr(funnelFoldExpr(n, windowNs)))
+      .select(col("user_id") +: (1 to n).map(k => col(s"f.t$k").as(s"t$k")): _*)
 
-  /** view → click → purchase conversion funnel, 72 h completion window. */
-  val funnelConversion: GraftQuery = new GraftQuery {
-    val name = "funnel_conversion"
+  /** An n-stage conversion-funnel query over the events table: per-stage
+    * reached-user counts with floor-bp conversion from the funnel entry
+    * and from the previous stage. Both the Spark fold and the DuckDB
+    * oracle's sequential-min CTE chain are GENERATED from the ordered
+    * stage-type list, so any funnel a user defines gets the same oracle
+    * coverage as the shipped instances.
+    */
+  private[graft] def funnelQuery(qname: String, stageTypes: Seq[String],
+      windowNs: Long): GraftQuery = new GraftQuery {
+    val name = qname
+    private val n = stageTypes.length
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val stageCol = stages.foldLeft(lit(null).cast("int")) {
-        case (acc, (t, s)) => when(col("event_type") === t, lit(s)).otherwise(acc)
-      }
+      val stageCol = stageTypes.zipWithIndex
+        .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
+          when(col("event_type") === t, lit(i + 1)).otherwise(acc)
+        }
       val ev = Tables.load(spark, sfDir, "events")
         .select(col("user_id"), stageCol.as("stage"), col("ts_ns").as("tsn"))
         .filter(col("stage").isNotNull)
-      val u = funnelTimes(ev).agg(
+      val u = funnelTimes(ev, n, windowNs).agg(
         count(col("t1")).as("u1"),
-        count(col("t2")).as("u2"),
-        count(col("t3")).as("u3"))
-      val stageRows = array(
-        struct(lit(1L).as("stage"), lit("view").as("stage_name"),
-          col("u1").as("users"), col("u1").as("prev")),
-        struct(lit(2L).as("stage"), lit("click").as("stage_name"),
-          col("u2").as("users"), col("u1").as("prev")),
-        struct(lit(3L).as("stage"), lit("purchase").as("stage_name"),
-          col("u3").as("users"), col("u2").as("prev")))
+        (2 to n).map(k => count(col(s"t$k")).as(s"u$k")): _*)
+      val stageRows = array((1 to n).map { k =>
+        struct(lit(k.toLong).as("stage"), lit(stageTypes(k - 1)).as("stage_name"),
+          col(s"u$k").as("users"), col(s"u${math.max(k - 1, 1)}").as("prev"))
+      }: _*)
       u.select(explode(stageRows).as("s"), col("u1"))
         .select(
           col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
@@ -103,33 +112,58 @@ object Behavior {
         .orderBy("stage")
     }
 
-    def oracle: Option[String] = Some(s"""
+    def oracle: Option[String] = {
+      val ctes = (1 to n).map { k =>
+        if (k == 1)
+          s"""s1 AS (SELECT user_id, min(tsn) AS t1 FROM ev
+                WHERE event_type = '${stageTypes.head}' GROUP BY 1)"""
+        else {
+          val joins =
+            if (k == 2) "JOIN s1 USING (user_id)"
+            else s"JOIN s${k - 1} USING (user_id) JOIN s1 ON ev.user_id = s1.user_id"
+          s"""s$k AS (SELECT ev.user_id, min(tsn) AS t$k FROM ev $joins
+                WHERE event_type = '${stageTypes(k - 1)}'
+                  AND tsn > s${k - 1}.t${k - 1}
+                  AND tsn <= s1.t1 + $windowNs GROUP BY 1)"""
+        }
+      }
+      val uCols = (1 to n)
+        .map(k => s"(SELECT count(*) FROM s$k) AS u$k").mkString(", ")
+      val unions = (1 to n).map { k =>
+        val first = k == 1
+        val prev = s"u${math.max(k - 1, 1)}"
+        if (first) s"SELECT 1 AS stage, '${stageTypes.head}' AS stage_name, u1 AS users, u1 AS prev, u1 FROM u"
+        else s"SELECT $k, '${stageTypes(k - 1)}', u$k, $prev, u1 FROM u"
+      }.mkString("\n        UNION ALL\n        ")
+      Some(s"""
       WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
-      v AS (SELECT user_id, min(tsn) AS t1 FROM ev
-            WHERE event_type = 'view' GROUP BY 1),
-      c AS (SELECT ev.user_id, min(tsn) AS t2 FROM ev JOIN v USING (user_id)
-            WHERE event_type = 'click' AND tsn > v.t1
-              AND tsn <= v.t1 + $FunnelWindowNs GROUP BY 1),
-      p AS (SELECT ev.user_id, min(tsn) AS t3
-            FROM ev JOIN c USING (user_id) JOIN v ON ev.user_id = v.user_id
-            WHERE event_type = 'purchase' AND tsn > c.t2
-              AND tsn <= v.t1 + $FunnelWindowNs GROUP BY 1),
-      u AS (SELECT (SELECT count(*) FROM v) AS u1,
-                   (SELECT count(*) FROM c) AS u2,
-                   (SELECT count(*) FROM p) AS u3)
+      ${ctes.mkString(",\n      ")},
+      u AS (SELECT $uCols)
       SELECT CAST(stage AS BIGINT) AS stage, stage_name,
              CAST(users AS BIGINT) AS users,
              CAST(floor(users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
              CAST(floor(users * 10000.0 / prev) AS BIGINT) AS conv_step_bp
       FROM (
-        SELECT 1 AS stage, 'view' AS stage_name, u1 AS users, u1 AS prev, u1 FROM u
-        UNION ALL
-        SELECT 2, 'click', u2, u1, u1 FROM u
-        UNION ALL
-        SELECT 3, 'purchase', u3, u2, u1 FROM u)
+        $unions)
       ORDER BY stage
-    """)
+      """)
+    }
   }
+
+  /** view → click → purchase conversion funnel, 72 h completion window
+    * (the flagship instance; `streaming.StatefulOps.funnelProgress` is
+    * its live twin).
+    */
+  val funnelConversion: GraftQuery =
+    funnelQuery("funnel_conversion", Seq("view", "click", "purchase"),
+      FunnelWindowNs)
+
+  /** 4-stage activation funnel (signup entry, 7-day window) — the second
+    * instance proving the stage list and window are genuinely parameters.
+    */
+  val funnelActivation: GraftQuery =
+    funnelQuery("funnel_activation", Seq("signup", "view", "click", "purchase"),
+      7L * 24 * 3600 * 1000 * 1000 * 1000)
 
   /** Weekly cohort retention matrix: cohort = ISO week of the user's first
     * event; a user counts in cell (cohort, k) when active in cohort+k.
@@ -371,6 +405,6 @@ object Behavior {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(funnelConversion, cohortRetention, eventTransitions, rollingActives,
-      sessionPaths)
+    Seq(funnelConversion, funnelActivation, cohortRetention, eventTransitions,
+      rollingActives, sessionPaths)
 }

@@ -33,6 +33,15 @@ case class DocRecord(fp: String, docId: Long, ts: Timestamp)
 /** A funnel stage event (stage ∈ 1..3) with full-precision event time. */
 case class StageEvent(user_id: Long, stage: Int, ts: Timestamp, tsNs: Long)
 
+/** A typed event on the live transition stream. */
+case class PathEvent(user_id: Long, event_id: Long, ts: Timestamp, tsNs: Long,
+    event_type: String)
+
+/** One in-session (src → dst) transition emitted by the live grid. */
+case class Transition(src: String, dst: String)
+
+private case class LastEvent(tsNs: Long, eventType: String, tsMillis: Long)
+
 /** A user's funnel progression; -1 marks a stage not yet reached. */
 case class FunnelTimes(user_id: Long, t1: Long, t2: Long, t3: Long)
 
@@ -223,6 +232,47 @@ object StatefulOps {
     * hash; bound it with an event-time TTL when the dedup window is finite
     * (the [[uniqueVisits]] timeout pattern applies unchanged).
     */
+  /** Live transition pairs — the streaming twin of
+    * `operators.Behavior.transitionGrid`'s pair extraction. State per user
+    * is the LAST event only; each micro-batch (sorted to the batch window
+    * order) emits a (src,dst) pair whenever the next event lands within
+    * the 30-min session gap. Under the in-order contract the emitted
+    * multiset equals the batch lead()-window pairs: consecutive-pair
+    * extraction only ever needs one event of look-back, which is exactly
+    * the carried state. An event-time timer evicts a user's state once
+    * the gap has passed — an in-order successor could no longer pair with
+    * it — so live state is bounded by the users ACTIVE within the gap,
+    * not the full population. Downstream, `groupBy(src,dst).count` is the
+    * same bounded |event_type|² grid as the batch query.
+    */
+  def transitionPairs(ev: Dataset[PathEvent]): Dataset[Transition] = {
+    implicit val te = Encoders.product[Transition]
+    implicit val le = Encoders.product[LastEvent]
+    val gapNs = graft.operators.Behavior.GapNs
+    val gapMs = gapNs / 1000000L
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[Transition]
+            var last = state.getOption
+            events.toSeq.sortBy(e => (e.tsNs, e.event_id)).foreach { e =>
+              last.foreach { l =>
+                if (e.tsNs - l.tsNs <= gapNs) out += Transition(l.eventType, e.event_type)
+              }
+              last = Some(LastEvent(e.tsNs, e.event_type, e.ts.getTime))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(l.tsMillis + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Live funnel progression — the streaming twin of
     * `operators.Behavior.funnelTimes`. State per user is just the three
     * stage entry times (-1 = not reached); each micro-batch's events fold

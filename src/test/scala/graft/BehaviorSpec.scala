@@ -135,6 +135,39 @@ class BehaviorSpec extends SparkSpec {
     assert(grid.size === 2)
   }
 
+  test("streamed transition pairs equal the batch lead-window grid") {
+    import graft.streaming.{PathEvent, StatefulOps, Transition}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_ns"),
+        col("event_type"))
+      .collect()
+      .map(r => PathEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(_.tsNs)
+    val chunks = evRows.grouped((evRows.length + 2) / 3).toSeq
+    val mem = MemoryStream[PathEvent]
+    val q = StatefulOps.transitionPairs(
+      mem.toDS().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("tp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("tp").as[Transition].collect()
+        .groupBy(t => (t.src, t.dst)).view.mapValues(_.length.toLong).toMap
+      val batch = Behavior.transitionGrid(
+        Tables.load(spark, sf, "events")
+          .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+            col("event_type")))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(batch.values.sum > 0)
+    } finally q.stop()
+  }
+
   test("cohort retention at offset zero is always 10000 bp") {
     val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
