@@ -404,7 +404,56 @@ object Behavior {
     """)
   }
 
+  /** Weekly active/new/churned flow: a user is NEW in week w when not
+    * active in w−1, and CHURNED from w when not active in w+1 (data-end
+    * weeks churn by definition — there is no later activity). Computed
+    * with lag/lead over each user's ordered distinct-week sequence — one
+    * user_id shuffle over the distinct (user, week) frame, then the
+    * per-week grid; no week-shifted self-join of the activity table.
+    */
+  val weeklyChurn: GraftQuery = new GraftQuery {
+    val name = "weekly_churn"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      Tables.load(spark, sfDir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+        .withColumn("prev_w", lag(col("week"), 1).over(w))
+        .withColumn("next_w", lead(col("week"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_w").isNull ||
+            col("prev_w") =!= date_sub(col("week"), 7), 1L).otherwise(0L))
+        .withColumn("is_churned",
+          when(col("next_w").isNull ||
+            col("next_w") =!= date_add(col("week"), 7), 1L).otherwise(0L))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("active_users"),
+          sum(col("is_new")).as("new_users"),
+          sum(col("is_churned")).as("churned_users"))
+        .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+          col("active_users"), col("new_users"), col("churned_users"))
+        .orderBy("week")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH wu AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS DATE) AS week
+                  FROM events),
+      x AS (SELECT *, lag(week) OVER w AS prev_w, lead(week) OVER w AS next_w
+            FROM wu WINDOW w AS (PARTITION BY user_id ORDER BY week))
+      SELECT strftime(week, '%Y-%m-%d') AS week,
+             count(*) AS active_users,
+             CAST(sum(CASE WHEN prev_w IS NULL OR prev_w <> week - 7
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN next_w IS NULL OR next_w <> week + 7
+                           THEN 1 ELSE 0 END) AS BIGINT) AS churned_users
+      FROM x GROUP BY 1 ORDER BY week
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(funnelConversion, funnelActivation, cohortRetention, eventTransitions,
-      rollingActives, sessionPaths)
+      rollingActives, sessionPaths, weeklyChurn)
 }

@@ -140,5 +140,40 @@ object OlapSurface {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(rollupGmv, runningGmv, customerDeciles)
+  /** The event-type dimension pivoted to columns per day — the
+    * `Dataset.pivot` surface with an EXPLICIT value list (an unlisted
+    * pivot would scan once just to discover values; the reference's
+    * event vocabulary is closed). One aggregation; missing cells are 0.
+    */
+  val pivotDaily: GraftQuery = new GraftQuery {
+    val name = "pivot_daily"
+
+    private val types = Seq("click", "error", "purchase", "signup", "view")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pivoted = Tables.load(spark, sfDir, "events")
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .count()
+      pivoted.select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    }
+
+    def oracle: Option[String] = {
+      val cols = types.map(t =>
+        s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+        .mkString(",\n             ")
+      Some(s"""
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             $cols
+      FROM events GROUP BY 1 ORDER BY day
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(rollupGmv, runningGmv, customerDeciles, pivotDaily)
 }
