@@ -333,7 +333,42 @@ object LogStats {
     """)
   }
 
+  /** Sliding (hopping) window visitors — completes the tumbling
+    * (`visitor_stats`) / sliding / session (`session_stats`) window trio.
+    * Native `window(ts, size, slide)`: Catalyst expands each event into
+    * size/slide = 2 window rows before ONE aggregation (the same bounded
+    * fan-out shape as `rolling_actives`); the oracle derives the same two
+    * epoch-aligned starts with floor arithmetic.
+    */
+  val slidingVisitors: GraftQuery = new GraftQuery {
+    val name = "sliding_visitors"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(countDistinct(col("user_id")).as("uv_ct"),
+          count(lit(1)).as("pv_ct"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("uv_ct"), col("pv_ct"))
+        .orderBy("stt")
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+      w AS (SELECT user_id,
+                   (tu // 300000000) * 300000000 - k * 300000000 AS ws
+            FROM e CROSS JOIN (VALUES (0), (1)) AS ks(k))
+      SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(make_timestamp(ws + 600000000), '%Y-%m-%d %H:%M:%S')
+               AS edt,
+             count(DISTINCT user_id) AS uv_ct,
+             count(*) AS pv_ct
+      FROM w GROUP BY ws ORDER BY stt
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(logSplit, newUserFix, uniqueVisit, bounce, visitorStats, hourlyVisitors,
-      sessionStats)
+      sessionStats, slidingVisitors)
 }
