@@ -174,6 +174,120 @@ object OlapSurface {
     }
   }
 
+  /** RFM customer segmentation: recency (days from the corpus's last
+    * order day), frequency, monetary per customer, each ntile(5)-scored
+    * under a deterministic total order, rolled up to the ≤125-cell
+    * segment grid. The global reference day comes from a broadcast
+    * 1-row aggregate (`dedup_semantic`'s in-plan scalar pattern); the
+    * ntiles run over the per-customer rollup, never the facts.
+    */
+  val rfmSegments: GraftQuery = new GraftQuery {
+    val name = "rfm_segments"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Tables.load(spark, sfDir, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          Money.sumCents(col("o_totalprice")).as("mon_cents"))
+      val refDay = o.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+      val scored = per.join(broadcast(refDay))
+        .withColumn("recency_days",
+          datediff(col("ref_day"), col("last_day")).cast("long"))
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("mon_cents").desc, col("o_custkey"))))
+      scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("customers"),
+          sum(col("mon_cents")).as("mon_cents"))
+        .select(
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"),
+          col("customers"), col("mon_cents"))
+        .orderBy("segment")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH per AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS freq,
+               ${Money.sumCentsSql("o_totalprice")} AS mon_cents
+        FROM orders GROUP BY 1),
+      ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+      scored AS (
+        SELECT per.*,
+               date_diff('day', last_day, ref_day) AS recency_days,
+               ntile(5) OVER (ORDER BY date_diff('day', last_day, ref_day),
+                 o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS m_score
+        FROM per CROSS JOIN ref)
+      SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment,
+             count(*) AS customers,
+             CAST(sum(mon_cents) AS BIGINT) AS mon_cents
+      FROM scored GROUP BY r_score, f_score, m_score ORDER BY segment
+    """)
+  }
+
+  /** Market-basket co-occurrence with lift: part types ordered together
+    * in one order. The self-join is equi-keyed on the order id, so pair
+    * fan-out is bounded by the per-order distinct-type count (≤ items
+    * per order), never the corpus; type marginals broadcast. Lift is
+    * floor basis points of P(a,b) / (P(a)·P(b)).
+    */
+  val basketPairs: GraftQuery = new GraftQuery {
+    val name = "basket_pairs"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      val ot = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_type")).distinct()
+      val ot2 = ot.select(col("okey"), col("p_type").as("type_b"))
+      val pairs = ot.join(ot2, "okey")
+        .filter(col("p_type") < col("type_b"))
+        .groupBy(col("p_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("pair_ct"))
+      val marg = ot.groupBy(col("p_type"))
+        .agg(count(lit(1)).as("type_ct"))
+      val n = ot.select(countDistinct(col("okey")).as("n_orders"))
+      pairs
+        .join(broadcast(marg.select(col("p_type").as("type_a"),
+          col("type_ct").as("ct_a"))), "type_a")
+        .join(broadcast(marg.select(col("p_type").as("type_b"),
+          col("type_ct").as("ct_b"))), "type_b")
+        .join(broadcast(n))
+        .select(col("type_a"), col("type_b"), col("pair_ct"),
+          floor(col("pair_ct") * col("n_orders") * lit(10000L) /
+            (col("ct_a") * col("ct_b"))).as("lift_bp"))
+        .orderBy(col("pair_ct").desc, col("type_a"), col("type_b"))
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH ot AS (
+        SELECT DISTINCT l_orderkey AS okey, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      pairs AS (
+        SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS pair_ct
+        FROM ot a JOIN ot b ON a.okey = b.okey AND a.p_type < b.p_type
+        GROUP BY 1, 2),
+      marg AS (SELECT p_type, count(*) AS type_ct FROM ot GROUP BY 1),
+      n AS (SELECT count(DISTINCT okey) AS n_orders FROM ot)
+      SELECT type_a, type_b, CAST(pair_ct AS BIGINT) AS pair_ct,
+             CAST(floor(pair_ct * n_orders * 10000.0 / (ma.type_ct * mb.type_ct))
+               AS BIGINT) AS lift_bp
+      FROM pairs
+      JOIN marg ma ON ma.p_type = type_a
+      JOIN marg mb ON mb.p_type = type_b
+      CROSS JOIN n
+      ORDER BY pair_ct DESC, type_a, type_b
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(rollupGmv, runningGmv, customerDeciles, pivotDaily)
+    Seq(rollupGmv, runningGmv, customerDeciles, pivotDaily, rfmSegments,
+      basketPairs)
 }
