@@ -168,6 +168,49 @@ class BehaviorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel progression survives a restart from checkpoint") {
+    import graft.streaming.{FunnelTimes, StageEvent, StatefulOps}
+    import org.apache.spark.sql.streaming.OutputMode
+    val H2 = 3600L * 1000 * 1000 * 1000
+    def tsOf(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+    // chunk 1: u1 completes stage 1+2, u2 stage 1; chunk 2 (after the
+    // restart): u1 purchases — valid ONLY if t1/t2 survived the restart —
+    // and u2 clicks
+    val chunk1 = Seq(StageEvent(1L, 1, tsOf(1 * H2), 1 * H2),
+      StageEvent(1L, 2, tsOf(2 * H2), 2 * H2),
+      StageEvent(2L, 1, tsOf(2 * H2), 2 * H2))
+    val chunk2 = Seq(StageEvent(1L, 3, tsOf(3 * H2), 3 * H2),
+      StageEvent(2L, 2, tsOf(3 * H2), 3 * H2))
+    val dir = java.nio.file.Files.createTempDirectory("funnelev").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("funnelck").toString
+    import spark.implicits._
+    def stream() = StatefulOps.funnelProgress(
+      spark.readStream.schema(chunk1.toDS().schema).parquet(dir).as[StageEvent])
+    // memory sink refuses checkpoint recovery; stage each run's emissions
+    // through foreachBatch (recoverable) into its own dir
+    val stage1 = java.nio.file.Files.createTempDirectory("funnelo1").toString
+    val stage2 = java.nio.file.Files.createTempDirectory("funnelo2").toString
+    def start(stage: String) = stream().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelTimes], _: Long) =>
+        df.write.mode("append").parquet(stage)
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Update).start()
+    chunk1.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q1 = start(stage1)
+    q1.processAllAvailable(); q1.stop()
+    chunk2.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start(stage2)
+    try {
+      q2.processAllAvailable()
+      val after = spark.read.parquet(stage2).as[FunnelTimes].collect()
+        .map(f => f.user_id -> ((f.t1, f.t2, f.t3))).toMap
+      // u1's purchase only qualifies against t1/t2 restored from the
+      // checkpoint; u2's click against its restored t1
+      assert(after(1L) === ((1 * H2, 2 * H2, 3 * H2)))
+      assert(after(2L) === ((2 * H2, 3 * H2, -1L)))
+    } finally q2.stop()
+  }
+
   test("cohort retention at offset zero is always 10000 bp") {
     val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
