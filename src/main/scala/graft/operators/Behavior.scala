@@ -104,11 +104,16 @@ object Behavior {
           col(s"u$k").as("users"), col(s"u${math.max(k - 1, 1)}").as("prev"))
       }: _*)
       u.select(explode(stageRows).as("s"), col("u1"))
+        // an empty funnel (no stage-1 user at all) emits no rows rather
+        // than engine-divergent 0/0 ratios; the oracle guards identically
+        .filter(col("u1") > 0)
         .select(
           col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
           col("s.users").as("users"),
           floor(col("s.users") * lit(10000L) / col("u1")).as("conv_total_bp"),
-          floor(col("s.users") * lit(10000L) / col("s.prev")).as("conv_step_bp"))
+          when(col("s.prev") > 0,
+            floor(col("s.users") * lit(10000L) / col("s.prev")))
+            .as("conv_step_bp"))
         .orderBy("stage")
     }
 
@@ -142,9 +147,12 @@ object Behavior {
       SELECT CAST(stage AS BIGINT) AS stage, stage_name,
              CAST(users AS BIGINT) AS users,
              CAST(floor(users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
-             CAST(floor(users * 10000.0 / prev) AS BIGINT) AS conv_step_bp
+             CASE WHEN prev > 0
+                  THEN CAST(floor(users * 10000.0 / prev) AS BIGINT)
+             END AS conv_step_bp
       FROM (
         $unions)
+      WHERE u1 > 0
       ORDER BY stage
       """)
     }
