@@ -144,5 +144,103 @@ object HllDistinct {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(hllDistinct)
+  /** Sliding-window distinct (user, props) interactions via PANE-MERGED
+    * HLL grids — the scale answer to `sliding_visitors`' exact form: each
+    * event hashes ONCE into its 12-hour pane's register grid; every
+    * 24-hour window is then the elementwise max of its 2 panes (HLL union is lossless
+    * max-merge, the property `HllSpec` pins). At 100 TB the pane grid is
+    * the only event-width aggregation — windows cost |panes|·2·m tiny
+    * rows regardless of slide/size ratio, where the exact form re-keys
+    * every event per overlapping window. The per-window exact distinct
+    * rides along as the audit column (droppable at scale), and the
+    * estimate itself hash-matches the oracle exactly as in
+    * [[hllDistinct]].
+    */
+  val hllSliding: GraftQuery = new GraftQuery {
+    val name = "hll_sliding"
+
+    private val PaneUs = 43200000000L // 12 hours of micros
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Tables.load(spark, sfDir, "events")
+        .select(
+          concat(col("user_id").cast("string"), lit("|"), col("props"))
+            .as("elem"),
+          (unix_micros(col("ts")).cast("long") / PaneUs).cast("long").as("pane"))
+      val h = e
+        .withColumn("hx", md5(col("elem")))
+        .withColumn("bucket",
+          conv(substring(col("hx"), 1, 4), 16, 10).cast("long") % Buckets)
+        .withColumn("w", conv(substring(col("hx"), 5, 10), 16, 10).cast("long"))
+        .withColumn("rho", rhoCol(col("w")))
+      val panes = h.groupBy(col("pane"), col("bucket")).agg(max(col("rho")).as("m"))
+      val winGrid = panes
+        .select(explode(array(col("pane"), col("pane") - 1)).as("win"),
+          col("bucket"), col("m"))
+        .groupBy(col("win"), col("bucket")).agg(max(col("m")).as("m"))
+      val folded = winGrid.groupBy(col("win"))
+        .agg(count(lit(1)).as("present"),
+          sum(pow(lit(2.0), lit(WBits) - col("m")).cast("long")).as("sumpow"))
+        .withColumn("reg_sum",
+          (col("sumpow") + (lit(Buckets.toLong) - col("present")) * Pow41)
+            .cast("long"))
+        .withColumn("est_ct",
+          floor(lit(EstNumerator) / col("reg_sum")).cast("long"))
+      val exact = e
+        .select(explode(array(col("pane"), col("pane") - 1)).as("win"),
+          col("elem"))
+        .groupBy(col("win"))
+        .agg(countDistinct(col("elem")).as("exact_ct"))
+      folded.join(exact, "win")
+        .select(
+          date_format(timestamp_micros(col("win") * PaneUs),
+            "yyyy-MM-dd HH:mm:ss").as("stt"),
+          col("exact_ct"), col("est_ct"),
+          floor(abs(col("est_ct") - col("exact_ct")) * lit(10000.0) /
+            col("exact_ct")).cast("long").as("err_bp"),
+          col("reg_sum"))
+        .orderBy("stt")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH e AS (SELECT CAST(user_id AS VARCHAR) || '|' || props AS elem,
+                        epoch_us(ts) // $PaneUs AS pane
+                 FROM events),
+      h AS (SELECT pane, elem, md5(elem) AS hx FROM e),
+      b AS (SELECT pane,
+                   ${duckHexWindow("hx", 0, 4)} % $Buckets AS bucket,
+                   ${duckHexWindow("hx", 4, 10)} AS w
+            FROM h),
+      r AS (SELECT pane, bucket,
+                   CASE WHEN w = 0 THEN $WBits
+                        ELSE strpos(lpad(bin(w), 40, '0'), '1') END AS rho
+            FROM b),
+      g AS (SELECT pane, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+      wg AS (SELECT pane - k AS win, bucket, max(m) AS m
+             FROM g CROSS JOIN (VALUES (0), (1)) ks(k) GROUP BY 1, 2),
+      s AS (SELECT win, count(*) AS present,
+                   CAST(sum(CAST(pow(2.0, $WBits - m) AS BIGINT)) AS BIGINT)
+                     AS sumpow
+            FROM wg GROUP BY 1),
+      f AS (SELECT win, sumpow + ($Buckets - present) * $Pow41 AS reg_sum
+            FROM s),
+      x AS (SELECT pane - k AS win, count(DISTINCT elem) AS exact_ct
+            FROM e CROSS JOIN (VALUES (0), (1)) ks(k) GROUP BY 1),
+      est AS (SELECT f.win, exact_ct, reg_sum,
+                     CAST(floor((0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0
+                                 * 2199023255552.0) / reg_sum) AS BIGINT)
+                       AS est_ct
+              FROM f JOIN x ON f.win = x.win)
+      SELECT strftime(make_timestamp(win * $PaneUs), '%Y-%m-%d %H:%M:%S')
+               AS stt,
+             CAST(exact_ct AS BIGINT) AS exact_ct,
+             est_ct,
+             CAST(floor(abs(est_ct - exact_ct) * 10000.0 / exact_ct)
+               AS BIGINT) AS err_bp,
+             CAST(reg_sum AS BIGINT) AS reg_sum
+      FROM est ORDER BY stt
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(hllDistinct, hllSliding)
 }

@@ -52,6 +52,34 @@ class HllSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pane-merged sliding grid equals hashing each event per window directly") {
+    // hll_sliding (and its oracle) both build windows by max-merging
+    // 12 h pane grids; this is the independent check that pane-merge is
+    // lossless: explode events into their 2 windows FIRST, hash into
+    // per-window grids directly, and compare.
+    import org.apache.spark.sql.DataFrame
+    val PaneUs = 43200000000L
+    val e = Tables.load(spark, sf, "events")
+      .select(concat(col("user_id").cast("string"), lit("|"), col("props")).as("elem"),
+        (unix_micros(col("ts")).cast("long") / PaneUs).cast("long").as("pane"))
+    def registers(df: DataFrame, grp: String) = df
+      .withColumn("hx", md5(col("elem")))
+      .withColumn("bucket", conv(substring(col("hx"), 1, 4), 16, 10).cast("long") % 256)
+      .withColumn("w", conv(substring(col("hx"), 5, 10), 16, 10).cast("long"))
+      .withColumn("rho", when(col("w") === 0, lit(41))
+        .otherwise(instr(lpad(bin(col("w")), 40, "0"), "1")))
+      .groupBy(col(grp), col("bucket")).agg(max(col("rho")).as("m"))
+    val direct = registers(
+      e.select(explode(array(col("pane"), col("pane") - 1)).as("win"), col("elem")),
+      "win")
+    val paneMerged = registers(e, "pane")
+      .select(explode(array(col("pane"), col("pane") - 1)).as("win"),
+        col("bucket"), col("m"))
+      .groupBy("win", "bucket").agg(max(col("m")).as("m"))
+    assert(direct.exceptAll(paneMerged).isEmpty &&
+      paneMerged.exceptAll(direct).isEmpty)
+  }
+
   test("estimate lands within sketch tolerance of the exact count") {
     // sf0.01 so each group (~1.5-1.9k distinct) is clear of the
     // small-range regime for m=256 buckets; the standard error there is
