@@ -253,6 +253,46 @@ class BehaviorSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("transition look-back state survives a restart from checkpoint") {
+    import graft.streaming.{PathEvent, StatefulOps, Transition}
+    import org.apache.spark.sql.streaming.OutputMode
+    val M = 60L * 1000 * 1000 * 1000
+    // base the fixture in 2024: an epoch-0 event ties the INITIAL
+    // watermark and is dropped as late before it reaches state
+    val B = 1704067200L * 1000 * 1000 * 1000
+    def tsOf(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+    // pre-restart: u1 views at t=0; post-restart: u1 clicks at t=10min —
+    // the pair exists ONLY if the last-event state was restored
+    val chunk1 = Seq(PathEvent(1L, 1L, tsOf(B), B, "view"))
+    val chunk2 = Seq(PathEvent(1L, 2L, tsOf(B + 10 * M), B + 10 * M, "click"),
+      PathEvent(1L, 3L, tsOf(B + 50 * M), B + 50 * M, "view")) // 40min gap: no pair
+    val dir = java.nio.file.Files.createTempDirectory("transev").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("transck").toString
+    val stage1 = java.nio.file.Files.createTempDirectory("transo1").toString
+    val stage2 = java.nio.file.Files.createTempDirectory("transo2").toString
+    import spark.implicits._
+    def start(stage: String) = StatefulOps.transitionPairs(
+      spark.readStream.schema(chunk1.toDS().schema).parquet(dir)
+        .withWatermark("ts", "1 second").as[PathEvent])
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+        df.write.mode("append").parquet(stage)
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    chunk1.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q1 = start(stage1)
+    q1.processAllAvailable(); q1.stop()
+    chunk2.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start(stage2)
+    try {
+      q2.processAllAvailable()
+      val pairs = spark.read.parquet(stage2).as[Transition].collect()
+        .map(t => (t.src, t.dst)).toSeq
+      assert(pairs === Seq(("view", "click")),
+        s"expected the cross-restart pair only, got $pairs")
+    } finally q2.stop()
+  }
+
   test("cohort retention at offset zero is always 10000 bp") {
     val rows = SparkEntry.queries("cohort_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
