@@ -960,8 +960,88 @@ object Dedup {
     }
   }
 
+  /** Per-suite decontamination report — the summary an eval-suite
+    * decontamination run actually publishes: for each benchmark SUITE
+    * (not each bench doc), how many corpus docs it flags, at what rate,
+    * and how hard the worst hit is. Three 2-doc pseudo-suites (doc_id % 3
+    * over doc_id < 6) stand in for separate eval benchmarks — small
+    * enough that the suite gram union stays discriminative against the
+    * fixture's shared synthetic vocabulary. Shape:
+    * each suite's gram set unions into ONE sorted array (eval suites are
+    * small by definition), the 3-row frame broadcasts, and the corpus
+    * pass is the same map-only codegen'd two-pointer intersect as
+    * [[contamination]] — per-suite reporting costs nothing extra at any
+    * corpus size.
+    */
+  val contaminationReport: GraftQuery = new GraftQuery {
+    val name = "contamination_report"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.SortedIntIntersectSize.register(spark)
+      val g = ngramSketches(spark, sfDir)
+      val suiteGrams = g.filter(col("doc_id") < 6)
+        .select((col("doc_id") % 3).as("suite"), explode(col("sg")).as("hh"))
+        .distinct()
+        .groupBy(col("suite"))
+        .agg(sort_array(collect_set(col("hh"))).as("sg_s"))
+      val corp = g.filter(col("doc_id") >= 6)
+      val total = corp.agg(count(lit(1)).as("corpus_docs"))
+      corp.crossJoin(broadcast(suiteGrams))
+        .withColumn("overlap",
+          expr("sorted_int_intersect_size(sg, sg_s)").cast("long"))
+        .withColumn("overlap_bp",
+          floor(col("overlap") * lit(10000.0) / col("sz")).cast("long"))
+        .groupBy(col("suite"))
+        .agg(
+          sum(when(col("overlap_bp") >= 2500, 1L).otherwise(0L))
+            .as("flagged_docs"),
+          sum(col("overlap")).as("grams_hit"),
+          max(col("overlap_bp")).as("max_overlap_bp"))
+        .join(broadcast(total))
+        .select(col("suite").cast("long").as("suite"), col("flagged_docs"),
+          floor(col("flagged_docs") * lit(10000L) / col("corpus_docs"))
+            .as("flag_rate_bp"),
+          col("grams_hit"), col("max_overlap_bp"), col("corpus_docs"))
+        .orderBy("suite")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH g0 AS (
+        SELECT doc_id, CASE WHEN length(text) < 5 THEN CAST([] AS VARCHAR[])
+               ELSE list_distinct(list_transform(generate_series(1, length(text)-4),
+                      i -> substr(lower(text), i, 5))) END AS sg0
+        FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_filter(
+                 list_transform(sg0, s -> ${duckHashHex("s", 6)}), h -> h % 4 = 0)) AS sg
+        FROM g0),
+      gf AS (SELECT doc_id, sg, len(sg) AS sz FROM g WHERE len(sg) > 0),
+      suites AS (SELECT DISTINCT doc_id % 3 AS suite, unnest(sg) AS hh
+                 FROM gf WHERE doc_id < 6),
+      corp AS (SELECT doc_id, sz, unnest(sg) AS hh FROM gf WHERE doc_id >= 6),
+      ov AS (
+        SELECT doc_id, suite, sz, count(*) AS overlap
+        FROM corp JOIN suites USING (hh) GROUP BY 1, 2, 3),
+      rep AS (
+        SELECT suite,
+               CAST(sum(CASE WHEN floor(overlap * 10000.0 / sz) >= 2500
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+               CAST(sum(overlap) AS BIGINT) AS grams_hit,
+               CAST(max(CAST(floor(overlap * 10000.0 / sz) AS BIGINT))
+                 AS BIGINT) AS max_overlap_bp
+        FROM ov GROUP BY 1),
+      n AS (SELECT count(*) AS corpus_docs FROM gf WHERE doc_id >= 6)
+      SELECT CAST(suite AS BIGINT) AS suite, flagged_docs,
+             CAST(floor(flagged_docs * 10000.0 / corpus_docs) AS BIGINT)
+               AS flag_rate_bp,
+             grams_hit, max_overlap_bp,
+             CAST(corpus_docs AS BIGINT) AS corpus_docs
+      FROM rep CROSS JOIN n ORDER BY suite
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
-      embeddingLsh, semantic, contamination, clusters, priorityDedup,
-      sourceOverlap)
+      embeddingLsh, semantic, contamination, contaminationReport, clusters,
+      priorityDedup, sourceOverlap)
 }
