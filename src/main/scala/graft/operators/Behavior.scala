@@ -461,7 +461,46 @@ object Behavior {
     """)
   }
 
+  /** Schema'd JSON extraction from the props payload — the
+    * semi-structured surface every log warehouse needs. `from_json` with
+    * an explicit schema keeps the parse inside whole-stage codegen (one
+    * map-only pass; a schema-less parse would pay inference or string
+    * probing per row), then plain per-type aggregates over the extracted
+    * field prove it composes.
+    */
+  val propsStats: GraftQuery = new GraftQuery {
+    val name = "props_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("parsed_ct"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          countDistinct(col("k")).as("k_distinct"))
+        .orderBy("event_type")
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type,
+             count(k) AS parsed_ct,
+             CAST(sum(k) AS BIGINT) AS k_sum,
+             CAST(min(k) AS BIGINT) AS k_min,
+             CAST(max(k) AS BIGINT) AS k_max,
+             count(DISTINCT k) AS k_distinct
+      FROM e GROUP BY 1 ORDER BY event_type
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(funnelConversion, funnelActivation, cohortRetention, eventTransitions,
-      rollingActives, sessionPaths, weeklyChurn)
+      rollingActives, sessionPaths, weeklyChurn, propsStats)
 }
