@@ -487,8 +487,13 @@ object Behavior {
         .orderBy("event_type")
 
     def oracle: Option[String] = Some("""
+      -- TRY_CAST mirrors Spark from_json's PERMISSIVE null-on-malformed:
+      -- both engines yield NULL for unparseable / non-integral k. The
+      -- fixture's props is uniformly {"k": int}; on a messier payload the
+      -- engines could still diverge on non-integral numerics (Spark nulls,
+      -- DuckDB rounds) — uniform-integral payload is a stated assumption.
       WITH e AS (SELECT event_type,
-                        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                        TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
                  FROM events)
       SELECT event_type,
              count(k) AS parsed_ct,

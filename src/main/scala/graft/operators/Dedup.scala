@@ -1030,13 +1030,21 @@ object Dedup {
                CAST(max(CAST(floor(overlap * 10000.0 / sz) AS BIGINT))
                  AS BIGINT) AS max_overlap_bp
         FROM ov GROUP BY 1),
+      -- LEFT JOIN from the suite list: a suite with ZERO corpus hits must
+      -- still report (0, 0, 0) — the Spark side's crossJoin+groupBy always
+      -- emits every suite, so the engines agree on empty suites too.
+      suite_list AS (SELECT DISTINCT doc_id % 3 AS suite
+                     FROM gf WHERE doc_id < 6),
       n AS (SELECT count(*) AS corpus_docs FROM gf WHERE doc_id >= 6)
-      SELECT CAST(suite AS BIGINT) AS suite, flagged_docs,
-             CAST(floor(flagged_docs * 10000.0 / corpus_docs) AS BIGINT)
-               AS flag_rate_bp,
-             grams_hit, max_overlap_bp,
+      SELECT CAST(sl.suite AS BIGINT) AS suite,
+             COALESCE(flagged_docs, 0) AS flagged_docs,
+             CAST(floor(COALESCE(flagged_docs, 0) * 10000.0 / corpus_docs)
+               AS BIGINT) AS flag_rate_bp,
+             COALESCE(grams_hit, 0) AS grams_hit,
+             COALESCE(max_overlap_bp, 0) AS max_overlap_bp,
              CAST(corpus_docs AS BIGINT) AS corpus_docs
-      FROM rep CROSS JOIN n ORDER BY suite
+      FROM suite_list sl LEFT JOIN rep ON rep.suite = sl.suite
+      CROSS JOIN n ORDER BY suite
     """)
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * input here — the grouping-set count, not data-dependent); the window
   * queries are one customer-key shuffle each with frames evaluated in a
   * single sorted pass; deciles aggregate per-customer first (the only
-  * full-width shuffle) and ntile runs over the 1k-row customer rollup.
+  * full-width shuffle) and the ntile scores come from [[Ranks.distNtile]]
+  * — exact SQL ntile via range-partition + per-range offsets, so the
+  * per-customer rollup (billions of rows at 100 TB) never funnels
+  * through a single-partition window; only a P-row offsets frame does.
   */
 object OlapSurface {
 
@@ -107,9 +110,8 @@ object OlapSurface {
         .groupBy(col("o_custkey"))
         .agg(Money.sumCents(col("o_totalprice")).as("rev_cents"),
           count(lit(1)).as("order_ct"))
-      per
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("rev_cents").desc, col("o_custkey"))))
+      Ranks.distNtile(per, 10, "decile",
+          col("rev_cents").desc, col("o_custkey"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("customers"),
           sum(col("rev_cents")).as("rev_cents"),
@@ -179,7 +181,8 @@ object OlapSurface {
     * under a deterministic total order, rolled up to the ≤125-cell
     * segment grid. The global reference day comes from a broadcast
     * 1-row aggregate (`dedup_semantic`'s in-plan scalar pattern); the
-    * ntiles run over the per-customer rollup, never the facts.
+    * three scores come from [[Ranks.distNtile]], so even the
+    * per-customer rollup never serializes through one task.
     */
   val rfmSegments: GraftQuery = new GraftQuery {
     val name = "rfm_segments"
@@ -191,15 +194,16 @@ object OlapSurface {
           count(lit(1)).as("freq"),
           Money.sumCents(col("o_totalprice")).as("mon_cents"))
       val refDay = o.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
-      val scored = per.join(broadcast(refDay))
+      val base = per.join(broadcast(refDay))
         .withColumn("recency_days",
           datediff(col("ref_day"), col("last_day")).cast("long"))
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("recency_days"), col("o_custkey"))))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("freq").desc, col("o_custkey"))))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("mon_cents").desc, col("o_custkey"))))
+      val scored = Seq[(String, Seq[Column])](
+        ("r_score", Seq(col("recency_days"), col("o_custkey"))),
+        ("f_score", Seq(col("freq").desc, col("o_custkey"))),
+        ("m_score", Seq(col("mon_cents").desc, col("o_custkey"))))
+        .foldLeft(base) { case (df, (out, sort)) =>
+          Ranks.distNtile(df, 5, out, sort: _*)
+        }
       scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("customers"),
           sum(col("mon_cents")).as("mon_cents"))
@@ -236,7 +240,10 @@ object OlapSurface {
     * in one order. The self-join is equi-keyed on the order id, so pair
     * fan-out is bounded by the per-order distinct-type count (≤ items
     * per order), never the corpus; type marginals broadcast. Lift is
-    * floor basis points of P(a,b) / (P(a)·P(b)).
+    * floor basis points of P(a,b) / (P(a)·P(b)); the product promotes to
+    * double at the FIRST multiply (pair_ct * 10000.0 * n_orders, same
+    * left-assoc order in both engines) so the expression is overflow-free
+    * at any count scale and bit-identical cross-engine.
     */
   val basketPairs: GraftQuery = new GraftQuery {
     val name = "basket_pairs"
@@ -261,7 +268,7 @@ object OlapSurface {
           col("type_ct").as("ct_b"))), "type_b")
         .join(broadcast(n))
         .select(col("type_a"), col("type_b"), col("pair_ct"),
-          floor(col("pair_ct") * col("n_orders") * lit(10000L) /
+          floor(col("pair_ct") * lit(10000.0) * col("n_orders") /
             (col("ct_a") * col("ct_b"))).as("lift_bp"))
         .orderBy(col("pair_ct").desc, col("type_a"), col("type_b"))
     }
@@ -277,7 +284,7 @@ object OlapSurface {
       marg AS (SELECT p_type, count(*) AS type_ct FROM ot GROUP BY 1),
       n AS (SELECT count(DISTINCT okey) AS n_orders FROM ot)
       SELECT type_a, type_b, CAST(pair_ct AS BIGINT) AS pair_ct,
-             CAST(floor(pair_ct * n_orders * 10000.0 / (ma.type_ct * mb.type_ct))
+             CAST(floor(pair_ct * 10000.0 * n_orders / (ma.type_ct * mb.type_ct))
                AS BIGINT) AS lift_bp
       FROM pairs
       JOIN marg ma ON ma.p_type = type_a
