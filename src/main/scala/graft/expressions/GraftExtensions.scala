@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"top_cells k must be an integer literal, got $other")
         })))
     ext.injectFunction((
+      FunctionIdentifier("split_words"),
+      new ExpressionInfo(classOf[SplitWords].getName, "split_words"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SplitWords(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_hits"),
       new ExpressionInfo(classOf[BloomHits].getName, "bloom_hits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.SparkSession
 
 /** Dependency-free tokenizer replacing the reference's IK-analyzer UDTF
   * (`RT/app/function/SplitFunction.java:19-30`, `RT/utils/KeywordUtil.java:25-54`).
@@ -47,12 +46,11 @@ object Tokenizer {
     out.result()
   }
 
-  private val splitWordsUdf = udf(splitWords _)
-
-  /** Column form: `split_words(text)` → array<string>. */
-  def split_words(c: Column): Column = splitWordsUdf(c)
-
-  /** Register for SQL use (`LATERAL VIEW explode(split_words(x))`). */
+  /** Register the native table-function form for SQL / `selectExpr` use
+    * (`LATERAL VIEW split_words(text) t AS word`) — a Catalyst
+    * [[graft.expressions.SplitWords Generator]], not a Scala UDF, so the
+    * token stream stays inside the task with no encoder boundary.
+    */
   def register(spark: SparkSession): Unit =
-    spark.udf.register("split_words", splitWords _)
+    graft.expressions.SplitWords.register(spark)
 }

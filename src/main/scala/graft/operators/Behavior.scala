@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * oracle hash-matches bit for bit.
   *
   * Scale shapes (the 100 TB contract):
-  *  - funnel: ONE shuffle on user_id; per-user state is the sorted event
-  *    array of the three stage types only (filtered before the shuffle),
-  *    folded left in a single pass — the ClickHouse `windowFunnel` shape.
+  *  - funnel: ONE shuffle on user_id; per-stage entry times come from n
+  *    chained conditional-min window passes over that one exchange (the
+  *    array-free `windowFunnel` shape) — no per-user array is ever
+  *    materialized, so a whale key spills in WindowExec instead of
+  *    growing an aggregation buffer.
   *  - cohort: two key-aligned shuffles (min-per-user, then the activity
   *    groupBy); the per-cell matrix is |weeks|² rows — tiny at any scale.
   *  - transitions: one user_id window shuffle; the (src,dst) grid is
@@ -42,39 +44,41 @@ object Behavior {
     */
   private[graft] val GapNs = 30L * 60 * 1000 * 1000 * 1000
 
-  /** The generated left-fold step for an n-stage funnel: stage 1 takes
-    * the first stage-1 event; stage k takes the first stage-k event
-    * strictly after t(k-1) and within t1's window. Stage count and window
-    * are PARAMETERS — the funnel is an operator, not a fixed query.
-    */
-  private def funnelFoldExpr(n: Int, windowNs: Long): String = {
-    val fields = (1 to n).map(k => s"t$k")
-    def mkStruct(vals: Seq[String]) =
-      fields.zip(vals).map { case (f, v) => s"'$f', $v" }
-        .mkString("named_struct(", ", ", ")")
-    val init = mkStruct(fields.map(_ => "CAST(NULL AS BIGINT)"))
-    val whens = (1 to n).map { k =>
-      val cond =
-        if (k == 1) "x.stage = 1 AND acc.t1 IS NULL"
-        else s"""x.stage = $k AND acc.t${k - 1} IS NOT NULL AND acc.t$k IS NULL
-                 AND x.tsn > acc.t${k - 1} AND x.tsn <= acc.t1 + ${windowNs}L"""
-      val assign = mkStruct(fields.map(f => if (f == s"t$k") "x.tsn" else s"acc.$f"))
-      s"WHEN $cond THEN $assign"
-    }.mkString("\n")
-    s"aggregate(evs, $init, (acc, x) -> CASE $whens ELSE acc END)"
-  }
-
-  /** Per-user staged entry times from a (user_id, stage, tsn) frame.
-    * One groupBy(user_id) shuffle; the sorted-array left fold visits each
-    * qualifying event once, so the first qualifying hit IS the min — the
-    * same values the oracle computes with sequential min() CTEs.
+  /** Per-user staged entry times from a (user_id, stage, tsn) frame —
+    * the ARRAY-FREE chained sequential-min form (the same shape the
+    * DuckDB oracle's CTE chain uses): t1 = min stage-1 time; t(k) =
+    * min stage-k time strictly after t(k-1) and within t1's window.
+    * Because t(k-1) is the min over its own qualifying set, "first
+    * qualifying event in time order" and "min over the qualifying set"
+    * are the same value, stage by stage, by induction — identical to
+    * the old sorted-array left fold, without ever materializing a
+    * per-user array.
+    *
+    * Scale shape: ONE hashpartitioning(user_id) exchange; the n window
+    * passes and the final per-user collapse all reuse it (window needs
+    * only the partition keys sorted, and the groupBy's distribution is
+    * already satisfied). Per-task memory is one user's rows in
+    * WindowExec's spillable buffer — a whale user degrades to disk
+    * spill, where `collect_list` would hold the whole key's array in
+    * the aggregation buffer (the round-6 watch item).
     */
   private[graft] def funnelTimes(ev: DataFrame, n: Int = 3,
-      windowNs: Long = FunnelWindowNs): DataFrame =
-    ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("tsn"), col("stage")))).as("evs"))
-      .withColumn("f", expr(funnelFoldExpr(n, windowNs)))
-      .select(col("user_id") +: (1 to n).map(k => col(s"f.t$k").as(s"t$k")): _*)
+      windowNs: Long = FunnelWindowNs): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = (1 to n).foldLeft(ev) { case (df, k) =>
+      val qualifies =
+        if (k == 1) col("stage") === 1
+        else col("stage") === k && col(s"t${k - 1}").isNotNull &&
+          col("tsn") > col(s"t${k - 1}") &&
+          col("tsn") <= col("t1") + lit(windowNs)
+      df.withColumn(s"t$k", min(when(qualifies, col("tsn"))).over(w))
+    }
+    // t1..tn are constant per user after the window passes; min() is just
+    // the deterministic collapse back to one row per user
+    staged.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"),
+        (2 to n).map(k => min(col(s"t$k")).as(s"t$k")): _*)
+  }
 
   /** An n-stage conversion-funnel query over the events table: per-stage
     * reached-user counts with floor-bp conversion from the funnel entry

@@ -22,12 +22,14 @@ object KeywordStats {
   val keywordStats: GraftQuery = new GraftQuery {
     val name = "keyword_stats"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame =
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      Tokenizer.register(spark)
       Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), explode(Tokenizer.split_words(col("text"))).as("word"))
+        .selectExpr("doc_id", "split_words(text) AS word")
         .groupBy(col("word"))
         .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("doc_ct"))
         .orderBy("word")
+    }
 
     def oracle: Option[String] = Some("""
       SELECT word, count(*) AS ct, count(DISTINCT doc_id) AS doc_ct
@@ -45,9 +47,10 @@ object KeywordStats {
   val keywordWeighted: GraftQuery = new GraftQuery {
     val name = "ads_keyword_weighted"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame =
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      Tokenizer.register(spark)
       Tables.load(spark, sfDir, "documents")
-        .select(col("lang"), explode(Tokenizer.split_words(col("text"))).as("word"))
+        .selectExpr("lang", "split_words(text) AS word")
         .withColumn("weight",
           when(col("lang") === "en", 10L).when(col("lang") === "zh", 3L)
             .when(col("lang") === "fr", 2L).when(col("lang") === "de", 2L)
@@ -56,6 +59,7 @@ object KeywordStats {
         .agg(sum(col("weight")).as("score"), count(lit(1)).as("ct"))
         .orderBy(col("score").desc, col("word"))
         .limit(20)
+    }
 
     def oracle: Option[String] = Some("""
       SELECT word,

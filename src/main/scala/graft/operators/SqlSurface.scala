@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The SQL entry surface — the reference's Table/SQL jobs (S2 Kafka DDL
   * tables + registered UDTF, `RT/app/dws/KeywordStatsApp.java:55-91`,
   * `ProvinceStatsSQLApp.java:69-89`): temp views over the sources, the
-  * tokenizer registered as a SQL function, and the query expressed in pure
-  * `spark.sql` with `LATERAL VIEW explode` standing in for Flink's
-  * `LATERAL TABLE(split_words(...))`. Catalyst plans it identically to the
-  * DataFrame formulation — demonstrated by sharing the keyword oracle.
+  * tokenizer registered as a SQL table function, and the query expressed in
+  * pure `spark.sql` with `LATERAL VIEW split_words(text)` — the direct
+  * analog of Flink's `LATERAL TABLE(split_words(...))`, planned as a native
+  * `Generate` over the [[graft.expressions.SplitWords]] Generator (no UDF
+  * eval node). Catalyst plans it identically to the DataFrame formulation —
+  * demonstrated by sharing the keyword oracle.
   */
 object SqlSurface {
 
@@ -24,7 +26,7 @@ object SqlSurface {
       spark.sql("""
         SELECT word, count(*) AS ct, count(DISTINCT doc_id) AS doc_ct
         FROM documents
-        LATERAL VIEW explode(split_words(text)) t AS word
+        LATERAL VIEW split_words(text) t AS word
         GROUP BY word
         ORDER BY word
       """)

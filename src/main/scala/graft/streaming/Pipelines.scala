@@ -183,7 +183,7 @@ object Pipelines {
     */
   def keywordStream(docs: DataFrame): DataFrame = {
     graft.functions.Tokenizer.register(docs.sparkSession)
-    docs.selectExpr("doc_id", "explode(split_words(text)) AS word")
+    docs.selectExpr("doc_id", "split_words(text) AS word")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("ct"), approx_count_distinct(col("doc_id")).as("doc_ct_approx"))
   }

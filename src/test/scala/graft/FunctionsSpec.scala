@@ -24,6 +24,29 @@ class FunctionsSpec extends SparkSpec {
     assert(Tokenizer.splitWords("!!!") == Seq.empty)
   }
 
+  test("split_words plans as a native Generator — no UDF eval node") {
+    Tokenizer.register(spark)
+    // SQL table-function position (the reference's LATERAL TABLE shape)
+    val sql = spark.sql(
+      "SELECT word FROM VALUES ('Spark SQL大数据!') AS t(text) " +
+        "LATERAL VIEW split_words(text) v AS word")
+    assert(sql.collect().map(_.getString(0)).toSeq ==
+      Seq("spark", "sql", "大数", "数据"))
+    // select-list position (ExtractGenerator lifts it into Generate)
+    import spark.implicits._
+    val df = Seq("Hello, WORLD", "", "中").toDF("text")
+      .selectExpr("split_words(text) AS word")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("hello", "world", "中"))
+    // the plan is a native Generate over the Generator: no ScalaUDF
+    // boundary anywhere (the engine's last interpreted UDF is gone)
+    for (d <- Seq(sql, df)) {
+      val plan = d.queryExecution.executedPlan.toString
+      assert(plan.contains("split_words"), plan.take(500))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+        plan.take(500))
+    }
+  }
+
   test("multimodal: stub decode is deterministic and shape-stable") {
     val f = Multimodal.decodeFeatures("hello world".getBytes("UTF-8"))
     assert(f.length == 8)
