@@ -209,16 +209,7 @@ object Behavior {
           (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
         .groupBy(col("cohort_week"), col("offset_w"))
         .agg(count(lit(1)).as("active_users"))
-      val byCohort = Window.partitionBy(col("cohort_week"))
-      cells
-        .withColumn("cohort_size",
-          max(when(col("offset_w") === 0, col("active_users"))).over(byCohort))
-        .select(
-          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
-          col("offset_w"), col("active_users"), col("cohort_size"),
-          floor(col("active_users") * lit(10000L) / col("cohort_size"))
-            .as("retention_bp"))
-        .orderBy("cohort_week", "offset_w")
+      cohortFinal(cells)
     }
 
     def oracle: Option[String] = Some("""
@@ -247,6 +238,24 @@ object Behavior {
       FROM cells JOIN sizes USING (cohort_week)
       ORDER BY cohort_week, offset_w
     """)
+  }
+
+  /** The matrix-shaping tail of [[cohortRetention]] from a (cohort_week
+    * date, offset_w, active_users) cells frame — shared with the
+    * streaming twin's spec, which derives the same cells from
+    * `streaming.StatefulOps.cohortCells` emissions.
+    */
+  private[graft] def cohortFinal(cells: DataFrame): DataFrame = {
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset_w") === 0, col("active_users"))).over(byCohort))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_w"), col("active_users"), col("cohort_size"),
+        floor(col("active_users") * lit(10000L) / col("cohort_size"))
+          .as("retention_bp"))
+      .orderBy("cohort_week", "offset_w")
   }
 
   /** Within-session transition counts from a (user_id, event_id, tsn,
@@ -416,6 +425,21 @@ object Behavior {
     """)
   }
 
+  /** The weekly rollup tail of [[weeklyChurn]] from a per-(user, week)
+    * flags frame (week date, is_new, is_churned) — shared with the
+    * streaming twin's spec (`streaming.StatefulOps.weeklyChurnFlags`
+    * emits exactly these flags).
+    */
+  private[graft] def churnFinal(flags: DataFrame): DataFrame =
+    flags
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(col("is_new")).as("new_users"),
+        sum(col("is_churned")).as("churned_users"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("active_users"), col("new_users"), col("churned_users"))
+      .orderBy("week")
+
   /** Weekly active/new/churned flow: a user is NEW in week w when not
     * active in w−1, and CHURNED from w when not active in w+1 (data-end
     * weeks churn by definition — there is no later activity). Computed
@@ -428,25 +452,19 @@ object Behavior {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
-      Tables.load(spark, sfDir, "events")
-        .select(col("user_id"),
-          date_trunc("week", col("ts")).cast("date").as("week"))
-        .distinct()
-        .withColumn("prev_w", lag(col("week"), 1).over(w))
-        .withColumn("next_w", lead(col("week"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_w").isNull ||
-            col("prev_w") =!= date_sub(col("week"), 7), 1L).otherwise(0L))
-        .withColumn("is_churned",
-          when(col("next_w").isNull ||
-            col("next_w") =!= date_add(col("week"), 7), 1L).otherwise(0L))
-        .groupBy(col("week"))
-        .agg(count(lit(1)).as("active_users"),
-          sum(col("is_new")).as("new_users"),
-          sum(col("is_churned")).as("churned_users"))
-        .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
-          col("active_users"), col("new_users"), col("churned_users"))
-        .orderBy("week")
+      churnFinal(
+        Tables.load(spark, sfDir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+          .withColumn("prev_w", lag(col("week"), 1).over(w))
+          .withColumn("next_w", lead(col("week"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_w").isNull ||
+              col("prev_w") =!= date_sub(col("week"), 7), 1L).otherwise(0L))
+          .withColumn("is_churned",
+            when(col("next_w").isNull ||
+              col("next_w") =!= date_add(col("week"), 7), 1L).otherwise(0L)))
     }
 
     def oracle: Option[String] = Some("""

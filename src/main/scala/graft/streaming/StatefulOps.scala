@@ -42,6 +42,34 @@ case class Transition(src: String, dst: String)
 
 private case class LastEvent(tsNs: Long, eventType: String, tsMillis: Long)
 
+/** A user-activity event carrying its pre-truncated activity day. */
+case class DayEvent(user_id: Long, ts: Timestamp, day: java.sql.Date)
+
+/** A first-occurrence (user, day) activity emission — the distinct
+  * (day, user) frame `operators.Behavior.rollingActive` consumes.
+  */
+case class DayUser(user_id: Long, day: java.sql.Date)
+
+private case class LastDaySt(epochDay: Long)
+
+/** A user-activity event carrying its pre-truncated ISO week start. */
+case class WeekEvent(user_id: Long, ts: Timestamp, week: java.sql.Date)
+
+/** A first-time (cohort_week, offset_w) cell-membership emission; counting
+  * these per cell yields `cohort_retention`'s active_users matrix.
+  */
+case class CohortCell(user_id: Long, cohort_week: java.sql.Date, offset_w: Long)
+
+private case class CohortSt(cohortDays: Long, lastOffset: Long)
+
+/** A finalized per-(user, week) activity row with the new/churned flags
+  * `operators.Behavior.churnFinal` rolls up.
+  */
+case class WeekFlag(user_id: Long, week: java.sql.Date, is_new: Long,
+    is_churned: Long)
+
+private case class ChurnSt(weekDays: Long, isNew: Long)
+
 /** A user's funnel progression; -1 marks a stage not yet reached. */
 case class FunnelTimes(user_id: Long, t1: Long, t2: Long, t3: Long)
 
@@ -307,6 +335,151 @@ object StatefulOps {
           }
           state.update(s)
           FunnelTimes(uid, s.t1, s.t2, s.t3)
+      }
+  }
+
+  private def dateOf(epochDay: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay))
+
+  /** A timer timestamp that Spark will accept: event-time timeouts must be
+    * strictly ahead of the current watermark, and a user whose activity is
+    * far in the past relative to the GLOBAL watermark (exactly the churned
+    * case) would otherwise fail the set. Clamping forward only delays the
+    * firing by one batch; the emitted flags are unchanged.
+    */
+  private def safeTimeout(state: GroupState[_], ts: Long): Long =
+    math.max(ts, state.getCurrentWatermarkMs() + 1)
+
+  /** Live distinct (day, user) activity — the streaming twin of
+    * `rolling_actives`' `.distinct()` frame. Emits each (user, day) pair
+    * exactly once; feeding the emissions into
+    * `operators.Behavior.rollingActive` reproduces the batch DAU/WAU grid.
+    *
+    * State: ONE long per user (the last activity day) — under the in-order
+    * contract a day can only repeat while it is still the latest, so
+    * "newer than the last emitted day" is the whole dedup test. An
+    * event-time timer two days past the last activity evicts the state:
+    * in-order, a day that old can no longer reappear, so live state is
+    * bounded by the users active in the last two days, not the population.
+    */
+  def firstDailyActivity(ev: Dataset[DayEvent]): Dataset[DayUser] = {
+    implicit val de = Encoders.product[DayUser]
+    implicit val se = Encoders.product[LastDaySt]
+    val dayMs = 86400000L
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastDaySt, DayUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (uid, events, state) =>
+          val out = Seq.newBuilder[DayUser]
+          var last = state.getOption.map(_.epochDay).getOrElse(Long.MinValue)
+          events.map(_.day.toLocalDate.toEpochDay).toSeq.distinct.sorted
+            .foreach { d =>
+              if (d > last) { out += DayUser(uid, dateOf(d)); last = d }
+            }
+          state.update(LastDaySt(last))
+          state.setTimeoutTimestamp(safeTimeout(state, (last + 2) * dayMs))
+          out.result().iterator
+      }
+  }
+
+  /** Live cohort-cell membership — the streaming twin of
+    * `cohort_retention`'s per-user explode. Under the in-order contract the
+    * FIRST event seen is the user's earliest, so its week is the cohort;
+    * each later distinct week emits the user's (cohort, offset) cell at
+    * most once. Counting emissions per (cohort_week, offset_w) and applying
+    * `operators.Behavior.cohortFinal` reproduces the batch matrix.
+    *
+    * State: TWO longs per user (cohort week + last emitted offset) — weeks
+    * arrive nondecreasing, so the emitted-offset set never needs
+    * materializing. Cohort membership is definitionally forever, so there
+    * is no timer; state is 16 bytes × the user population, the same bound
+    * as the reference's UV-dedup ValueState, with an optional TTL at the
+    * analysis horizon if the cohort window is finite.
+    */
+  def cohortCells(ev: Dataset[WeekEvent]): Dataset[CohortCell] = {
+    implicit val ce = Encoders.product[CohortCell]
+    implicit val se = Encoders.product[CohortSt]
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CohortSt, CohortCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, events, state) =>
+          val out = Seq.newBuilder[CohortCell]
+          var st = state.getOption
+          events.map(_.week.toLocalDate.toEpochDay).toSeq.distinct.sorted
+            .foreach { wd =>
+              st match {
+                case None =>
+                  out += CohortCell(uid, dateOf(wd), 0L)
+                  st = Some(CohortSt(wd, 0L))
+                case Some(s) =>
+                  val off = (wd - s.cohortDays) / 7
+                  if (off > s.lastOffset) {
+                    out += CohortCell(uid, dateOf(s.cohortDays), off)
+                    st = Some(s.copy(lastOffset = off))
+                  }
+              }
+            }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Live weekly churn flags — the streaming twin of `weekly_churn`'s
+    * lag/lead window. A week's row becomes final when either the user's
+    * next distinct week arrives (is_churned = successor ≠ week+7) or an
+    * event-time timer two weeks past the week start fires with no
+    * successor (is_churned = 1 — in-order, a consecutive-week event would
+    * have arrived before the watermark passed it). is_new is decided at
+    * week entry from the carried previous week. A timeout also clears the
+    * state, which stays correct for later reappearances: a user returning
+    * after a fired timer cannot be returning in the consecutive week, so
+    * the fresh-state is_new=1 matches the batch lag test.
+    *
+    * Emitting the (week, is_new, is_churned) FLAGS rather than raw
+    * prev/next pointers is what makes the timeout path exact: the flags
+    * only encode "was the neighbor the adjacent week", which eviction
+    * preserves. `operators.Behavior.churnFinal` over the emissions
+    * reproduces the batch rollup.
+    *
+    * State: TWO longs + one timer per user active within the 2-week churn
+    * horizon — evicted beyond it, so live state is bounded by recent
+    * actives, not the population.
+    */
+  def weeklyChurnFlags(ev: Dataset[WeekEvent]): Dataset[WeekFlag] = {
+    implicit val we = Encoders.product[WeekFlag]
+    implicit val se = Encoders.product[ChurnSt]
+    val dayMs = 86400000L
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChurnSt, WeekFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator.single(WeekFlag(uid, dateOf(s.weekDays), s.isNew, 1L))
+        case (uid, events, state) =>
+          val out = Seq.newBuilder[WeekFlag]
+          var st = state.getOption
+          events.map(_.week.toLocalDate.toEpochDay).toSeq.distinct.sorted
+            .foreach { wd =>
+              st match {
+                case Some(s) if wd > s.weekDays =>
+                  val adjacent = wd == s.weekDays + 7
+                  out += WeekFlag(uid, dateOf(s.weekDays), s.isNew,
+                    if (adjacent) 0L else 1L)
+                  st = Some(ChurnSt(wd, if (adjacent) 0L else 1L))
+                case Some(_) => // same week again — no-op
+                case None =>
+                  st = Some(ChurnSt(wd, 1L))
+              }
+            }
+          st.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(
+              safeTimeout(state, (s.weekDays + 14) * dayMs))
+          }
+          out.result().iterator
       }
   }
 

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Behavior
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** N-batch ≡ one-shot equivalence for the behavior family's remaining
+  * streaming twins (cohort retention, rolling actives, weekly churn) —
+  * the same harness style as the funnel/transition twins: real events,
+  * time-ordered micro-batches (the in-order contract), the streamed
+  * emissions fed through the SAME final-aggregation code path the batch
+  * query uses, compared row-for-row against the batch oracle-backed
+  * output.
+  */
+class BehaviorTwinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks3[T](rows: Array[T]): Seq[Seq[T]] =
+    rows.grouped((rows.length + 2) / 3).map(_.toSeq).toSeq
+
+  test("streamed daily activity + rollingActive equals batch rolling_actives") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"),
+        col("ts_ns"))
+      .collect()
+      .map(r => (DayEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2).map(_._1)
+    val mem = MemoryStream[DayEvent]
+    val q = StatefulOps.firstDailyActivity(
+      mem.toDS().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("du_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks3(evRows).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val streamedDu = spark.table("du_twin")
+        .select(col("day"), col("user_id"))
+      // emissions are exactly-once: already distinct without dedup
+      assert(streamedDu.count() === streamedDu.distinct().count())
+      val batchDu = Tables.load(spark, sf, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      assert(streamedDu.exceptAll(batchDu).count() === 0)
+      assert(batchDu.exceptAll(streamedDu).count() === 0)
+      // and the full DAU/WAU grid matches the batch query end to end
+      val grid = Behavior.rollingActive(streamedDu).orderBy("day").collect()
+      val batch = SparkEntry.queries("rolling_actives")(spark, sf).collect()
+      assert(grid.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(batch.length > 0)
+    } finally { q.stop(); CacheRegistry.clear() }
+  }
+
+  test("streamed cohort cells + cohortFinal equals batch cohort_retention") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("date").as("week"), col("ts_ns"))
+      .collect()
+      .map(r => (WeekEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2).map(_._1)
+    val mem = MemoryStream[WeekEvent]
+    val q = StatefulOps.cohortCells(mem.toDS())
+      .writeStream.format("memory").queryName("cc_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks3(evRows).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val cells = spark.table("cc_twin")
+        // exactly-once emission: count(*) IS the distinct-user cell count
+        .groupBy(col("cohort_week"), col("offset_w"))
+        .agg(count(lit(1)).as("active_users"))
+      val streamed = Behavior.cohortFinal(cells).collect()
+      val batch = SparkEntry.queries("cohort_retention")(spark, sf).collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(batch.length > 0)
+    } finally q.stop()
+  }
+
+  test("streamed churn flags + churnFinal equals batch weekly_churn") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("date").as("week"), col("ts_ns"))
+      .collect()
+      .map(r => (WeekEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2)
+    val maxTs = base.last._1.ts.getTime
+    // a far-future sentinel user advances the watermark past every open
+    // week's timer so the last-week churn rows flush; its own row is
+    // filtered from the comparison (its timer can never fire).
+    val sentinel = {
+      val t = new java.sql.Timestamp(maxTs + 60L * 86400000L)
+      WeekEvent(-1L, t, new java.sql.Date(t.getTime))
+    }
+    val evRows = base.map(_._1)
+    val mem = MemoryStream[WeekEvent]
+    val q = StatefulOps.weeklyChurnFlags(
+      mem.toDS().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("wc_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks3(evRows).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      val flags = spark.table("wc_twin").filter(col("user_id") =!= -1L)
+        .select(col("week"), col("is_new"), col("is_churned"))
+      val streamed = Behavior.churnFinal(flags).collect()
+      val batch = SparkEntry.queries("weekly_churn")(spark, sf).collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(batch.length > 0)
+    } finally q.stop()
+  }
+}
