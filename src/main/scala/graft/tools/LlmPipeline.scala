@@ -48,8 +48,26 @@ object LlmPipeline {
       counts(key) = back.count()
       back
     }
+    // Optional key-skew pre-stage (SPARK_GRAFT_SKEW_REPORT=1): before any
+    // per-key stage runs, report content-hash row ownership of the raw
+    // corpus — a single document duplicated at scale is THE whale key of
+    // a dedup pipeline (its shingle bands all collide), and it surfaces
+    // here as a flagged md5 share instead of a straggler task three
+    // stages later. A report, not a filter: the decision to drop or salt
+    // a hot key belongs to the operator configs. (A low-cardinality key
+    // like `source` is the wrong gate — every source legitimately owns a
+    // large share.)
+    val skewGate = sys.env.get("SPARK_GRAFT_SKEW_REPORT").contains("1")
     val hook: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame = {
-      case ("raw", df) => counts("raw") = df.count(); df
+      case ("raw", df) =>
+        if (skewGate) {
+          val rep = graft.operators.SkewReport.keySkewReport(df, md5(col("text")))
+          rep.write.mode("overwrite").parquet(s"$outDir/key_skew")
+          val flagged = spark.read.parquet(s"$outDir/key_skew")
+            .filter(col("flagged") === 1L).count()
+          counts("skew_flagged") = flagged
+        }
+        counts("raw") = df.count(); df
       case ("exact", df) => counts("exact_dedup") = df.count(); df
       case ("dedup", df) => staged("dedup", "near_dedup", df)
       case ("quality", df) => staged("quality", "quality", df)
@@ -69,8 +87,10 @@ object LlmPipeline {
         count(lit(1)).as("ct"), sum("n_tokens").as("tok"))
       .collect().map(r => s""""${r.getString(0)}":{"docs":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
       .sorted.mkString(",")
+    val skewPrefix =
+      counts.get("skew_flagged").map(n => s""""skew_flagged":$n,""").getOrElse("")
     val manifest =
-      s"""{"raw":${counts("raw")},"exact_dedup":${counts("exact_dedup")},""" +
+      s"""{$skewPrefix"raw":${counts("raw")},"exact_dedup":${counts("exact_dedup")},""" +
         s""""near_dedup":${counts("near_dedup")},"quality":${counts("quality")},""" +
         s""""sampled":${counts("sampled")},"mixed":${counts("mixed")},"splits":{$splitCts}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
