@@ -26,6 +26,14 @@ object AggMode {
     if (spark.conf.getOption(Flag).exists(_.toBoolean)) approx_count_distinct(c)
     else countDistinct(c)
 
+  /** Whether the session is in approx-distinct mode — for call sites whose
+    * EXACT form is not a `countDistinct` (e.g. a count over an
+    * already-distinct frame) and that therefore branch on the flag rather
+    * than swap the aggregate.
+    */
+  def approxDistinct(spark: SparkSession): Boolean =
+    spark.conf.getOption(Flag).exists(_.toBoolean)
+
   def approxPercentiles(spark: SparkSession): Boolean =
     spark.conf.getOption(PercentileFlag).exists(_.toBoolean)
 }

@@ -204,11 +204,18 @@ object Behavior {
             timestamp_micros(expr("first_tsn div 1000"))).cast("date"))
         .select(col("user_id"), col("cohort_week"),
           explode(col("weeks")).as("week"))
+      // exact mode counts the already-unique (user, week) pairs; the
+      // approx lever swaps in a true distinct-user HLL, since at 100 TB
+      // the per-cell count is the one aggregate left that scales with
+      // users rather than the calendar
+      val cellCounter =
+        if (AggMode.approxDistinct(spark)) approx_count_distinct(col("user_id"))
+        else count(lit(1))
       val cells = perUser
         .withColumn("offset_w",
           (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
         .groupBy(col("cohort_week"), col("offset_w"))
-        .agg(count(lit(1)).as("active_users"))
+        .agg(cellCounter.as("active_users"))
       cohortFinal(cells)
     }
 
@@ -311,14 +318,19 @@ object Behavior {
     * to days that exist in the data (matching the oracle's day-grid join).
     */
   private[graft] def rollingActive(du: DataFrame): DataFrame = {
+    // honors the approx-distinct scale lever: du rows are unique, but the
+    // WAU fan-out re-introduces per-window duplicates, so both counters
+    // are true distincts that HLL can stand in for at 100 TB
+    val spark = du.sparkSession
     val days = du.select(col("day")).distinct()
     val wau = du
       .withColumn("k", explode(sequence(lit(0), lit(6))))
       .withColumn("wday", date_add(col("day"), col("k")))
       .join(broadcast(days.select(col("day").as("wday"))), "wday")
       .groupBy(col("wday").as("day"))
-      .agg(countDistinct(col("user_id")).as("wau_ct"))
-    val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau_ct"))
+      .agg(AggMode.distinctCount(spark, col("user_id")).as("wau_ct"))
+    val dau = du.groupBy(col("day"))
+      .agg(AggMode.distinctCount(spark, col("user_id")).as("dau_ct"))
     wau.join(dau, "day")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau_ct"), col("wau_ct"))

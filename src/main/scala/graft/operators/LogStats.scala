@@ -265,9 +265,10 @@ object LogStats {
       enriched(spark, sfDir)
         .groupBy(col("day"), hour(col("ts")).cast("long").as("hr"))
         .agg(
-          countDistinct(col("user_id")).as("uv_ct"),
+          AggMode.distinctCount(spark, col("user_id")).as("uv_ct"),
           count(lit(1)).as("pv_ct"),
-          countDistinct(when(col("is_new") === 1, col("user_id"))).as("new_uv_ct"))
+          AggMode.distinctCount(spark,
+            when(col("is_new") === 1, col("user_id"))).as("new_uv_ct"))
         .orderBy("day", "hr")
 
     def oracle: Option[String] = Some(enrichedOracleSql + """

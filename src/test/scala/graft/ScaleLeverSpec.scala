@@ -23,6 +23,29 @@ class ScaleLeverSpec extends SparkSpec {
     } finally spark.conf.unset(AggMode.Flag)
   }
 
+  test("approx-distinct flag covers the behavior/OLAP distinct family") {
+    // each query: same schema and row count under the flag, summed
+    // distinct counters within 10% of exact (HLL++ rsd 5% default)
+    for (name <- Seq("rolling_actives", "cohort_retention", "hourly_visitors")) {
+      val counter = Map(
+        "rolling_actives" -> "wau_ct", "cohort_retention" -> "active_users",
+        "hourly_visitors" -> "uv_ct")(name)
+      val exact = SparkEntry.queries(name)(spark, sf)
+      val e = exact.agg(sum(counter)).head.getLong(0).toDouble
+      val eCols = exact.columns.toSeq
+      val eCt = exact.count()
+      CacheRegistry.clear()
+      spark.conf.set(AggMode.Flag, "true")
+      try {
+        val approx = SparkEntry.queries(name)(spark, sf)
+        assert(approx.columns.toSeq == eCols, name)
+        assert(approx.count() == eCt, name)
+        val a = approx.agg(sum(counter)).head.getLong(0).toDouble
+        assert(math.abs(a - e) / e < 0.1, s"$name: approx=$a exact=$e")
+      } finally { spark.conf.unset(AggMode.Flag); CacheRegistry.clear() }
+    }
+  }
+
   test("approx-percentile flag swaps the GK sketch in without changing shape") {
     val exact = operators.Relevance.percentiles.run(spark, sf).collect()
     spark.conf.set(AggMode.PercentileFlag, "true")
