@@ -31,6 +31,14 @@ object GraftSession {
       // shuffle, with no query-code change
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE coalesce INSIDE cached plans: off (the default), every
+      // persisted frame materializes at the static shuffle-partition
+      // count and each InMemoryTableScan consumer pays that many tasks —
+      // the dominant overhead in the 2048-partition production rehearsal
+      // (rolling_actives 22.7 s → ~1 s class). The cache is still a
+      // single materialization, so range-boundary-sharing persists
+      // (DistNtileSpec) are unaffected.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // timestamp type, so surface it as Long and let Tables normalize.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,6 +56,11 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // static conf in builder sessions; settable at runtime too — see the
+    // builder note (AQE coalescing inside cached plans)
+    try spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark
   }
 }

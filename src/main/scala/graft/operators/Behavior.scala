@@ -367,7 +367,7 @@ object Behavior {
     * the assembled value bounded at any scale while leaving real
     * people-length sessions untouched.
     */
-  private val PathCap = 24
+  private[graft] val PathCap = 24
 
   /** Top session paths: sessions split at the 30-min gap (the same
     * gaps-and-islands counter `session_stats` uses), each session's

@@ -45,9 +45,16 @@ object Ranks {
     */
   def distNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // no explicit partition count: an explicit N exempts the exchange
+    // from AQE, pinning e.g. 2048 near-empty ranges over a rollup in the
+    // production-partition rehearsal (measured 16.9 s for
+    // customer_deciles at sf0.1/2048). Without it AQE coalesces ADJACENT
+    // range partitions to data-proportional sizes — adjacency keeps
+    // pid order ≡ range order, which is all the prefix-offset pass needs,
+    // and the persist still pins ONE materialized assignment for both
+    // consumers.
     val ranged = graft.CacheRegistry.persist(
-      df.repartitionByRange(p, sort: _*)
+      df.repartitionByRange(sort: _*)
         .withColumn("__nt_pid", spark_partition_id()))
     val offs = ranged.groupBy(col("__nt_pid"))
       .agg(count(lit(1)).as("__nt_cnt"))

@@ -70,6 +70,14 @@ case class WeekFlag(user_id: Long, week: java.sql.Date, is_new: Long,
 
 private case class ChurnSt(weekDays: Long, isNew: Long)
 
+/** One capped in-session event retained by the live path assembler. */
+case class PathEv(tsNs: Long, eventId: Long, eventType: String)
+
+/** A completed session's capped path emission. */
+case class SessionPath(user_id: Long, path: String)
+
+private case class SessSt(lastNs: Long, lastMs: Long, evs: Seq[PathEv])
+
 /** A user's funnel progression; -1 marks a stage not yet reached. */
 case class FunnelTimes(user_id: Long, t1: Long, t2: Long, t3: Long)
 
@@ -478,6 +486,59 @@ object StatefulOps {
             state.update(s)
             state.setTimeoutTimestamp(
               safeTimeout(state, (s.weekDays + 14) * dayMs))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Live session-path assembly — the streaming twin of
+    * `session_paths`' gaps-and-islands window. A session completes when
+    * either an event past the 30-min gap arrives (it opens the next
+    * session) or an event-time timer one gap past the last event fires
+    * (in-order, nothing can extend the session once the watermark passed
+    * that point — the same argument as the bounce CEP timeout). Counting
+    * the emitted paths reproduces the batch path grid.
+    *
+    * State is CAPPED exactly like the batch query: only the first
+    * [[graft.operators.Behavior]] PathCap (24) events of a session are
+    * retained (the gap test still advances on every event, so a whale
+    * session neither grows state nor splits early) — ≤24 small rows +
+    * 2 longs + a timer per gap-active user, the same bound the batch
+    * side enforces BEFORE its assembly shuffle.
+    */
+  def sessionPaths(ev: Dataset[PathEvent]): Dataset[SessionPath] = {
+    implicit val pe = Encoders.product[SessionPath]
+    implicit val se = Encoders.product[SessSt]
+    val gapNs = graft.operators.Behavior.GapNs
+    val gapMs = gapNs / 1000000L
+    val cap = graft.operators.Behavior.PathCap
+    def pathOf(evs: Seq[PathEv]): String = evs.map(_.eventType).mkString("->")
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessSt, SessionPath](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionPath(uid, pathOf(s.evs)))
+        case (uid, events, state) =>
+          val out = Seq.newBuilder[SessionPath]
+          var st = state.getOption
+          events.toSeq.sortBy(e => (e.tsNs, e.event_id)).foreach { e =>
+            val pe = PathEv(e.tsNs, e.event_id, e.event_type)
+            st = st match {
+              case Some(s) if e.tsNs - s.lastNs <= gapNs =>
+                Some(SessSt(e.tsNs, e.ts.getTime,
+                  if (s.evs.length < cap) s.evs :+ pe else s.evs))
+              case Some(s) =>
+                out += SessionPath(uid, pathOf(s.evs))
+                Some(SessSt(e.tsNs, e.ts.getTime, Seq(pe)))
+              case None =>
+                Some(SessSt(e.tsNs, e.ts.getTime, Seq(pe)))
+            }
+          }
+          st.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(safeTimeout(state, s.lastMs + gapMs))
           }
           out.result().iterator
       }

@@ -78,6 +78,40 @@ class BehaviorTwinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed session paths equal the batch path grid") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_ns"),
+        col("event_type"))
+      .collect()
+      .map(r => PathEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(_.tsNs)
+    val maxTs = base.last.ts.getTime
+    val sentinel = {
+      val t = new java.sql.Timestamp(maxTs + 7L * 86400000L)
+      PathEvent(-1L, 0L, t, t.getTime * 1000000L, "view")
+    }
+    val mem = MemoryStream[PathEvent]
+    val q = StatefulOps.sessionPaths(
+      mem.toDS().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("sp_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks3(base).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("sp_twin").filter(col("user_id") =!= -1L)
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val batch = Behavior.sessionPathGrid(
+        Tables.load(spark, sf, "events")
+          .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+            col("event_type")))
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
   test("streamed churn flags + churnFinal equals batch weekly_churn") {
     implicit val sqlCtx = spark.sqlContext
     val base = Tables.load(spark, sf, "events")
