@@ -78,6 +78,43 @@ class BehaviorTwinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState churn agrees with mapGroupsWithState and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("date").as("week"), col("ts_ns"))
+      .collect()
+      .map(r => (WeekEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2)
+    val maxTs = base.last._1.ts.getTime
+    val sentinel = {
+      val t = new java.sql.Timestamp(maxTs + 60L * 86400000L)
+      WeekEvent(-1L, t, new java.sql.Date(t.getTime))
+    }
+    val evRows = base.map(_._1)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "false")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "16")
+    try {
+      val mem = MemoryStream[WeekEvent]
+      val q = ChurnProcessor(mem.toDS().withWatermark("ts", "1 second"))
+        .writeStream.format("memory").queryName("wc_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks3(evRows).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        mem.addData(sentinel); q.processAllAvailable()
+        val flags = spark.table("wc_tws").filter(col("user_id") =!= -1L)
+          .select(col("week"), col("is_new"), col("is_churned"))
+        val streamed = Behavior.churnFinal(flags).collect()
+        val batch = SparkEntry.queries("weekly_churn")(spark, sf).collect()
+        assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+        assert(batch.length > 0)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamed session paths equal the batch path grid") {
     implicit val sqlCtx = spark.sqlContext
     val base = Tables.load(spark, sf, "events")
