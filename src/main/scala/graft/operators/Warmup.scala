@@ -28,4 +28,18 @@ object Warmup {
     KnnJoin.knnRows(spark, sfDir).count()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** (name, rows, materialized partitions) for every shared frame —
+    * `tools.CacheProbe`'s data source; the partition column is what
+    * cached-plan AQE coalescing changes.
+    */
+  def layout(spark: SparkSession, sfDir: String): Seq[(String, Long, Int)] =
+    Seq(
+      ("enriched", LogStats.enriched(spark, sfDir)),
+      ("vecs", Similarity.vecs(spark, sfDir)),
+      ("ngram_sk", Dedup.ngramSketches(spark, sfDir)),
+      ("doc_toks", SpanDedup.sharedToks(spark, sfDir)),
+      ("doc_embed", TextEmbed.docVectors(spark, sfDir)),
+      ("knn", KnnJoin.knnRows(spark, sfDir))
+    ).map { case (n, df) => (n, df.count(), df.rdd.getNumPartitions) }
 }
