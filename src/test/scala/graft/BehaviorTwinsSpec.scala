@@ -78,6 +78,47 @@ class BehaviorTwinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("churn open-week state survives a restart from checkpoint") {
+    // chunk 1: u1 and u2 each open week0; restart; chunk 2: u1 returns in
+    // the ADJACENT week (finalizes week0 as retained — only possible if
+    // the open-week state was restored), u2 skips to week3 (finalizes
+    // week0 as churned). A fresh state would emit nothing for either.
+    def wk(s: String) = java.sql.Date.valueOf(s)
+    def ev(u: Long, week: String) = {
+      val d = wk(week)
+      WeekEvent(u, new java.sql.Timestamp(d.getTime + 3600L * 1000), d)
+    }
+    val chunk1 = Seq(ev(1L, "2024-01-01"), ev(2L, "2024-01-01"))
+    val chunk2 = Seq(ev(1L, "2024-01-08"), ev(2L, "2024-01-22"))
+    val dir = java.nio.file.Files.createTempDirectory("churnev").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("churnck").toString
+    val stage1 = java.nio.file.Files.createTempDirectory("churno1").toString
+    val stage2 = java.nio.file.Files.createTempDirectory("churno2").toString
+    def stream() = StatefulOps.weeklyChurnFlags(
+      spark.readStream.schema(chunk1.toDS().schema).parquet(dir).as[WeekEvent]
+        .withWatermark("ts", "1 second"))
+    def start(stage: String) = stream().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[WeekFlag], _: Long) =>
+        df.write.mode("append").parquet(stage)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    chunk1.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q1 = start(stage1)
+    q1.processAllAvailable(); q1.stop()
+    chunk2.toDS().coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start(stage2)
+    try {
+      q2.processAllAvailable()
+      val flags = spark.read.parquet(stage2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getDate(1).toString, r.getLong(2), r.getLong(3)))).toMap
+      assert(flags(1L) === (("2024-01-01", 1L, 0L))) // adjacent → retained
+      assert(flags(2L) === (("2024-01-01", 1L, 1L))) // skipped → churned
+    } finally q2.stop()
+  }
+
   test("transformWithState churn agrees with mapGroupsWithState and batch") {
     implicit val sqlCtx = spark.sqlContext
     val base = Tables.load(spark, sf, "events")
