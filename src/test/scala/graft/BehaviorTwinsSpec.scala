@@ -194,6 +194,64 @@ class BehaviorTwinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState cohort + activity agree with their mgws twins") {
+    implicit val sqlCtx = spark.sqlContext
+    val weekRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("date").as("week"), col("ts_ns"))
+      .collect()
+      .map(r => (WeekEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2).map(_._1)
+    val dayRows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"),
+        col("ts_ns"))
+      .collect()
+      .map(r => (DayEvent(r.getLong(0), r.getTimestamp(1), r.getDate(2)),
+        r.getLong(3)))
+      .sortBy(_._2).map(_._1)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "false")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "16")
+    try {
+      // cohort cells: tws emissions == mgws emissions (exactly-once sets)
+      val memC = MemoryStream[WeekEvent]
+      val qc = CohortProcessor(memC.toDS())
+        .writeStream.format("memory").queryName("cc_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks3(weekRows).foreach { c => memC.addData(c: _*); qc.processAllAvailable() }
+        val tws = spark.table("cc_tws")
+        val memM = MemoryStream[WeekEvent]
+        val qm = StatefulOps.cohortCells(memM.toDS())
+          .writeStream.format("memory").queryName("cc_mgws2")
+          .outputMode(OutputMode.Append).start()
+        try {
+          chunks3(weekRows).foreach { c => memM.addData(c: _*); qm.processAllAvailable() }
+          val mgws = spark.table("cc_mgws2")
+          assert(tws.exceptAll(mgws).count() === 0)
+          assert(mgws.exceptAll(tws).count() === 0)
+          assert(mgws.count() > 0)
+        } finally qm.stop()
+      } finally qc.stop()
+      // daily activity: tws emissions == the distinct (day, user) frame
+      val memA = MemoryStream[DayEvent]
+      val qa = ActivityProcessor(memA.toDS().withWatermark("ts", "1 second"))
+        .writeStream.format("memory").queryName("du_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks3(dayRows).foreach { c => memA.addData(c: _*); qa.processAllAvailable() }
+        val du = spark.table("du_tws").select(col("day"), col("user_id"))
+        val batchDu = Tables.load(spark, sf, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        assert(du.count() === du.distinct().count())
+        assert(du.exceptAll(batchDu).count() === 0)
+        assert(batchDu.exceptAll(du).count() === 0)
+      } finally qa.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState session paths agree with the batch grid") {
     implicit val sqlCtx = spark.sqlContext
     val base = Tables.load(spark, sf, "events")
