@@ -53,6 +53,12 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // scale-lever measurement: SPARK_GRAFT_APPROX_DISTINCT=true flips the
+    // session-wide approx-distinct flag so the lever's benefit is a
+    // captured number, not a claim (results then deviate from the oracle
+    // by design — bench-only, never for Verify)
+    sys.env.get("SPARK_GRAFT_APPROX_DISTINCT")
+      .foreach(v => spark.conf.set(operators.AggMode.Flag, v))
     // the result file is written only on success below — remove any copy
     // from a previous run up front so an aborted run leaves NO file and a
     // gate reading it fails loudly instead of consuming stale numbers
