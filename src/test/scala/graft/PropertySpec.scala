@@ -36,6 +36,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native split_words Generator equals the Scala core on random input") {
+    import spark.implicits._
+    Tokenizer.register(spark)
+    // includes multibyte CJK, control-ish ASCII, empties — ONE Spark pass
+    // over the whole sample; the emitted (row, token) multiset must equal
+    // the JVM core's, pinning the Generator's eval to Tokenizer.splitWords
+    // exactly (token order per row is pinned by the fixed-sample plan
+    // test in FunctionsSpec)
+    val sample = randomStrings(300)
+    val viaGen = sample.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "text")
+      .selectExpr("i", "split_words(text) AS word")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val viaCore = sample.zipWithIndex.flatMap { case (s, i) =>
+      Tokenizer.splitWords(s).map(w => (i, w))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(viaGen === viaCore)
+    assert(viaCore.nonEmpty)
+  }
+
   test("stub decode is shape-stable with features in byte-value range") {
     randomBytes(100).foreach { b =>
       val f = Multimodal.decodeFeatures(b)
