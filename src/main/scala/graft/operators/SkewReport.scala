@@ -44,6 +44,23 @@ object SkewReport {
       .limit(topN)
   }
 
+  /** LIVE skew flags riding the heavy-hitters grid: point-estimate each
+    * candidate key against a (streaming-accumulated) count-min grid and
+    * flag keys whose estimated share reaches the threshold. The CMS only
+    * ever OVERcounts, so the flagged set is a SUPERSET of the exact
+    * report's — a live monitor with no false negatives and depth×width
+    * bounded state, where the exact report needs a full-key aggregation.
+    * (`streaming.HeavyHitters.grid` over the key column produces the
+    * grid; `totalRows` is the stream's running count, a 1-row aggregate.)
+    */
+  private[graft] def cmsSkewFlags(grid: DataFrame, candidates: DataFrame,
+      totalRows: Long, thresholdBp: Long = SkewThresholdBp): DataFrame =
+    graft.streaming.HeavyHitters.estimates(grid, candidates)
+      .withColumn("share_bp_est",
+        floor(col("est_ct") * lit(10000.0) / lit(totalRows)).cast("long"))
+      .withColumn("flagged",
+        when(col("share_bp_est") >= thresholdBp, 1L).otherwise(0L))
+
   /** The oracled instance: event ownership per user — the key the whole
     * behavior family shuffles on.
     */

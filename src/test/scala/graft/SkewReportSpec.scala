@@ -18,6 +18,41 @@ class SkewReportSpec extends SparkSpec {
     assert(rep.filterNot(_._1 == "999").values.forall(_._2 == 0L))
   }
 
+  test("CMS-grid live flags are a superset of the exact report's") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // real event stream keyed by user, accumulated into the bounded CMS
+    // grid across two micro-batches
+    val keys = Tables.load(spark, sf, "events")
+      .select(col("user_id").cast("string").as("word"))
+      .collect().map(_.getString(0))
+    val (b1, b2) = keys.splitAt(keys.length / 2)
+    val mem = MemoryStream[String]
+    val qn = s"skewhh${System.nanoTime()}"
+    val q = graft.streaming.HeavyHitters.grid(mem.toDS().toDF("word"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val grid = spark.table(qn)
+      val candidates = keys.distinct.toSeq.toDF("word")
+      // a loose 50 bp threshold so both sides flag a non-trivial set
+      val live = SkewReport.cmsSkewFlags(grid, candidates, keys.length, 50L)
+        .filter(col("flagged") === 1L)
+        .collect().map(_.getString(0)).toSet
+      val exact = SkewReport.keySkewReport(
+          Tables.load(spark, sf, "events"), col("user_id"),
+          topN = keys.length, thresholdBp = 50L)
+        .filter(col("flagged") === 1L)
+        .collect().map(_.getString(0)).toSet
+      assert(exact.nonEmpty, "fixture must flag something at 50 bp")
+      // CMS only overcounts -> no false negatives
+      assert(exact.subsetOf(live), s"missed: ${exact.diff(live)}")
+    } finally { q.stop(); CacheRegistry.clear() }
+  }
+
   test("flag fires exactly at the floored threshold boundary") {
     // 2 of 100 rows = exactly 200 bp -> flagged; 1 of 100 = 100 bp -> not
     val keys = Seq.fill(2)(1L) ++ Seq.fill(1)(2L) ++ (10L until 107L)
