@@ -80,13 +80,15 @@ object SqlSurface {
     """)
   }
 
-  /** The 3-stage conversion funnel in pure SQL — the chained
-    * sequential-min CTE form (the exact shape the DataFrame funnel's
-    * window chain computes, and the DuckDB oracle's own formulation).
-    * Each stage CTE is a tiny per-user aggregate equi-joined back on
-    * user_id, so at scale the joins hash on the one funnel key and the
-    * scalar-subquery counts broadcast. Oracled against the SAME oracle as
-    * `funnel_conversion` — the two surfaces cannot drift.
+  /** The 3-stage conversion funnel in pure SQL — the SAME array-free
+    * chained conditional-min window form the DataFrame funnel plans
+    * (`Behavior.funnelTimes`): one stage-filtered events scan, one
+    * user_id exchange, three stacked window passes, a per-user collapse
+    * that reuses the partitioning, then the tiny conversion shaping. (A
+    * naive sequential-min CTE chain reads the events scan SEVEN times
+    * once Catalyst inlines the CTEs — plan-audited; this form reads it
+    * once.) Oracled against the SAME oracle as `funnel_conversion` — the
+    * two surfaces cannot drift.
     */
   val funnelSql: GraftQuery = new GraftQuery {
     val name = "funnel_sql"
@@ -95,29 +97,37 @@ object SqlSurface {
       Tables.registerAll(spark, sfDir)
       val w = Behavior.FunnelWindowNs
       spark.sql(s"""
-        WITH ev AS (SELECT user_id, event_type, ts_ns AS tsn FROM events),
-        s1 AS (SELECT user_id, min(tsn) AS t1 FROM ev
-               WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT ev.user_id, min(tsn) AS t2 FROM ev
-               JOIN s1 USING (user_id)
-               WHERE event_type = 'click'
-                 AND tsn > s1.t1 AND tsn <= s1.t1 + $w GROUP BY 1),
-        s3 AS (SELECT ev.user_id, min(tsn) AS t3 FROM ev
-               JOIN s2 USING (user_id) JOIN s1 ON ev.user_id = s1.user_id
-               WHERE event_type = 'purchase'
-                 AND tsn > s2.t2 AND tsn <= s1.t1 + $w GROUP BY 1),
-        u AS (SELECT (SELECT count(*) FROM s1) AS u1,
-                     (SELECT count(*) FROM s2) AS u2,
-                     (SELECT count(*) FROM s3) AS u3)
-        SELECT CAST(stage AS BIGINT) AS stage, stage_name,
-               CAST(users AS BIGINT) AS users,
-               CAST(floor(users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
-               CASE WHEN prev > 0
-                    THEN CAST(floor(users * 10000.0 / prev) AS BIGINT)
+        WITH ev AS (
+          SELECT user_id,
+                 CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                                 WHEN 'purchase' THEN 3 END AS stage,
+                 ts_ns AS tsn
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        w1 AS (SELECT *, min(CASE WHEN stage = 1 THEN tsn END)
+                 OVER (PARTITION BY user_id) AS t1 FROM ev),
+        w2 AS (SELECT *, min(CASE WHEN stage = 2 AND t1 IS NOT NULL
+                                   AND tsn > t1 AND tsn <= t1 + $w THEN tsn END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+        w3 AS (SELECT *, min(CASE WHEN stage = 3 AND t2 IS NOT NULL
+                                   AND tsn > t2 AND tsn <= t1 + $w THEN tsn END)
+                 OVER (PARTITION BY user_id) AS t3 FROM w2),
+        p AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+              FROM w3 GROUP BY 1),
+        u AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM p)
+        -- explode-array shaping (the DataFrame form): u is referenced
+        -- ONCE — a UNION ALL tail would inline the whole chain per branch
+        SELECT CAST(s.stage AS BIGINT) AS stage, s.stage_name,
+               CAST(s.users AS BIGINT) AS users,
+               CAST(floor(s.users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
+               CASE WHEN s.prev > 0
+                    THEN CAST(floor(s.users * 10000.0 / s.prev) AS BIGINT)
                END AS conv_step_bp
-        FROM (SELECT 1 AS stage, 'view' AS stage_name, u1 AS users, u1 AS prev, u1 FROM u
-              UNION ALL SELECT 2, 'click', u2, u1, u1 FROM u
-              UNION ALL SELECT 3, 'purchase', u3, u2, u1 FROM u)
+        FROM u
+        LATERAL VIEW explode(array(
+          named_struct('stage', 1, 'stage_name', 'view', 'users', u1, 'prev', u1),
+          named_struct('stage', 2, 'stage_name', 'click', 'users', u2, 'prev', u1),
+          named_struct('stage', 3, 'stage_name', 'purchase', 'users', u3, 'prev', u2))) t AS s
         WHERE u1 > 0
         ORDER BY stage
       """)
