@@ -136,11 +136,15 @@ object SqlSurface {
     def oracle: Option[String] = Behavior.funnelConversion.oracle
   }
 
-  /** DAU/WAU in pure SQL — the same bounded-fan-out shape as the
-    * DataFrame `rolling_actives` (each distinct (day, user) row explodes
-    * to its ≤7 window-end days; the tiny day grid joins broadcast), NOT
-    * the range self-join a naive SQL translation would produce. Shares
-    * `rolling_actives`' oracle.
+  /** DAU/WAU in pure SQL — the bounded-fan-out shape (each distinct
+    * (day, user) row explodes to its ≤7 window-end days), NOT the range
+    * self-join a naive SQL translation would produce. The distinct frame
+    * is referenced ONCE (Catalyst inlines CTEs — a days-grid/DAU/WAU
+    * 3-way formulation read the events scan three times, plan-audited):
+    * DAU rides the same exploded frame as the k=0 slice, and
+    * `dau_ct > 0` IS the "window-end day exists in the data" test, so
+    * the day-grid join disappears entirely. Shares `rolling_actives`'
+    * oracle.
     */
   val rollingActivesSql: GraftQuery = new GraftQuery {
     val name = "rolling_actives_sql"
@@ -150,14 +154,15 @@ object SqlSurface {
       spark.sql("""
         WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                     FROM events),
-        days AS (SELECT DISTINCT day FROM du),
-        w AS (SELECT date_add(du.day, k.k) AS wday, du.user_id
+        e AS (SELECT date_add(du.day, k.k) AS wday, du.user_id, k.k
               FROM du LATERAL VIEW explode(sequence(0, 6)) k AS k),
-        wau AS (SELECT w.wday AS day, count(DISTINCT w.user_id) AS wau_ct
-                FROM w JOIN days ON days.day = w.wday GROUP BY 1),
-        dau AS (SELECT day, count(DISTINCT user_id) AS dau_ct FROM du GROUP BY 1)
-        SELECT date_format(wau.day, 'yyyy-MM-dd') AS day, dau.dau_ct, wau.wau_ct
-        FROM wau JOIN dau ON wau.day = dau.day
+        g AS (SELECT wday,
+                     count(DISTINCT user_id) AS wau_ct,
+                     count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau_ct
+              FROM e GROUP BY 1)
+        SELECT date_format(wday, 'yyyy-MM-dd') AS day, dau_ct, wau_ct
+        FROM g
+        WHERE dau_ct > 0
         ORDER BY day
       """)
     }
@@ -179,19 +184,18 @@ object SqlSurface {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       Tables.registerAll(spark, sfDir)
       spark.sql("""
-        WITH touches AS (
-          SELECT user_id, unix_micros(ts) AS tsu, event_id AS ord,
-                 event_type AS touch_type, props AS touch_props
-          FROM events WHERE event_type IN ('view', 'click')),
-        p AS (
-          SELECT user_id, unix_micros(ts) AS tsu, event_id, value
-          FROM events WHERE event_type = 'purchase'),
-        u AS (
-          SELECT user_id, tsu, 0 AS side, ord, touch_type,
-                 CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
-          FROM touches
-          UNION ALL
-          SELECT user_id, tsu, 1, event_id, NULL, event_id, value FROM p),
+        -- ONE events scan: side/touch/fact columns are CASE projections
+        -- (a touches/purchases CTE pair would scan events twice — CTEs
+        -- inline), then the union-merge window as in the DataFrame form
+        WITH u AS (
+          SELECT user_id, unix_micros(ts) AS tsu,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+                 event_id AS ord,
+                 CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+                 CASE WHEN event_type = 'purchase' THEN event_id END AS event_id,
+                 CASE WHEN event_type = 'purchase' THEN value END AS value
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
         m AS (
           SELECT *, last(touch_type, true) OVER w AS m_type,
                  last(CASE WHEN side = 0 THEN tsu END, true) OVER w AS m_tsu
