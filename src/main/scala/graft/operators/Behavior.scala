@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   *  - transitions: one user_id window shuffle; the (src,dst) grid is
   *    |event_type|² — constant.
   *  - rolling actives: the window expansion happens on the PRE-AGGREGATED
-  *    distinct (day,user) frame (bounded 7× fan-out), never on raw events,
-  *    and the day-grid join broadcasts — no range self-join of the fact
-  *    table.
+  *    distinct (day,user) frame (bounded 7× fan-out), never on raw
+  *    events; one aggregation carries both counters (DAU = the k=0
+  *    slice) — no day-grid join, no range self-join of the fact table.
   */
 object Behavior {
 
@@ -314,24 +314,28 @@ object Behavior {
   }
 
   /** Rolling actives from a distinct (day, user_id) frame: each activity
-    * day contributes the user to the 7 window-end days d..d+6, restricted
-    * to days that exist in the data (matching the oracle's day-grid join).
+    * day contributes the user to the 7 window-end days d..d+6. ONE
+    * aggregation computes both counters — DAU is the k=0 slice of the
+    * same exploded frame, and `dau_ct > 0` IS the "window-end day exists
+    * in the data" test (a day with zero k=0 rows is not a data day), so
+    * there is no day-grid join, no second aggregation, and the distinct
+    * frame is consumed exactly once. Both counters honor the
+    * approx-distinct scale lever (the fan-out re-introduces per-window
+    * duplicates, so they are true distincts HLL can stand in for; an
+    * HLL dau estimate over a nonempty day is always ≥ 1, so the
+    * day-exists filter survives the lever flip).
     */
   private[graft] def rollingActive(du: DataFrame): DataFrame = {
-    // honors the approx-distinct scale lever: du rows are unique, but the
-    // WAU fan-out re-introduces per-window duplicates, so both counters
-    // are true distincts that HLL can stand in for at 100 TB
     val spark = du.sparkSession
-    val days = du.select(col("day")).distinct()
-    val wau = du
+    du
       .withColumn("k", explode(sequence(lit(0), lit(6))))
-      .withColumn("wday", date_add(col("day"), col("k")))
-      .join(broadcast(days.select(col("day").as("wday"))), "wday")
-      .groupBy(col("wday").as("day"))
-      .agg(AggMode.distinctCount(spark, col("user_id")).as("wau_ct"))
-    val dau = du.groupBy(col("day"))
-      .agg(AggMode.distinctCount(spark, col("user_id")).as("dau_ct"))
-    wau.join(dau, "day")
+      .withColumn("day", date_add(col("day"), col("k")))
+      .groupBy(col("day"))
+      .agg(
+        AggMode.distinctCount(spark, col("user_id")).as("wau_ct"),
+        AggMode.distinctCount(spark,
+          when(col("k") === 0, col("user_id"))).as("dau_ct"))
+      .filter(col("dau_ct") > 0)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau_ct"), col("wau_ct"))
   }
@@ -341,12 +345,9 @@ object Behavior {
     val name = "rolling_actives"
 
     def run(spark: SparkSession, sfDir: String): DataFrame =
-      // the distinct (day,user) frame — the only full-width shuffle — is
-      // persisted once and feeds all three consumers (day grid, WAU
-      // fan-out, DAU), instead of re-scanning events per branch
-      rollingActive(graft.CacheRegistry.persist(
+      rollingActive(
         Tables.load(spark, sfDir, "events")
-          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()))
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
         .orderBy("day")
 
     def oracle: Option[String] = Some("""
