@@ -251,8 +251,14 @@ object OlapSurface {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val li = Tables.load(spark, sfDir, "lineitem")
       val p = Tables.load(spark, sfDir, "part")
-      val ot = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .select(col("l_orderkey").as("okey"), col("p_type")).distinct()
+      // the per-order distinct type set feeds FOUR consumers (both pair
+      // sides, marginals, the order count); un-persisted, Catalyst
+      // recomputes the lineitem scan + broadcast join + distinct per
+      // consumer (the differing projections defeat ReuseExchange) —
+      // plan-audited at 5 lineitem scans, 1 after the persist
+      val ot = graft.CacheRegistry.persist(
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_type")).distinct())
       val ot2 = ot.select(col("okey"), col("p_type").as("type_b"))
       val pairs = ot.join(ot2, "okey")
         .filter(col("p_type") < col("type_b"))

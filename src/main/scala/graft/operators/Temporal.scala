@@ -452,10 +452,19 @@ object Temporal {
     * credit arithmetic on the joined pair, and the unattributed count as
     * the gap between two 1-row aggregates.
     */
-  private[graft] def linearSplit(pairs: DataFrame, facts: DataFrame): DataFrame = {
-    val byType = pairs.groupBy(col("event_id"), col("touch_type"))
+  private[graft] def linearSplit(pairs: DataFrame, facts: DataFrame,
+      stage: DataFrame => DataFrame = identity): DataFrame = {
+    // `stage` is the per-(purchase, type) staging hook: byType feeds BOTH
+    // the per-event rollup and the credit join, and un-staged the whole
+    // banded-join subtree (two events scans) recomputes per consumer —
+    // plan-audited at 7 events scans for the batch query, 3 after its
+    // CacheRegistry.persist hook. The streaming twin passes identity (a
+    // per-micro-batch persist would outlive the batch in the registry);
+    // its micro-batch frames are small enough that the recompute is the
+    // cheaper side of the trade.
+    val byType = stage(pairs.groupBy(col("event_id"), col("touch_type"))
       .agg(count(lit(1)).as("ct"),
-        max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
+        max(struct(col("t_tsu"), col("touch_id"))).as("mx")))
     val perEvent = byType.groupBy(col("event_id"))
       .agg(sum(col("ct")).as("n"), max(col("mx")).as("mxall"))
     val credited = byType.join(perEvent, "event_id")
@@ -481,7 +490,8 @@ object Temporal {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val p = purchases(spark, sfDir)
-      linearSplit(windowPairs(rawTouchPoints(spark, sfDir), p), p)
+      linearSplit(windowPairs(rawTouchPoints(spark, sfDir), p), p,
+        graft.CacheRegistry.persist)
         .orderBy("touch_type")
     }
 
@@ -551,9 +561,13 @@ object Temporal {
             col("t_tsu") <= col("tsu") && col("t_tsu") >= col("tsu") - W)
         .withColumn("wgt", expr(
           s"cast(pow(2.0, 13 - least(13L, (tsu - t_tsu) div $DecayUs)) as bigint)"))
-      val byType = pairs.groupBy(col("event_id"), col("touch_type"))
-        .agg(sum(col("wgt")).as("w_type"),
-          max(struct(col("t_tsu"), col("touch_id"))).as("mx"))
+      // staged for the same reason as linearSplit's hook: byType feeds
+      // the rollup AND the credit join, and the banded-join subtree
+      // would recompute per consumer (plan-audited: 11 → 3 events scans)
+      val byType = graft.CacheRegistry.persist(
+        pairs.groupBy(col("event_id"), col("touch_type"))
+          .agg(sum(col("wgt")).as("w_type"),
+            max(struct(col("t_tsu"), col("touch_id"))).as("mx")))
       val perEvent = byType.groupBy(col("event_id"))
         .agg(sum(col("w_type")).as("w_all"), max(col("mx")).as("mxall"))
       val credited = byType.join(perEvent, "event_id")
