@@ -388,6 +388,118 @@ object Sampling {
     """)
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the eval-integrity companion of
+    * [[splitAssign]]: hashing DOCUMENT ids scatters the members of a
+    * near-dup cluster across splits, quietly leaking train content into
+    * val/test (a paraphrase of a training doc in the eval set is
+    * contamination the span checks can't see once wording drifts).
+    * Splitting by the CLUSTER label instead — connected-component id from
+    * `dedup_clusters`, singletons labeling themselves — pins every member
+    * of a cluster to one split by construction.
+    *
+    * The guarantee is EMITTED, not claimed: `safe_leaky_clusters` counts
+    * clusters spanning >1 split under this assignment (must be 0, and the
+    * oracle recomputes it), while `naive_leaky_clusters` counts what
+    * doc-id hashing would have leaked on this corpus — the measured size
+    * of the problem this operator removes.
+    *
+    * Scale shape: cluster labels ride the dedup machinery (banded LSH +
+    * path doubling); the labeled corpus is persisted once (it feeds the
+    * safe assignment, the naive diagnostic and the audit — the
+    * scan-audit rule); both split decisions are broadcast-joined
+    * codegen'd projections; all counters are map-combinable aggregates.
+    */
+  val splitLeakageSafe: GraftQuery = new GraftQuery {
+    val name = "split_leakage_safe"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val docs = Tables.load(spark, sfDir, "documents")
+      val labels = Dedup.clusters.run(spark, sfDir)
+        .select(col("doc_id"), col("cluster_id"))
+      val labeled = graft.CacheRegistry.persist(
+        docs.select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id",
+            coalesce(col("cluster_id"), col("doc_id"))))
+      val splits = splitRows.toDF("split", "lo_bp", "hi_bp")
+      val assigned = labeled
+        .withColumn("split_h", splitHash(col("cluster_id")))
+        .join(broadcast(splits),
+          col("split_h") >= col("lo_bp") && col("split_h") < col("hi_bp"))
+      val naiveLeaky = labeled
+        .withColumn("split_h", splitHash(col("doc_id")))
+        .join(broadcast(splits),
+          col("split_h") >= col("lo_bp") && col("split_h") < col("hi_bp"))
+        .groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("naive_leaky_clusters"))
+      val safeLeaky = assigned
+        .groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("safe_leaky_clusters"))
+      assigned
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("doc_ct"),
+          countDistinct(col("cluster_id")).as("cluster_ct"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .join(broadcast(safeLeaky))
+        .join(broadcast(naiveLeaky))
+        .select("split", "doc_ct", "cluster_ct", "id_checksum",
+          "safe_leaky_clusters", "naive_leaky_clusters")
+        .orderBy("split")
+    }
+
+    def oracle: Option[String] = {
+      val vals = splitRows.map { case (s, lo, hi) => s"('$s', $lo, $hi)" }.mkString(", ")
+      Some(Dedup.duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+      , dup AS (
+        SELECT doc_a, doc_b FROM v WHERE floor(inter * 10000.0 / uni) >= 5000),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      lbl AS (
+        SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        FROM reach GROUP BY s),
+      labeled AS (
+        SELECT d.doc_id, coalesce(lbl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lbl ON lbl.doc_id = d.doc_id),
+      splits(split, lo_bp, hi_bp) AS (VALUES $vals),
+      assigned AS (
+        SELECT labeled.*, split
+        FROM labeled JOIN splits
+          ON ${duckHashHex("'split:' || CAST(cluster_id AS VARCHAR)", 6)} % 10000 >= lo_bp
+         AND ${duckHashHex("'split:' || CAST(cluster_id AS VARCHAR)", 6)} % 10000 < hi_bp),
+      naive AS (
+        SELECT labeled.*, split
+        FROM labeled JOIN splits
+          ON ${duckHashHex("'split:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 >= lo_bp
+         AND ${duckHashHex("'split:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 < hi_bp),
+      safe_leak AS (
+        SELECT CAST(count(*) FILTER (k > 1) AS BIGINT) AS safe_leaky_clusters
+        FROM (SELECT cluster_id, count(DISTINCT split) AS k
+              FROM assigned GROUP BY 1)),
+      naive_leak AS (
+        SELECT CAST(count(*) FILTER (k > 1) AS BIGINT) AS naive_leaky_clusters
+        FROM (SELECT cluster_id, count(DISTINCT split) AS k
+              FROM naive GROUP BY 1))
+      SELECT split, count(*) AS doc_ct,
+             count(DISTINCT cluster_id) AS cluster_ct,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             safe_leaky_clusters, naive_leaky_clusters
+      FROM assigned CROSS JOIN safe_leak CROSS JOIN naive_leak
+      GROUP BY split, safe_leaky_clusters, naive_leaky_clusters
+      ORDER BY split
+      """)
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(stratified, splitAssign, mixture, corpusShard, importance)
+    Seq(stratified, splitAssign, mixture, corpusShard, importance,
+      splitLeakageSafe)
 }
