@@ -654,7 +654,41 @@ object Relevance {
     """)
   }
 
+  /** Curriculum ordering: every document's GLOBAL difficulty decile under
+    * the quality score (decile 1 = highest quality — the "easy/clean
+    * first" curriculum most data-ordering recipes start from), computed
+    * with [[Ranks.distNtile]] so the global ranking never serializes
+    * through one window task. The per-decile id checksum pins the exact
+    * per-document assignment against DuckDB's NATIVE `ntile` — the
+    * distributed rewrite is held row-for-row to the SQL-standard
+    * operator, cross-engine, not just to Spark's own window form.
+    */
+  val curriculumOrder: GraftQuery = new GraftQuery {
+    val name = "curriculum_order"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Ranks.distNtile(qualityFrame(spark, sfDir), 10, "difficulty_decile",
+          col("qx1m").desc, col("doc_id"))
+        .groupBy(col("difficulty_decile").cast("long").as("difficulty_decile"))
+        .agg(count(lit(1)).as("doc_ct"),
+          max(col("qx1m")).as("q_max"), min(col("qx1m")).as("q_min"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("difficulty_decile")
+
+    def oracle: Option[String] = Some(duckQualityCte + """
+      , r AS (
+        SELECT doc_id, qx1m,
+               ntile(10) OVER (ORDER BY qx1m DESC, doc_id) AS d
+        FROM q)
+      SELECT CAST(d AS BIGINT) AS difficulty_decile, count(*) AS doc_ct,
+             CAST(max(qx1m) AS BIGINT) AS q_max,
+             CAST(min(qx1m) AS BIGINT) AS q_min,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM r GROUP BY 1 ORDER BY 1
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityTrained,
-      qualityRules, cmsTopk, qualityThreshold)
+      qualityRules, cmsTopk, qualityThreshold, curriculumOrder)
 }
