@@ -265,6 +265,84 @@ object TextAnalysis {
     """)
   }
 
+  /** Per-source MERGEABLE partial card: every column is a sum/count or a
+    * lang SET, so two shards' partials re-aggregate to the full corpus
+    * card exactly ([[mergeCards]]; spec-proven). This is the shape that
+    * matters at 100 TB: each ingest batch publishes its partial and the
+    * live card is a re-aggregation of partials, never a corpus rescan.
+    */
+  private[graft] def cardPartials(docs: DataFrame): DataFrame = {
+    graft.expressions.DocQuality.register(docs.sparkSession)
+    docs
+      .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        expr("doc_quality(text)").as("qx1m"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        sum(col("n_toks")).cast("long").as("tok_ct"),
+        sum(col("n_chars")).cast("long").as("char_ct"),
+        sum(when(col("qx1m") >= 0, 1L).otherwise(0L)).as("keep_ct"),
+        collect_set(col("lang")).as("lang_set"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+  }
+
+  /** Re-aggregate a union of partial cards back to one row per source. */
+  private[graft] def mergeCards(parts: DataFrame): DataFrame =
+    parts.groupBy(col("source"))
+      .agg(
+        sum(col("doc_ct")).cast("long").as("doc_ct"),
+        sum(col("tok_ct")).cast("long").as("tok_ct"),
+        sum(col("char_ct")).cast("long").as("char_ct"),
+        sum(col("keep_ct")).cast("long").as("keep_ct"),
+        array_distinct(flatten(collect_list(col("lang_set")))).as("lang_set"),
+        sum(col("id_checksum")).cast("long").as("id_checksum"))
+
+  private def cardOutput(parts: DataFrame): DataFrame =
+    parts.select(col("source"), col("doc_ct"), col("tok_ct"), col("char_ct"),
+        col("keep_ct"),
+        array_join(sort_array(col("lang_set")), ",").as("langs"),
+        col("id_checksum"))
+      .orderBy("source")
+
+  /** The dataset card every training pipeline publishes next to a corpus:
+    * per-source doc/token/char volume, the hard-gate keep count, the
+    * language set and an id checksum — all from ONE map-only scan plus a
+    * single source-key aggregation (doc_quality and the token count are
+    * codegen'd projections).
+    */
+  val corpusCard: GraftQuery = new GraftQuery {
+    val name = "corpus_card"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      cardOutput(cardPartials(Tables.load(spark, sfDir, "documents")))
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , feats AS (
+        SELECT doc_id, source, lang, n_chars, len(ws) AS n_toks,
+               list_concat(ws,
+                 CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(ws)-1),
+                             i -> ws[i] || ' ' || ws[i+1]) END) AS fs
+        FROM toks),
+      q AS (
+        SELECT doc_id, source, lang, n_chars, n_toks,
+               CASE WHEN n_toks > 0 THEN
+                 floor(list_sum(list_transform(fs,
+                   g -> (${duckHashHex("g", 4)} - 32767.5) / 32768.0))
+                   / (2 * n_toks - 1) * 1000000.0)
+               END AS qx1m
+        FROM feats)
+      SELECT source, count(*) AS doc_ct,
+             CAST(sum(n_toks) AS BIGINT) AS tok_ct,
+             CAST(sum(n_chars) AS BIGINT) AS char_ct,
+             CAST(sum(CASE WHEN qx1m >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS keep_ct,
+             string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM q GROUP BY 1 ORDER BY source
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(textStats, langId, fingerprint, piiRedact, repetition)
+    Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard)
 }

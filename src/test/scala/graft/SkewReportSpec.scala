@@ -53,6 +53,24 @@ class SkewReportSpec extends SparkSpec {
     } finally { q.stop(); CacheRegistry.clear() }
   }
 
+  test("corpus card partials merge to the full-corpus card exactly") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    // two disjoint shards; merging their PARTIAL cards must equal the
+    // one-shot card bit for bit (every column is a sum or a set union)
+    val s0 = TextAnalysis.cardPartials(docs.filter(col("doc_id") % 2 === 0))
+    val s1 = TextAnalysis.cardPartials(docs.filter(col("doc_id") % 2 === 1))
+    val merged = TextAnalysis.mergeCards(s0.unionByName(s1))
+      .withColumn("lang_set",
+        org.apache.spark.sql.functions.sort_array(col("lang_set")))
+    val full = TextAnalysis.cardPartials(docs)
+      .withColumn("lang_set",
+        org.apache.spark.sql.functions.sort_array(col("lang_set")))
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    assert(full.count() > 0)
+  }
+
   test("flag fires exactly at the floored threshold boundary") {
     // 2 of 100 rows = exactly 200 bp -> flagged; 1 of 100 = 100 bp -> not
     val keys = Seq.fill(2)(1L) ++ Seq.fill(1)(2L) ++ (10L until 107L)
