@@ -80,43 +80,44 @@ object SqlSurface {
     """)
   }
 
-  /** The 3-stage conversion funnel in pure SQL — the SAME array-free
-    * chained conditional-min window form the DataFrame funnel plans
-    * (`Behavior.funnelTimes`): one stage-filtered events scan, one
-    * user_id exchange, three stacked window passes, a per-user collapse
-    * that reuses the partitioning, then the tiny conversion shaping. (A
-    * naive sequential-min CTE chain reads the events scan SEVEN times
-    * once Catalyst inlines the CTEs — plan-audited; this form reads it
-    * once.) Oracled against the SAME oracle as `funnel_conversion` — the
-    * two surfaces cannot drift.
+  /** GENERATED n-stage funnel SQL — the SAME array-free chained
+    * conditional-min window form the DataFrame funnel plans
+    * (`Behavior.funnelTimes`), emitted from the ordered stage list the
+    * way `Behavior.funnelQuery` generates both its DataFrame plan and
+    * its oracle: one stage-filtered events scan, one user_id exchange, n
+    * stacked window passes, a per-user collapse that reuses the
+    * partitioning, then the explode-array shaping (referencing the count
+    * CTE once — a UNION ALL tail inlines the whole chain per branch, and
+    * a sequential-min CTE chain reads the scan 2n+1 times once Catalyst
+    * inlines the CTEs; both plan-audited).
     */
-  val funnelSql: GraftQuery = new GraftQuery {
-    val name = "funnel_sql"
-
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      Tables.registerAll(spark, sfDir)
-      val w = Behavior.FunnelWindowNs
-      spark.sql(s"""
+  private[graft] def funnelSqlText(stageTypes: Seq[String], windowNs: Long): String = {
+    val n = stageTypes.length
+    val stageCase = stageTypes.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }
+      .mkString("CASE event_type ", " ", " END")
+    val inList = stageTypes.map(t => s"'$t'").mkString(", ")
+    val windows = (1 to n).map { k =>
+      val src = if (k == 1) "ev" else s"w${k - 1}"
+      val cond =
+        if (k == 1) "stage = 1"
+        else s"stage = $k AND t${k - 1} IS NOT NULL AND tsn > t${k - 1} AND tsn <= t1 + $windowNs"
+      s"w$k AS (SELECT *, min(CASE WHEN $cond THEN tsn END) OVER (PARTITION BY user_id) AS t$k FROM $src)"
+    }.mkString(",\n        ")
+    val pMins = (1 to n).map(k => s"min(t$k) AS t$k").mkString(", ")
+    val uCounts = (1 to n).map(k => s"count(t$k) AS u$k").mkString(", ")
+    val structs = (1 to n).map { k =>
+      val prev = s"u${math.max(k - 1, 1)}"
+      s"named_struct('stage', $k, 'stage_name', '${stageTypes(k - 1)}', 'users', u$k, 'prev', $prev)"
+    }.mkString(",\n          ")
+    s"""
         WITH ev AS (
-          SELECT user_id,
-                 CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-                                 WHEN 'purchase' THEN 3 END AS stage,
-                 ts_ns AS tsn
+          SELECT user_id, $stageCase AS stage, ts_ns AS tsn
           FROM events
-          WHERE event_type IN ('view', 'click', 'purchase')),
-        w1 AS (SELECT *, min(CASE WHEN stage = 1 THEN tsn END)
-                 OVER (PARTITION BY user_id) AS t1 FROM ev),
-        w2 AS (SELECT *, min(CASE WHEN stage = 2 AND t1 IS NOT NULL
-                                   AND tsn > t1 AND tsn <= t1 + $w THEN tsn END)
-                 OVER (PARTITION BY user_id) AS t2 FROM w1),
-        w3 AS (SELECT *, min(CASE WHEN stage = 3 AND t2 IS NOT NULL
-                                   AND tsn > t2 AND tsn <= t1 + $w THEN tsn END)
-                 OVER (PARTITION BY user_id) AS t3 FROM w2),
-        p AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
-              FROM w3 GROUP BY 1),
-        u AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM p)
-        -- explode-array shaping (the DataFrame form): u is referenced
-        -- ONCE — a UNION ALL tail would inline the whole chain per branch
+          WHERE event_type IN ($inList)),
+        $windows,
+        p AS (SELECT user_id, $pMins FROM w$n GROUP BY 1),
+        u AS (SELECT $uCounts FROM p)
         SELECT CAST(s.stage AS BIGINT) AS stage, s.stage_name,
                CAST(s.users AS BIGINT) AS users,
                CAST(floor(s.users * 10000.0 / u1) AS BIGINT) AS conv_total_bp,
@@ -125,15 +126,43 @@ object SqlSurface {
                END AS conv_step_bp
         FROM u
         LATERAL VIEW explode(array(
-          named_struct('stage', 1, 'stage_name', 'view', 'users', u1, 'prev', u1),
-          named_struct('stage', 2, 'stage_name', 'click', 'users', u2, 'prev', u1),
-          named_struct('stage', 3, 'stage_name', 'purchase', 'users', u3, 'prev', u2))) t AS s
+          $structs)) t AS s
         WHERE u1 > 0
         ORDER BY stage
-      """)
+      """
+  }
+
+  /** The flagship 3-stage instance, oracled against the SAME oracle as
+    * `funnel_conversion` — the two surfaces cannot drift; and because
+    * [[funnelSqlText]] is generated from the stage list, any funnel a
+    * SQL user defines inherits the audited single-scan plan shape.
+    */
+  val funnelSql: GraftQuery = new GraftQuery {
+    val name = "funnel_sql"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      Tables.registerAll(spark, sfDir)
+      spark.sql(funnelSqlText(Seq("view", "click", "purchase"),
+        Behavior.FunnelWindowNs))
     }
 
     def oracle: Option[String] = Behavior.funnelConversion.oracle
+  }
+
+  /** The 4-stage activation instance — proving the SQL generator's stage
+    * list and window are genuine parameters, held to `funnel_activation`'s
+    * oracle.
+    */
+  val funnelActivationSql: GraftQuery = new GraftQuery {
+    val name = "funnel_activation_sql"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      Tables.registerAll(spark, sfDir)
+      spark.sql(funnelSqlText(Seq("signup", "view", "click", "purchase"),
+        7L * 24 * 3600 * 1000 * 1000 * 1000))
+    }
+
+    def oracle: Option[String] = Behavior.funnelActivation.oracle
   }
 
   /** DAU/WAU in pure SQL — the bounded-fan-out shape (each distinct
@@ -217,5 +246,6 @@ object SqlSurface {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(keywordStatsSql, dauSummary, funnelSql, rollingActivesSql, asofSql)
+    Seq(keywordStatsSql, dauSummary, funnelSql, funnelActivationSql,
+      rollingActivesSql, asofSql)
 }
