@@ -123,7 +123,13 @@ object Bench {
       .map(_.toDouble).getOrElse(1.5)
     val contended = !loadStart.head.isNaN && loadStart.head > loadThreshold
     val wallSec = (System.nanoTime() - wallT0) / 1e9
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":$wallSec,"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended}"""
+    // lever stamp: a capture taken with approx-distinct on (faster by
+    // design, oracle-deviating) or a nonstandard shuffle-partition count
+    // must be distinguishable from a default capture, so gates can reject
+    // or segregate lever-mode numbers instead of ingesting them silently
+    val approxLever = sys.env.get("SPARK_GRAFT_APPROX_DISTINCT")
+      .map(v => "\"" + v + "\"").getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":$wallSec,"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended,"levers":{"approx_distinct":$approxLever,"shuffle_partitions":$shufflePartitions,"cpus":$cpus}}"""
     println(line)
     // stdout goes through sbt, which interleaves its own log lines — also
     // land the result in a file so a gate never depends on log scraping

@@ -43,6 +43,16 @@ object CacheRegistry {
     p
   }
 
+  /** Test visibility: how many per-query persists are registered, and the
+    * column names of each — specs pin persist BUDGETS for composed
+    * operators (e.g. distNtileScores: one wide base + N slim rank frames,
+    * never N wide ones) without reaching into Spark's cache manager.
+    */
+  private[graft] def registeredCount: Int = synchronized { registered.size }
+  private[graft] def registeredSchemas: Seq[Seq[String]] = synchronized {
+    registered.map(_.schema.fieldNames.toSeq).toSeq
+  }
+
   /** Release per-query persists (between queries in Verify/Bench). */
   def clear(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))

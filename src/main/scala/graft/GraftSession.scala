@@ -60,7 +60,12 @@ object GraftSession {
     // builder note (AQE coalescing inside cached plans)
     try spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      // a session that cannot take this conf runs with cached-plan AQE
+      // coalescing off — a silent perf divergence from builder sessions,
+      // so leave a signal instead of discarding the failure
+      System.err.println(
+        s"graft: could not enable cached-plan AQE coalescing: $e") }
     spark
   }
 }

@@ -14,47 +14,60 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Arity gate: without it, `split_words()` dies with an
+    * IndexOutOfBoundsException and extra arguments are silently dropped —
+    * this turns both into a loud analysis-time error naming the function.
+    */
+  private def arity(
+      name: String, n: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_double"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductDouble(exprs(0), exprs(1))))
+        { val a = arity("dot_double", 2, exprs); DotProductDouble(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("sorted_int_intersect_size"),
       new ExpressionInfo(classOf[SortedIntIntersectSize].getName, "sorted_int_intersect_size"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedIntIntersectSize(exprs(0), exprs(1))))
+        { val a = arity("sorted_int_intersect_size", 2, exprs); SortedIntIntersectSize(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("ngram_sketch_hash"),
       new ExpressionInfo(classOf[NgramSketchHash].getName, "ngram_sketch_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NgramSketchHash(exprs(0))))
+        { val a = arity("ngram_sketch_hash", 1, exprs); NgramSketchHash(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "word_bigrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordBigrams(exprs(0))))
+        { val a = arity("word_bigrams", 1, exprs); WordBigrams(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("minhash9"),
       new ExpressionInfo(classOf[MinHash9].getName, "minhash9"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHash9(exprs(0))))
+        { val a = arity("minhash9", 1, exprs); MinHash9(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("minhash18"),
       new ExpressionInfo(classOf[MinHash18].getName, "minhash18"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHash18(exprs(0))))
+        { val a = arity("minhash18", 1, exprs); MinHash18(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("doc_quality"),
       new ExpressionInfo(classOf[DocQuality].getName, "doc_quality"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DocQuality(exprs(0))))
+        { val a = arity("doc_quality", 1, exprs); DocQuality(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("top_cells"),
       new ExpressionInfo(classOf[TopCells].getName, "top_cells"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TopCells(exprs(0), exprs(1), exprs(2), exprs(3).eval() match {
+        TopCells(arity("top_cells", 4, exprs)(0), exprs(1), exprs(2), exprs(3).eval() match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
@@ -64,11 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("split_words"),
       new ExpressionInfo(classOf[SplitWords].getName, "split_words"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SplitWords(exprs(0))))
+        { val a = arity("split_words", 1, exprs); SplitWords(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("bloom_hits"),
       new ExpressionInfo(classOf[BloomHits].getName, "bloom_hits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BloomHits(exprs(0), exprs(1))))
+        { val a = arity("bloom_hits", 2, exprs); BloomHits(a(0), a(1)) }))
   }
 }

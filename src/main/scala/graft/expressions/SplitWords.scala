@@ -51,5 +51,11 @@ object SplitWords {
   /** Register `split_words` as a session table function (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "split_words", exprs => SplitWords(exprs(0)), "built-in")
+      "split_words", exprs => {
+        // arity gate: without it split_words() dies with an index error
+        // and extra args are silently dropped (mirrors GraftExtensions)
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"split_words expects 1 argument, got ${exprs.length}")
+        SplitWords(exprs(0))
+      }, "built-in")
 }

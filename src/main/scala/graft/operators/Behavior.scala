@@ -89,6 +89,12 @@ object Behavior {
     */
   private[graft] def funnelQuery(qname: String, stageTypes: Seq[String],
       windowNs: Long): GraftQuery = new GraftQuery {
+    // a repeated event type is an unsupported config: the DataFrame fold
+    // maps it to the LAST matching stage, the SQL CASE to the first, and
+    // the oracle counts it at every stage — fail loudly instead of
+    // letting the three surfaces silently disagree
+    require(stageTypes.distinct.size == stageTypes.size,
+      s"funnel stage types must be distinct, got $stageTypes")
     val name = qname
     private val n = stageTypes.length
 

@@ -197,13 +197,15 @@ object OlapSurface {
       val base = per.join(broadcast(refDay))
         .withColumn("recency_days",
           datediff(col("ref_day"), col("last_day")).cast("long"))
-      val scored = Seq[(String, Seq[Column])](
-        ("r_score", Seq(col("recency_days"), col("o_custkey"))),
-        ("f_score", Seq(col("freq").desc, col("o_custkey"))),
-        ("m_score", Seq(col("mon_cents").desc, col("o_custkey"))))
-        .foldLeft(base) { case (df, (out, sort)) =>
-          Ranks.distNtile(df, 5, out, sort: _*)
-        }
+      // all three rankings in ONE range exchange over a tagged union —
+      // chaining distNtile paid 3x (exchange + persist + offsets) and
+      // re-ranked the previous pass's joined output each time; mon_cents
+      // rides along in the pivot, so no join back to the base either
+      val scored = Ranks.distNtileScores(base, "o_custkey", 5, Seq(
+        Ranks.NtileSpec("r_score", col("recency_days"), asc = true),
+        Ranks.NtileSpec("f_score", col("freq"), asc = false),
+        Ranks.NtileSpec("m_score", col("mon_cents"), asc = false,
+          carryAs = Some("mon_cents"))))
       scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("customers"),
           sum(col("mon_cents")).as("mon_cents"))

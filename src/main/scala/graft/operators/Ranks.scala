@@ -65,24 +65,114 @@ object Ranks {
         sum(col("__nt_cnt")).over(Window.orderBy(col("__nt_pid"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__nt_pid"), col("__nt_off"), col("__nt_n"))
-    // SQL ntile: q = N DIV k, r = N % k; the first r buckets hold q+1
-    // rows. rank <= r*(q+1)  ->  ceil(rank/(q+1)); else r + ceil((rank -
-    // r*(q+1))/q). greatest(q,1) guards the q=0 branch, which is
-    // unreachable (rank <= N = r*(q+1) when q=0) but keeps eval safe.
     ranged
       .join(broadcast(offs), "__nt_pid")
       .withColumn("__nt_rn",
         row_number().over(
           Window.partitionBy(col("__nt_pid")).orderBy(sort: _*))
           .cast("long") + col("__nt_off"))
-      .withColumn(out, expr(
-        s"""CAST(CASE
-           |  WHEN __nt_rn <= (__nt_n % $k) * (__nt_n DIV $k + 1)
-           |    THEN (__nt_rn + __nt_n DIV $k) DIV (__nt_n DIV $k + 1)
-           |  ELSE (__nt_n % $k)
-           |    + (__nt_rn - (__nt_n % $k) * (__nt_n DIV $k + 1)
-           |       + __nt_n DIV $k - 1) DIV greatest(__nt_n DIV $k, 1)
-           |END AS INT)""".stripMargin))
+      .withColumn(out, ntileBucket(k))
       .drop("__nt_pid", "__nt_off", "__nt_n", "__nt_rn")
   }
+
+  /** Multi-score composition: one exact ntile column per spec, ALL
+    * computed in a single range exchange instead of one [[distNtile]]
+    * pass per score.
+    *
+    * Chaining distNtile passes multiplies the per-pass fixed cost (range
+    * exchange + pinning persist + offsets round) by the score count —
+    * the rfm_segments 0.49 → 1.37 s regression was exactly three such
+    * passes, each re-ranking (and re-persisting) the previous pass's
+    * joined output. Here the scores share everything:
+    *
+    *   1. union the N slim `(tag, value, key)` projections of ONE
+    *      persisted base — `tag` identifies the score, `value` is the
+    *      sort key as a long, negated for descending order (so every
+    *      score sorts ascending; callers' values must be >
+    *      Long.MinValue, which negates to itself);
+    *   2. ONE `repartitionByRange(tag, value, key)` + pinning persist:
+    *      tag-ness is contiguous under the range order, so per-tag rank
+    *      = per-(pid, tag) row_number + the tag's exclusive prefix of
+    *      per-(pid, tag) counts — the same offsets trick as
+    *      [[distNtile]], with the offsets window now PARTITIONED BY tag
+    *      (≤ N·P rows, never single-partition);
+    *   3. the closed-form ntile bucket per tag from (rank, N_tag, k),
+    *      pivoted back to one row per key (max-of-when over N tags).
+    *
+    * Two persists (base + tagged ranging) and three data-bearing
+    * exchanges (range, pid/tag window+join, key pivot) replace the
+    * N·(exchange + persist + offsets + join) of the chained form, and
+    * every data-bearing stage stays parallel at any scale — the range
+    * exchange balances (tag, value) jointly, so N scores of n rows
+    * spread over all partitions just like one score of N·n rows would.
+    *
+    * The result carries ONLY `key`, the score columns, and any
+    * `carryAs` value columns (recovered from the tagged rows, so a
+    * downstream aggregation over scores+value needs no join back to the
+    * base at all — the rfm rollup pattern). Callers that need the full
+    * base join on `key` themselves.
+    *
+    * `key` must be unique per row; it is also the tiebreaker (ascending)
+    * within equal values, matching `ntile(k) OVER (ORDER BY v [DESC],
+    * key)`.
+    */
+  final case class NtileSpec(out: String, value: Column, asc: Boolean,
+      carryAs: Option[String] = None)
+
+  def distNtileScores(df: DataFrame, key: String, k: Int,
+      specs: Seq[NtileSpec]): DataFrame = {
+    require(k > 0, "ntile bucket count must be positive")
+    require(specs.nonEmpty, "at least one score spec required")
+    val base = graft.CacheRegistry.persist(df)
+    val tagged = specs.zipWithIndex.map { case (s, i) =>
+      base.select(lit(i).as("__nt_tag"),
+        (if (s.asc) s.value.cast("long") else -s.value.cast("long"))
+          .as("__nt_v"),
+        col(key).as("__nt_key"))
+    }.reduce(_ unionAll _)
+    val ranged = graft.CacheRegistry.persist(
+      tagged.repartitionByRange(col("__nt_tag"), col("__nt_v"), col("__nt_key"))
+        .withColumn("__nt_pid", spark_partition_id()))
+    val offs = ranged.groupBy(col("__nt_pid"), col("__nt_tag"))
+      .agg(count(lit(1)).as("__nt_cnt"))
+      .withColumn("__nt_off", coalesce(
+        sum(col("__nt_cnt")).over(Window.partitionBy(col("__nt_tag"))
+          .orderBy(col("__nt_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nt_n",
+        sum(col("__nt_cnt")).over(Window.partitionBy(col("__nt_tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__nt_pid"), col("__nt_tag"), col("__nt_off"), col("__nt_n"))
+    // pivot columns: one score per spec, plus carried raw values (undo
+    // the descending negation — exact for longs above Long.MinValue)
+    val pivotCols = specs.zipWithIndex.map { case (s, i) =>
+      max(when(col("__nt_tag") === i, col("__nt_b"))).as(s.out)
+    } ++ specs.zipWithIndex.collect { case (s, i) if s.carryAs.isDefined =>
+      max(when(col("__nt_tag") === i,
+        if (s.asc) col("__nt_v") else -col("__nt_v"))).as(s.carryAs.get)
+    }
+    ranged
+      .join(broadcast(offs), Seq("__nt_pid", "__nt_tag"))
+      .withColumn("__nt_rn",
+        row_number().over(
+          Window.partitionBy(col("__nt_pid"), col("__nt_tag"))
+            .orderBy(col("__nt_v"), col("__nt_key")))
+          .cast("long") + col("__nt_off"))
+      .withColumn("__nt_b", ntileBucket(k))
+      .groupBy(col("__nt_key").as(key))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+  }
+
+  /** SQL ntile closed form from (`__nt_rn`, `__nt_n`, k) — see the note
+    * in [[distNtile]]: q = N DIV k, r = N % k, first r buckets get q+1
+    * rows; greatest(q,1) guards the unreachable q=0 ELSE branch.
+    */
+  private def ntileBucket(k: Int): Column = expr(
+    s"""CAST(CASE
+       |  WHEN __nt_rn <= (__nt_n % $k) * (__nt_n DIV $k + 1)
+       |    THEN (__nt_rn + __nt_n DIV $k) DIV (__nt_n DIV $k + 1)
+       |  ELSE (__nt_n % $k)
+       |    + (__nt_rn - (__nt_n % $k) * (__nt_n DIV $k + 1)
+       |       + __nt_n DIV $k - 1) DIV greatest(__nt_n DIV $k, 1)
+       |END AS INT)""".stripMargin)
 }

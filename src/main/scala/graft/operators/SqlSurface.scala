@@ -92,6 +92,11 @@ object SqlSurface {
     * inlines the CTEs; both plan-audited).
     */
   private[graft] def funnelSqlText(stageTypes: Seq[String], windowNs: Long): String = {
+    // same guard as Behavior.funnelQuery: a repeated event type makes the
+    // CASE (first match), the DataFrame fold (last match) and the oracle
+    // (every match) disagree — unsupported, fail loudly
+    require(stageTypes.distinct.size == stageTypes.size,
+      s"funnel stage types must be distinct, got $stageTypes")
     val n = stageTypes.length
     val stageCase = stageTypes.zipWithIndex
       .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }

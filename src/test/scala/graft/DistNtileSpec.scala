@@ -69,4 +69,60 @@ class DistNtileSpec extends SparkSpec {
         s"more than one SinglePartition exchange — data is serializing:\n$planStr")
     } finally CacheRegistry.clear()
   }
+
+  test("distNtileScores: N scores in ONE range exchange — exact vs window ntile, fixed persist budget") {
+    val df = fixture(10007)
+      .withColumn("w", pmod(hash(col("id"), lit(7)), lit(53)).cast("long"))
+    val specs = Seq(
+      Ranks.NtileSpec("a", col("v"), asc = true),
+      Ranks.NtileSpec("b", col("v"), asc = false),
+      Ranks.NtileSpec("c", col("w"), asc = false, carryAs = Some("w_raw")))
+    CacheRegistry.clear()
+    val got = Ranks.distNtileScores(df, "id", 5, specs)
+    try {
+      got.collect()
+      // correctness: row-for-row identical to three chained window ntiles
+      // (descending specs = ORDER BY value DESC, key — the negation trick
+      // must not disturb tie-breaking), and the carried raw value must
+      // round-trip through the negation exactly
+      val expect = specs.foldLeft(df) { case (acc, s) =>
+        val lead = if (s.asc) s.value else s.value.desc
+        acc.withColumn(s.out, ntile(5).over(Window.orderBy(lead, col("id"))))
+      }
+      val mismatches = expect.alias("e").join(got.alias("g"), Seq("id"))
+        .filter(col("e.a") =!= col("g.a") || col("e.b") =!= col("g.b") ||
+          col("e.c") =!= col("g.c") || col("e.w") =!= col("g.w_raw"))
+        .count()
+      assert(mismatches == 0, s"$mismatches score mismatches")
+      // persist budget is FIXED in the score count: one wide base + one
+      // slim tagged ranging, however many scores. A chained composition
+      // registers one full-width (and growing) persist per score — the
+      // rfm_segments regression shape.
+      val schemas = CacheRegistry.registeredSchemas
+      assert(schemas.size == 2,
+        s"persist budget blown: ${schemas.size} persists, expected 2 — $schemas")
+      assert(schemas.head.toSet == Set("id", "v", "w"),
+        s"first persist must be the base: ${schemas.head}")
+      assert(got.columns.toSet == Set("id", "a", "b", "c", "w_raw"),
+        s"result must be key + scores + carried values only: ${got.columns.toSeq}")
+      assert(schemas(1).toSet ==
+        Set("__nt_tag", "__nt_v", "__nt_key", "__nt_pid"),
+        s"second persist must be the slim tagged ranging: ${schemas(1)}")
+    } finally CacheRegistry.clear()
+  }
+
+  test("distNtileScores: single spec and tiny frames match window ntile") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 1L)).toDF("id", "v")
+    CacheRegistry.clear()
+    val got = Ranks.distNtileScores(df, "id", 10,
+      Seq(Ranks.NtileSpec("b", col("v"), asc = false)))
+    try {
+      val expect = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("v").desc, col("id"))))
+      val bad = expect.alias("e").join(got.alias("g"), Seq("id"))
+        .filter(col("e.b") =!= col("g.b")).count()
+      assert(bad == 0)
+    } finally CacheRegistry.clear()
+  }
 }
