@@ -26,9 +26,23 @@ import org.apache.spark.sql.functions._
   *  - RETENTION: versions beyond `retain` are pruned oldest-first
   *    (numeric `v<n>` order), bounding storage like Delta VACUUM.
   *
+  * FILE-LEVEL DATA SKIPPING (the Delta/Iceberg stats half): [[publish]]
+  * can record per-file min/max for chosen columns into a `_STATS` file
+  * inside the version directory (written BEFORE the marker move, so a
+  * published version always has its stats). [[readPruned]] /
+  * [[pointLookup]] consult the stats and hand Spark only the files whose
+  * [min, max] intersects the predicate — a dim point-lookup (the
+  * reference reads one HBase row by pk, `RT/utils/DimUtil.java:22-27`)
+  * touches ONE file of a pk-clustered snapshot instead of scanning the
+  * table. Skipping composes with, not replaces, parquet row-group
+  * pruning: at 100 TB the win is in the task LIST (a 10k-file dim scan
+  * becomes a 1-file task), before any scan is scheduled. Stats cover
+  * integral, floating and string columns; other types mark the file
+  * non-prunable on that column (kept, never wrongly skipped).
+  *
   * Not implemented (documented gap vs real Delta): multi-writer commit
   * arbitration (this format assumes one publisher per table root, which
-  * is exactly the streaming dim-sink topology) and column-level stats.
+  * is exactly the streaming dim-sink topology).
   *
   * Reference semantic anchor: the Phoenix dim upsert
   * (`RT/app/function/DimSinkFunction.java:22-76`) — [[upsert]] is its
@@ -38,10 +52,24 @@ object SnapshotTable {
 
   /** Write `df` as version `version` (must be `v<digits>`) under `root`
     * and atomically publish it as latest; prune beyond `retain`.
+    *
+    * `statsCols` turns on per-file min/max stats for those columns.
+    * `clusterFiles = Some(n)` range-partitions the write by the FIRST
+    * stats column into n files — skipping only pays when the key is
+    * clustered across files (random placement gives every file the full
+    * key range and nothing prunes).
     */
-  def publish(df: DataFrame, root: String, version: String, retain: Int = 2): Unit = {
+  def publish(df: DataFrame, root: String, version: String, retain: Int = 2,
+      statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
-    df.write.mode("overwrite").parquet(s"$root/$version")
+    require(clusterFiles.isEmpty || statsCols.nonEmpty,
+      "clusterFiles requires at least one stats column to cluster by")
+    val out = clusterFiles match {
+      case Some(n) => df.repartitionByRange(n, col(statsCols.head))
+      case None => df
+    }
+    out.write.mode("overwrite").parquet(s"$root/$version")
+    if (statsCols.nonEmpty) writeStats(df.sparkSession, s"$root/$version", statsCols)
     val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
     java.nio.file.Files.writeString(tmp, version)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),
@@ -68,6 +96,119 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, version: String): DataFrame =
     spark.read.parquet(s"$root/$version")
 
+  /** Per-file column stats of one published data file. Values are the
+    * typed encodings of [[encode]]; `None` min/max for a column means the
+    * file is non-prunable on it.
+    */
+  final case class FileStats(file: String,
+      mins: Map[String, String], maxs: Map[String, String])
+
+  /** Typed, order-preserving-per-type encoding for stats values. Strings
+    * are Base64-wrapped (raw strings could contain the field separator);
+    * unknown runtime types become the non-prunable marker.
+    */
+  private def encode(v: Any): String = v match {
+    case null => "X"
+    case l: Long => s"L:$l"
+    case i: Int => s"L:${i.toLong}"
+    case s: Short => s"L:${s.toLong}"
+    case b: Byte => s"L:${b.toLong}"
+    case d: Double => s"D:$d"
+    case f: Float => s"D:${f.toDouble}"
+    case s: String => "S:" + java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    case _ => "X"
+  }
+
+  /** Compare an encoded stats value against a query value of the same
+    * family. None = not comparable → caller must keep the file.
+    */
+  private def cmp(encoded: String, v: Any): Option[Int] = (encoded.take(2), v) match {
+    case ("L:", q: Long) => Some(encoded.drop(2).toLong.compare(q))
+    case ("L:", q: Int) => Some(encoded.drop(2).toLong.compare(q.toLong))
+    case ("D:", q: Double) => Some(encoded.drop(2).toDouble.compare(q))
+    case ("S:", q: String) =>
+      Some(new String(java.util.Base64.getDecoder.decode(encoded.drop(2)),
+        "UTF-8").compareTo(q))
+    case _ => None
+  }
+
+  /** Build `_STATS` for a freshly written version directory: one read of
+    * the written files, min/max per (file, column), collected to the
+    * driver (one row per FILE — metadata-sized at any table size) and
+    * written as a tab-separated typed table. Runs before the `_LATEST`
+    * move, so readers never see a version without its stats.
+    */
+  private def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val body = rows.map { r =>
+      val base = r.getString(0).split('/').last
+      (base +: cols.flatMap(c => Seq(
+        encode(r.get(r.fieldIndex(s"__min_$c"))),
+        encode(r.get(r.fieldIndex(s"__max_$c")))))).mkString("\t")
+    }.sorted.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_STATS"),
+      cols.mkString("\t") + "\n" + body + "\n")
+  }
+
+  /** The published version's per-file stats, if recorded. */
+  def readStats(root: String): Option[Seq[FileStats]] =
+    latestVersion(root).flatMap { v =>
+      val p = java.nio.file.Paths.get(s"$root/$v/_STATS")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val lines = java.nio.file.Files.readString(p).split("\n").toSeq
+        val cols = lines.head.split("\t").toSeq
+        Some(lines.tail.filter(_.nonEmpty).map { line =>
+          val f = line.split("\t")
+          FileStats(f(0),
+            cols.zipWithIndex.map { case (c, i) => c -> f(1 + 2 * i) }.toMap,
+            cols.zipWithIndex.map { case (c, i) => c -> f(2 + 2 * i) }.toMap)
+        })
+      }
+    }
+
+  /** Read the latest snapshot restricted to files whose [min, max] on
+    * `column` intersects [lower, upper] (inclusive). Files without
+    * comparable stats are kept (pruning may only skip PROVABLY
+    * irrelevant files). Falls back to the full scan when no stats exist.
+    * The returned frame is NOT yet filtered — skipping is file-granular;
+    * callers apply their row predicate as usual.
+    */
+  def readPruned(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any): Option[DataFrame] =
+    latestVersion(root).map { v =>
+      val dir = s"$root/$v"
+      readStats(root) match {
+        case Some(stats) =>
+          val kept = stats.filter { fs =>
+            val below = fs.maxs.get(column).flatMap(cmp(_, lower)).exists(_ < 0)
+            val above = fs.mins.get(column).flatMap(cmp(_, upper)).exists(_ > 0)
+            !(below || above)
+          }
+          if (kept.isEmpty)
+            // provably empty: keep the schema, scan nothing
+            readVersion(spark, root, v).filter(lit(false))
+          else spark.read.parquet(kept.map(fs => s"$dir/${fs.file}"): _*)
+        case None => readVersion(spark, root, v)
+      }
+    }
+
+  /** Dim point-lookup (reference: `RT/utils/DimUtil.java:22-27`, one
+    * HBase row by pk): stats-pruned scan + the pk filter — one file's
+    * worth of IO on a pk-clustered snapshot.
+    */
+  def pointLookup(spark: SparkSession, root: String, pkCol: String,
+      value: Any): Option[DataFrame] =
+    readPruned(spark, root, pkCol, value, value)
+      .map(_.filter(col(pkCol) === lit(value)))
+
   /** Keep-latest upsert: merge `updates` over the current snapshot by
     * `pk` (update rows win; schema may widen — existing rows null-fill
     * new columns) and publish the result as `version`. The merge reads
@@ -75,7 +216,8 @@ object SnapshotTable {
     * identical new version.
     */
   def upsert(updates: DataFrame, root: String, pk: String, version: String,
-      retain: Int = 2): Unit = {
+      retain: Int = 2, statsCols: Seq[String] = Nil,
+      clusterFiles: Option[Int] = None): Unit = {
     val merged = read(updates.sparkSession, root) match {
       case Some(existing) =>
         val w = Window.partitionBy(col(pk)).orderBy(col("_prio").desc)
@@ -86,7 +228,7 @@ object SnapshotTable {
           .drop("_prio", "_rn")
       case None => updates
     }
-    publish(merged, root, version, retain)
+    publish(merged, root, version, retain, statsCols, clusterFiles)
   }
 
   /** Delete retained-window stragglers: keep the newest `retain` version

@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Measures what file-level data skipping buys on a SnapshotTable dim:
+  * publishes a blown-up orders dim twice — pk-clustered WITH per-file
+  * stats, and unclustered WITHOUT — then times the reference's two dim
+  * access shapes (`RT/utils/DimUtil.java:22-27` point lookup; a 1%
+  * selective range scan) against both. Prints one JSON line; BASELINE.md
+  * records the capture.
+  *
+  * Usage: `sbt "runMain graft.tools.SnapshotProbe <srcSfDir> <factor> <workDir>"`
+  */
+object SnapshotProbe {
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, factorS, workDir) = args
+    val factor = factorS.toLong
+    val files = 64
+    val spark = GraftSession.getOrCreate("snapshot-probe")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // a dim-sized table: orders x factor with remapped-unique pk
+    val dim = spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("*"), explode(sequence(lit(0L), lit(factor - 1))).as("c"))
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("c"))
+      .drop("c")
+    val statsRoot = s"$workDir/dim_stats"
+    val plainRoot = s"$workDir/dim_plain"
+    val t0 = System.nanoTime()
+    SnapshotTable.publish(dim, statsRoot, "v1",
+      statsCols = Seq("o_orderkey"), clusterFiles = Some(files))
+    val publishStats = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    SnapshotTable.publish(dim.repartition(files), plainRoot, "v1")
+    val publishPlain = (System.nanoTime() - t1) / 1e9
+
+    val n = spark.read.parquet(s"$statsRoot/v1").agg(max("o_orderkey"))
+      .head().getLong(0)
+    val keys = Seq(n / 7, n / 3, n / 2, 2 * n / 3, 9 * n / 10)
+
+    def time(f: => Long): (Double, Long) = {
+      val s = System.nanoTime(); val r = f; ((System.nanoTime() - s) / 1e9, r)
+    }
+    // point lookups: pruned vs full-scan filter (5 keys, report totals)
+    val (prunedSec, prunedRows) = time {
+      keys.map(k => SnapshotTable.pointLookup(spark, statsRoot, "o_orderkey", k)
+        .get.count()).sum
+    }
+    val (fullSec, fullRows) = time {
+      keys.map(k => SnapshotTable.read(spark, plainRoot).get
+        .filter(col("o_orderkey") === k).count()).sum
+    }
+    val prunedFiles = SnapshotTable
+      .pointLookup(spark, statsRoot, "o_orderkey", keys.head).get.inputFiles.length
+    // 1% selective range scan (an aggregate over the matching slice)
+    val lo = n / 2; val hi = lo + n / 100
+    val (rPrunedSec, _) = time {
+      SnapshotTable.readPruned(spark, statsRoot, "o_orderkey", lo, hi).get
+        .filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    val (rFullSec, _) = time {
+      SnapshotTable.read(spark, plainRoot).get
+        .filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    println(s"""{"rows":${(n + 1)},"files":$files,"publish_stats_sec":$publishStats,"publish_plain_sec":$publishPlain,"point_pruned_sec":$prunedSec,"point_full_sec":$fullSec,"point_pruned_files":$prunedFiles,"point_rows":[$prunedRows,$fullRows],"range_pruned_sec":$rPrunedSec,"range_full_sec":$rFullSec}""")
+    spark.stop()
+  }
+}

@@ -81,4 +81,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows == Set((1L, "a", None), (2L, "B", None), (3L, "c", None),
       (4L, "d", Some("extra"))))
   }
+
+  test("file-level skipping: a point lookup on a clustered snapshot reads ONE file of eight") {
+    import spark.implicits._
+    val root = freshRoot("skip")
+    val dim = spark.range(10000L).select(col("id"),
+      concat(lit("name_"), col("id")).as("val"))
+    SnapshotTable.publish(dim, root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(8))
+    // stats exist, one entry per data file, and don't break plain readers
+    val stats = SnapshotTable.readStats(root).get
+    assert(stats.size == 8, s"expected 8 file-stats entries, got ${stats.size}")
+    assert(SnapshotTable.read(spark, root).get.count() == 10000L,
+      "_STATS must be invisible to a normal parquet read")
+    // the point lookup's EXECUTED scan covers exactly one file
+    val hit = SnapshotTable.pointLookup(spark, root, "id", 4321L).get
+    assert(hit.inputFiles.length == 1,
+      s"point lookup should prune to 1 file, scans ${hit.inputFiles.length}")
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("name_4321"))
+    // a selective range prunes to the covering subset, result identical
+    // to the unpruned filter
+    val ranged = SnapshotTable.readPruned(spark, root, "id", 1000L, 1999L).get
+    assert(ranged.inputFiles.length < 8,
+      s"range read should skip files, scans ${ranged.inputFiles.length}")
+    val got = ranged.filter(col("id").between(1000L, 1999L)).count()
+    assert(got == 1000L)
+    // out-of-range lookups are provably empty without scanning anything
+    val miss = SnapshotTable.pointLookup(spark, root, "id", -5L).get
+    assert(miss.count() == 0L)
+    // string stats: prune on a string pk too
+    val sroot = freshRoot("skipstr")
+    val sdim = spark.range(1000L)
+      .select(format_string("k%04d", col("id")).as("k"), col("id").as("v"))
+    SnapshotTable.publish(sdim, sroot, "v1",
+      statsCols = Seq("k"), clusterFiles = Some(4))
+    val shit = SnapshotTable.pointLookup(spark, sroot, "k", "k0777").get
+    assert(shit.inputFiles.length == 1,
+      s"string point lookup should prune to 1 file, scans ${shit.inputFiles.length}")
+    assert(shit.collect().map(_.getLong(1)).toSeq == Seq(777L))
+  }
 }
