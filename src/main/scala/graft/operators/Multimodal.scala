@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline: media payloads
   * are opaque `binary` columns with typed metadata, processed by
-  * per-partition batch operators. The actual codecs (image/audio decode)
-  * are NOT available in this environment, so the decode kernel is a
-  * clearly-marked deterministic stub — but the Spark-side contract is real:
-  * schema (binary payload + metadata struct), partition-batched execution
-  * (`mapPartitions`, the JVM analog of `mapInPandas` batch shape), and
-  * pushdown-friendly metadata-only pruning.
+  * per-partition batch operators. Image payloads (PNG/JPEG by magic
+  * number) go through a REAL codec — `javax.imageio`, JDK-built-in, so it
+  * works in this zero-egress environment — and features come from the
+  * decoded pixels; any other payload falls back to the clearly-marked
+  * byte-domain stub (the audio/video stand-in). The Spark-side contract
+  * is uniform either way: schema (binary payload + metadata struct),
+  * partition-batched execution (`mapPartitions`, the JVM analog of
+  * `mapInPandas` batch shape), and pushdown-friendly metadata-only
+  * pruning.
   *
-  * The media table is synthesized from `documents` (payload = UTF-8 bytes);
-  * on a real corpus the payload column would come from parquet/binaryFile.
+  * The media table is synthesized from `documents` (payload = UTF-8
+  * bytes) plus a REAL-PNG fixture whose pixel values follow a closed-form
+  * formula — the DuckDB oracle recomputes the expected features from the
+  * formula, so a green hash proves the engine genuinely round-tripped the
+  * codec (PNG is lossless; any decode deviation moves every downstream
+  * bit). On a real corpus the payload column would come from
+  * parquet/binaryFile.
   */
 object Multimodal {
 
@@ -50,23 +58,72 @@ object Multimodal {
           col("length").cast("long").as("width")).as("meta"),
         col("path"))
 
-  /** STUB decode kernel: a real deployment would decode image/audio bytes
-    * here (e.g. JavaCV); this deterministic fake derives "features" from the
-    * raw bytes so the pipeline shape (binary → fixed-width feature vector)
-    * is fully exercised. Runs per partition over an iterator — the batch
-    * execution shape a vectorized decoder needs.
+  /** A decoded raster: width, height, per-pixel channel sums (r+g+b) in
+    * row-major order — the luminance-proxy scalar the feature stripes
+    * aggregate.
     */
-  def decodeFeatures(payload: Array[Byte], nFeatures: Int = 8): Array[Double] = {
-    // ??? real codec goes here; deterministic fake: mean byte value per stripe
-    if (payload.isEmpty) Array.fill(nFeatures)(0.0)
+  final case class DecodedImage(w: Int, h: Int, pixelSums: Array[Int])
+
+  /** REAL image decode via the JDK codec (`javax.imageio`): PNG and JPEG
+    * payloads, recognized by magic number so non-image binaries never
+    * reach the codec. None for anything the codec rejects.
+    */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (!isPng && !isJpeg) None
+    // a corrupt image (magic intact, body damaged) throws from the codec;
+    // it must degrade to the byte-stub path, not kill the task
+    else scala.util.Try(Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))).toOption.flatten.map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sums(y * w + x) =
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(w, h, sums)
+    }
+  }
+
+  /** Mean of each of `nFeatures` contiguous stripes (stripe = max(1,
+    * n/nFeatures) elements; values beyond stripe·nFeatures drop; an empty
+    * stripe is 0.0) — shared by the pixel and byte feature paths.
+    */
+  private def stripeMeans(vals: Array[Int], nFeatures: Int): Array[Double] = {
+    if (vals.isEmpty) Array.fill(nFeatures)(0.0)
     else {
-      val stripe = math.max(1, payload.length / nFeatures)
+      val stripe = math.max(1, vals.length / nFeatures)
       (0 until nFeatures).toArray.map { i =>
-        val s = payload.slice(i * stripe, math.min((i + 1) * stripe, payload.length))
-        if (s.isEmpty) 0.0 else s.map(_ & 0xff).sum.toDouble / s.length
+        val s = vals.slice(i * stripe, math.min((i + 1) * stripe, vals.length))
+        if (s.isEmpty) 0.0 else s.sum.toDouble / s.length
       }
     }
   }
+
+  /** Feature kernel: image payloads (PNG/JPEG magic) decode through the
+    * REAL JDK codec and stripe over decoded pixel channel sums; anything
+    * else falls to the byte-domain STUB (mean byte per stripe — the
+    * deterministic stand-in for codecs this environment lacks, e.g.
+    * audio/video). Runs per partition over an iterator — the batch
+    * execution shape a vectorized decoder needs.
+    */
+  def decodeFeatures(payload: Array[Byte], nFeatures: Int = 8): Array[Double] =
+    decodeImage(payload) match {
+      case Some(img) => stripeMeans(img.pixelSums, nFeatures)
+      // ??? non-image codec goes here; deterministic byte-domain fake
+      case None => stripeMeans(payload.map(_ & 0xff), nFeatures)
+    }
 
   /** "Resize": byte-domain downsample keeping every `step`-th byte — stands
     * in for image resize / audio resample; preserves payload type.
@@ -110,22 +167,103 @@ object Multimodal {
     s"UNION ALL SELECT $id, '$lit', 'fixture', length('$lit')"
   }.mkString("\n        ")
 
+  /** The real-PNG fixture images: (media_id, width, height). Ids are
+    * negative (clear of doc_ids) and include one ≡ 0 (mod 20) so the ANN
+    * query set contains an image. Sizes vary 3..7 so stripe handling
+    * covers n < 8, n % 8 ≠ 0 and n ≫ 8.
+    */
+  private[graft] val PngImages: Seq[(Long, Int, Int)] =
+    (0 until 24).map(i => (-101L - i, 3 + i % 5, 3 + (i * 2) % 5))
+
+  /** Pixel channel formula for fixture image `idp` (= -media_id, so the
+    * moduli see a positive value). MUST stay in sync with [[pngPixelSumSql]]
+    * — the oracle recomputes features from this closed form while the
+    * engine recovers them by genuinely decoding the PNG bytes.
+    */
+  private[graft] def pngChannels(idp: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((7 * idp + 11 * x + 13 * y) % 256).toInt,
+    ((5 * idp + 17 * x + 3 * y) % 256).toInt,
+    ((3 * idp + 29 * x + 23 * y) % 256).toInt)
+
+  /** The same formula in DuckDB, for row-major pixel index `p` of a
+    * (media_id, w, h) row: x = p % w, y = p // w.
+    */
+  private def pngPixelSumSql: String =
+    """(  ((7 * (-media_id) + 11 * (p % w) + 13 * (p // w)) % 256)
+      |  + ((5 * (-media_id) + 17 * (p % w) + 3 * (p // w)) % 256)
+      |  + ((3 * (-media_id) + 29 * (p % w) + 23 * (p // w)) % 256))""".stripMargin
+
+  private def pngValuesSql: String =
+    PngImages.map { case (id, w, h) => s"($id, $w, $h)" }.mkString(", ")
+
+  /** REAL PNG bytes for one fixture image — `javax.imageio` encode of the
+    * formula pixels. PNG is lossless, so decode must recover them exactly.
+    */
+  private[graft] def pngBytes(idp: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pngChannels(idp, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The PNG fixture as media rows (kind = "png", width = image width).
+    * 24 tiny images encode on the driver; payloads are genuine PNG files.
+    */
+  private[graft] def pngFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PngImages.map { case (id, w, h) => (id, pngBytes(-id, w, h), w.toLong) }
+      .toDF("media_id", "payload", "w")
+      .select(col("media_id"), col("payload"),
+        struct(lit("png").as("kind"), col("w").as("width")).as("meta"))
+  }
+
   /** Oracled query: metadata + byte- AND char-domain stats + a 16-stride
-    * frame-sample fingerprint, all computable on both engines. byte_ct is
-    * the payload octet count (DuckDB `strlen`), char_ct the code-point
-    * count (DuckDB `length`); frame_ct and the frame sample are defined in
-    * the CHAR domain (a codec would frame real media units, not octets).
-    * The multibyte fixture rows make any byte/char mix-up a hash mismatch.
+    * frame-sample fingerprint for text payloads, and DECODED-pixel stats
+    * (dimensions + an every-pixel fingerprint) for the real-PNG fixture
+    * rows. byte_ct is the payload octet count (DuckDB `strlen`), char_ct
+    * the code-point count (DuckDB `length`); frame_ct and the frame
+    * sample are defined in the CHAR domain (a codec would frame real
+    * media units, not octets). The multibyte fixture rows make any
+    * byte/char mix-up a hash mismatch; the PNG rows' `pix_fp` is the md5
+    * over EVERY decoded pixel's channel sum, which the oracle recomputes
+    * from the generation formula — so the hash gate proves a faithful
+    * codec round-trip, pixel for pixel. Text-domain columns are NULL on
+    * image rows (PNG bytes have no code points) and vice versa.
     */
   val mediaStats: GraftQuery = new GraftQuery {
     val name = "media_stats"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      mediaTable(spark, sfDir)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val media = mediaTable(spark, sfDir)
         .unionByName(multibyteFixture(spark))
-        .withColumn("byte_ct", length(col("payload")).cast("long"))
-        .withColumn("payload_md5", md5(col("payload")))
-        .withColumn("txt", col("payload").cast("string"))
+        .unionByName(pngFixture(spark))
+      // partition-batched REAL decode of the image rows (metadata filter
+      // prunes the codec to image payloads only)
+      val decoded = media.filter(col("meta.kind") === "png")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = decodeImage(bytes)
+          (id, d.map(_.w.toLong), d.map(_.h.toLong),
+            d.map(_.pixelSums.mkString(",")))
+        }).toDF("media_id", "img_w", "img_h", "pix_str")
+      val isText = col("meta.kind") =!= "png"
+      media
+        .withColumn("byte_ct",
+          when(isText, length(col("payload")).cast("long")))
+        .withColumn("payload_md5", when(isText, md5(col("payload"))))
+        .withColumn("txt", when(isText, col("payload").cast("string")))
         .withColumn("char_ct", char_length(col("txt")).cast("long"))
         .withColumn("frame_ct", ceil(col("char_ct") / lit(16.0)).cast("long"))
         // frame sample: first char of each 16-char frame
@@ -134,25 +272,45 @@ object Multimodal {
             md5(array_join(
               transform(sequence(lit(1), col("char_ct").cast("int"), lit(16)),
                 i => col("txt").substr(i, lit(1))), "")))
-            .otherwise(md5(lit("")))) // empty payload: sequence(1,0) is illegal in Spark
+            .otherwise(when(isText, md5(lit(""))))) // sequence(1,0) is illegal in Spark
+        .join(decoded, Seq("media_id"), "left")
+        .withColumn("pix_fp", md5(col("pix_str")))
         .select(col("media_id"), col("meta.kind").as("kind"),
           col("meta.width").as("width"), col("byte_ct"), col("char_ct"),
-          col("frame_ct"), col("payload_md5"), col("sample_fp"))
+          col("frame_ct"), col("payload_md5"), col("sample_fp"),
+          col("img_w"), col("img_h"), col("pix_fp"))
         .orderBy("media_id")
+    }
 
     def oracle: Option[String] = Some(s"""
       WITH media AS (
         SELECT doc_id AS media_id, text, source AS kind, n_chars AS width
         FROM documents
-        $fixtureSql)
-      SELECT media_id, kind, width,
-             CAST(strlen(text) AS BIGINT) AS byte_ct,
-             CAST(length(text) AS BIGINT) AS char_ct,
-             CAST(ceil(length(text) / 16.0) AS BIGINT) AS frame_ct,
-             md5(text) AS payload_md5,
-             md5(array_to_string(list_transform(generate_series(1, length(text), 16),
-                   i -> substr(text, i, 1)), '')) AS sample_fp
-      FROM media ORDER BY media_id
+        $fixtureSql),
+      png AS (SELECT * FROM (VALUES $pngValuesSql) AS t(media_id, w, h)),
+      textstats AS (
+        SELECT media_id, kind, width,
+               CAST(strlen(text) AS BIGINT) AS byte_ct,
+               CAST(length(text) AS BIGINT) AS char_ct,
+               CAST(ceil(length(text) / 16.0) AS BIGINT) AS frame_ct,
+               md5(text) AS payload_md5,
+               md5(array_to_string(list_transform(generate_series(1, length(text), 16),
+                     i -> substr(text, i, 1)), '')) AS sample_fp,
+               CAST(NULL AS BIGINT) AS img_w, CAST(NULL AS BIGINT) AS img_h,
+               CAST(NULL AS VARCHAR) AS pix_fp
+        FROM media),
+      pngstats AS (
+        SELECT media_id, 'png' AS kind, CAST(w AS BIGINT) AS width,
+               CAST(NULL AS BIGINT) AS byte_ct, CAST(NULL AS BIGINT) AS char_ct,
+               CAST(NULL AS BIGINT) AS frame_ct,
+               CAST(NULL AS VARCHAR) AS payload_md5,
+               CAST(NULL AS VARCHAR) AS sample_fp,
+               CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+               md5(array_to_string(list_transform(range(w * h), p ->
+                 $pngPixelSumSql), ',')) AS pix_fp
+        FROM png)
+      SELECT * FROM textstats UNION ALL SELECT * FROM pngstats
+      ORDER BY media_id
     """)
   }
 
@@ -174,11 +332,14 @@ object Multimodal {
     * the embeddings table, proving the multimodal plumbing feeds the ANN
     * operators end-to-end.
     *
-    * Oracle domain: ASCII-only payloads (where UTF-8 byte values ≡ code
-    * points, so DuckDB can recompute the byte-stripe means with
-    * `unicode(substr(...))`); both engines apply the same filter. All
-    * arithmetic is order-pinned (exact integer stripe sums, one division;
-    * left-to-right dot folds) so cos_bp is bit-equal cross-engine.
+    * Oracle domain: ASCII-only text payloads (where UTF-8 byte values ≡
+    * code points, so DuckDB can recompute the byte-stripe means with
+    * `unicode(substr(...))`) plus the real-PNG fixture rows, whose
+    * features the ENGINE recovers by genuinely decoding the PNG while
+    * the oracle recomputes them from the pixel-generation formula; both
+    * engines apply the same filter. All arithmetic is order-pinned
+    * (exact integer stripe sums, one division; left-to-right dot folds)
+    * so cos_bp is bit-equal cross-engine.
     */
   val mediaAnn: GraftQuery = new GraftQuery {
     val name = "media_ann"
@@ -186,10 +347,15 @@ object Multimodal {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       graft.expressions.DotProductDouble.register(spark)
+      // image rows ride the SAME kernel as text rows — decodeFeatures
+      // branches on the payload's magic bytes, so the union needs no
+      // per-kind plumbing (the multimodal promise: one feature surface)
       val media = mediaTable(spark, sfDir)
+        .unionByName(pngFixture(spark))
         .withColumn("txt", col("payload").cast("string"))
-        .filter(length(col("payload")) === char_length(col("txt")) &&
-          length(col("payload")) > 0)
+        .filter(col("meta.kind") === "png" ||
+          (length(col("payload")) === char_length(col("txt")) &&
+            length(col("payload")) > 0))
         .drop("txt")
       val feats = extractFeatures(spark, media)
         .select(col("media_id"), col("features").as("v"))
@@ -234,7 +400,7 @@ object Multimodal {
                greatest(1, length(text) // 8) AS stripe
         FROM documents
         WHERE strlen(text) = length(text) AND length(text) > 0),
-      f AS (
+      f_text AS (
         SELECT media_id,
                list_transform(range(8), i ->
                  CASE WHEN least((i + 1) * stripe, len) <= i * stripe THEN 0.0
@@ -243,6 +409,21 @@ object Multimodal {
                              j -> unicode(substr(text, CAST(j AS BIGINT), 1)))) AS DOUBLE)
                            / (least((i + 1) * stripe, len) - i * stripe) END) AS v
         FROM m),
+      png AS (
+        SELECT media_id, w, h, w * h AS len, greatest(1, (w * h) // 8) AS stripe
+        FROM (VALUES $pngValuesSql) AS t(media_id, w, h)),
+      f_png AS (
+        -- the engine recovers these features by DECODING the PNG bytes;
+        -- the oracle recomputes them from the pixel-generation formula
+        SELECT media_id,
+               list_transform(range(8), i ->
+                 CASE WHEN least((i + 1) * stripe, len) <= i * stripe THEN 0.0
+                      ELSE CAST(list_sum(list_transform(
+                             range(i * stripe, least((i + 1) * stripe, len)),
+                             p -> $pngPixelSumSql)) AS DOUBLE)
+                           / (least((i + 1) * stripe, len) - i * stripe) END) AS v
+        FROM png),
+      f AS (SELECT * FROM f_text UNION ALL SELECT * FROM f_png),
       n AS (
         SELECT media_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
                $bucketSql AS bucket

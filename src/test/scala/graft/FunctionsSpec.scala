@@ -54,6 +54,67 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(Array.emptyByteArray).forall(_ == 0.0))
   }
 
+  test("multimodal: PNG payloads decode through the REAL codec, pixel-exact") {
+    // encode → decode round-trip recovers the formula pixels exactly
+    // (PNG is lossless), on every fixture size including n < 8 stripes
+    for ((id, w, h) <- Multimodal.PngImages) {
+      val bytes = Multimodal.pngBytes(-id, w, h)
+      // genuine PNG file bytes, not a synthetic container
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P', s"id=$id not a PNG")
+      val d = Multimodal.decodeImage(bytes).get
+      assert((d.w, d.h) == (w, h), s"id=$id dims")
+      val expect = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = Multimodal.pngChannels(-id, x, y)
+        r + g + b
+      }
+      assert(d.pixelSums.toSeq == expect, s"id=$id pixel mismatch")
+      // the feature kernel must take the image branch: features over
+      // decoded pixels, NOT over the compressed container bytes
+      val viaKernel = Multimodal.decodeFeatures(bytes)
+      val overPixels = {
+        val n = d.pixelSums.length
+        val stripe = math.max(1, n / 8)
+        (0 until 8).map { i =>
+          val s = d.pixelSums.slice(i * stripe, math.min((i + 1) * stripe, n))
+          if (s.isEmpty) 0.0 else s.sum.toDouble / s.length
+        }
+      }
+      assert(viaKernel.toSeq == overPixels, s"id=$id kernel not on pixels")
+    }
+    // non-image payloads still fall back to the byte stub
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(txt).isEmpty)
+    // a corrupted PNG (magic intact, body truncated) must not crash the
+    // kernel — it falls back to the byte stub via the codec's rejection
+    val broken = Multimodal.pngBytes(5L, 4, 4).take(12)
+    assert(Multimodal.decodeImage(broken).isEmpty)
+    assert(Multimodal.decodeFeatures(broken).length == 8)
+  }
+
+  test("multimodal: binaryFile-ingested real PNGs decode end-to-end") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pngmedia")
+    val (id, w, h) = Multimodal.PngImages.head
+    java.nio.file.Files.write(dir.resolve("img.png"), Multimodal.pngBytes(-id, w, h))
+    val media = Multimodal.binaryFileTable(spark, dir.toString, "*.png")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 1)
+    val got = feats.head.getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(got == Multimodal.decodeFeatures(Multimodal.pngBytes(-id, w, h)).toSeq,
+      "binaryFile route must produce the same decoded-pixel features")
+    // and they differ from the byte-domain stub over the container bytes —
+    // i.e. the codec genuinely ran
+    val containerStub = {
+      val bytes = Multimodal.pngBytes(-id, w, h).map(_ & 0xff)
+      val stripe = math.max(1, bytes.length / 8)
+      (0 until 8).map { i =>
+        val s = bytes.slice(i * stripe, math.min((i + 1) * stripe, bytes.length))
+        if (s.isEmpty) 0.0 else s.sum.toDouble / s.length
+      }
+    }
+    assert(got != containerStub, "features must come from pixels, not PNG bytes")
+  }
+
   test("multimodal: resize keeps every step-th byte") {
     val b = Array[Byte](0, 1, 2, 3, 4, 5, 6)
     assert(Multimodal.resize(b, 3).toSeq == Seq[Byte](0, 3, 6))
