@@ -148,6 +148,25 @@ object ProductQuant {
     (pairs, codes, lut)
   }
 
+  /** ADC-scored, rank-windowed candidates (query_id, neighbor_id,
+    * adc_bp, rank) — the shared first stage of the top-k and the
+    * rerank queries.
+    */
+  private def adcRanked(pairs: DataFrame, codes: DataFrame,
+      lut: DataFrame): DataFrame = {
+    val scored = pairs
+      .join(codes, "vec_id")
+      .join(broadcast(lut),
+        pairs("qid") === lut("qid") && codes("m") === lut("m") &&
+          codes("code") === lut("k"))
+      .groupBy(pairs("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(floor(sum(col("part").cast(DecimalType(27, 10))) * lit(10000))
+        .cast("long").as("adc_bp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_bp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+  }
+
   /** ADC-scored top-3 per query over the probed cells, at `seedK`
     * codewords per subspace.
     */
@@ -157,17 +176,7 @@ object ProductQuant {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val (pairs, codes, lut) = pqChain(spark, sfDir, seedK, mCount)
-      val scored = pairs
-        .join(codes, "vec_id")
-        .join(broadcast(lut),
-          pairs("qid") === lut("qid") && codes("m") === lut("m") &&
-            codes("code") === lut("k"))
-        .groupBy(pairs("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-        .agg(floor(sum(col("part").cast(DecimalType(27, 10))) * lit(10000))
-          .cast("long").as("adc_bp"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_bp").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
+      adcRanked(pairs, codes, lut)
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("adc_bp"))
@@ -297,6 +306,133 @@ object ProductQuant {
       GROUP BY 1 ORDER BY b.query_id
     """)
   }
+
+  /** Rerank candidate depth: top-C ADC candidates per query go to the
+    * exact int8 second stage. C ≫ k(=3) is the standard two-stage
+    * contract: stage 1 only needs the true neighbors SOMEWHERE in its
+    * top C, stage 2 restores their order.
+    */
+  private val RerankC = 32
+
+  /** TWO-STAGE retrieval — the standard fix for PQ's recall ceiling
+    * (measured 0.40-0.63 recall@3 at 8 B/vec): 8-bit IVF-PQ ADC
+    * generates top-[[RerankC]] candidates per query, then an int8
+    * asymmetric rerank (recall ≈ 1.0 per the measured int8 curve)
+    * re-scores JUST those candidates at full 1-byte-per-dim resolution
+    * and keeps top-3.
+    *
+    * Storage accounting: the hot tier (scanned per query) stays the 8
+    * B/vec PQ codes; the int8 tier (64 B/vec) is touched only for the
+    * C · queries candidate rows — an equi-join on vec id against a
+    * BROADCAST candidate list, i.e. per-query cost C int8 fetches, so
+    * the effective per-vector read budget is ~8 B + C·64/n → ~9 B/vec
+    * at production corpus sizes (the cold tier can live on disk/object
+    * storage; only point reads hit it). Plan shape stays
+    * broadcast-codebook + equi-join only: no all-pairs stage anywhere.
+    */
+  val annIvfPqRerank: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_pq_rerank"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val (pairs, codes, lut) = pqChain(spark, sfDir, SeedK8, M)
+      val cand = adcRanked(pairs, codes, lut)
+        .filter(col("rank") <= RerankC)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = Similarity.vecs(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      // the int8 corpus is the probe side; the C·queries candidate list
+      // (with its full-precision query vectors) broadcasts
+      val rr = int8Recon(e).withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(cand.join(broadcast(q), "query_id")), "neighbor_id")
+        .withColumn("cos_bp",
+          floor(expr("dot_double(qv, rv)") * lit(10000.0) /
+            (col("qnrm") * col("rnrm"))).cast("long"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_bp").desc, col("neighbor_id"))
+      rr.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos_bp"))
+        .orderBy("query_id", "rank")
+    }
+
+    def oracle: Option[String] = Some(duckRerankCtes + """
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_bp
+      FROM rr_ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """)
+  }
+
+  /** recall@3 of the two-stage path vs full-precision brute force — the
+    * number that shows the rerank buying back what PQ quantization lost.
+    */
+  val pqRerankRecall: GraftQuery = new GraftQuery {
+    val name = "ann_pq_rerank_recall"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val truth = Similarity.annTopK.run(spark, sfDir).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = annIvfPqRerank.run(spark, sfDir)
+        .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor"))
+      truth
+        .join(got, col("query_id") === col("g_query") &&
+          col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("truth_k"), count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp",
+          floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("query_id")
+    }
+
+    def oracle: Option[String] = Some(duckRerankCtes + """
+      , brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      got3 AS (SELECT query_id, neighbor_id FROM rr_ranked WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN got3 l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """)
+  }
+
+  /** DuckDB mirror of the full two-stage chain: the 8-bit PQ CTEs up to
+    * `pq_ranked`, the int8 reconstruction (over the PQ CTEs' own `e`),
+    * and the reranked `rr_ranked`.
+    */
+  private def duckRerankCtes: String = duckPqCtes(SeedK8, M) + s"""
+      , sc AS (
+        SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        FROM e),
+      rq AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x * 127.0 / scale) * scale / 127.0) AS rv
+        FROM sc WHERE scale > 0),
+      rn8 AS (
+        SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS rnrm
+        FROM rq),
+      cand AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= $RerankC),
+      rr AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.rv[i])) * 10000.0 / (q.nrm * c.rnrm)) AS BIGINT) AS cos_bp
+        FROM cand
+        JOIN n q ON q.vec_id = cand.query_id
+        JOIN rn8 c ON c.vec_id = cand.neighbor_id),
+      rr_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_bp DESC, neighbor_id) AS rank
+        FROM rr)"""
 
   /** recall@3 at 16 codewords (4-bit, 128x). */
   val pqRecall: GraftQuery = pqRecallOf("ann_pq_recall", SeedK, annIvfPq)
@@ -511,5 +647,6 @@ object ProductQuant {
   }
 
   val all: Seq[GraftQuery] = Seq(annIvfPq, annIvfPqFlat, pqRecall, annIvfPq8,
-    pq8Recall, annIvfPqM16, pqM16Recall, annInt8, int8Recall)
+    pq8Recall, annIvfPqM16, pqM16Recall, annInt8, int8Recall,
+    annIvfPqRerank, pqRerankRecall)
 }
