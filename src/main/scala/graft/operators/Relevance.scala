@@ -213,6 +213,107 @@ object Relevance {
     """)
   }
 
+  /** Bigram-with-backoff corpus LM — one order up from [[lmScores]],
+    * matching the shape of CCNet's actual filter (a 5-gram KenLM, not a
+    * unigram table): token position i scores
+    *
+    *   - ln(wc(w)/N) for the document's first token (unigram prior);
+    *   - ln(bc(p,w)/wc(p)) when the bigram survives the model —
+    *     SINGLETON-PRUNED, the standard KenLM trim, so bigrams seen once
+    *     in the corpus are NOT memorized (without pruning a
+    *     score-your-own-corpus model would never back off: every
+    *     observed pair trivially has count ≥ 1);
+    *   - ln(0.4 · wc(w)/N) otherwise — stupid backoff (Brants et al.
+    *     2007), the large-scale-LM standard: no discounting mass to
+    *     redistribute, one multiplicative penalty.
+    *
+    * Gibberish that unigram scoring CANNOT see (real words in scrambled
+    * order — same unigram distribution as clean text) lands almost every
+    * position in the backoff branch and sinks; LmBigramSpec measures
+    * that ranking delta on planted word-salad docs.
+    *
+    * Scale shape: scoring touches each distinct (prev, word) TYPE once
+    * (types ≪ occurrences), then one hash join back to the per-document
+    * type counts — the same order-independence trick as [[lmScores]],
+    * integer-scaled log-probs and all. The corpus-is-the-model form
+    * mirrors `doc_lm_score`; a production deployment would train on a
+    * sample and broadcast the pruned bigram table as a model artifact
+    * (the [[TrainedWeights]] load path), leaving the scoring join as-is.
+    */
+  private[graft] def lmBigramScores(docs: DataFrame): DataFrame = {
+    // one tokenize-explode feeds the unigram counts, the bigram counts
+    // and the per-document rollup; '' marks document start (tokens are
+    // nonempty by construction, so the sentinel cannot collide)
+    val tok = graft.CacheRegistry.persist(docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word"))))
+    val wc = tok.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val pairs = tok.withColumn("prev",
+      coalesce(lag(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))), lit("")))
+    // per-document pair-TYPE occurrence counts: everything downstream
+    // works on types, never the token stream
+    val docPairs = graft.CacheRegistry.persist(
+      pairs.groupBy("doc_id", "prev", "word").agg(count(lit(1)).as("occ")))
+    val bc = docPairs.filter(col("prev") =!= "")
+      .groupBy("prev", "word").agg(sum(col("occ")).as("bc"))
+      .filter(col("bc") >= 2) // singleton pruning — the backoff is real
+    val types = docPairs.select("prev", "word").distinct()
+      .join(wc, "word")
+      .join(wc.select(col("word").as("prev"), col("wc").as("pwc")),
+        Seq("prev"), "left")
+      .join(bc, Seq("prev", "word"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp_x1m", floor(
+        when(col("prev") === "", log(col("wc") * lit(1.0) / col("total")))
+          .when(col("bc").isNotNull, log(col("bc") * lit(1.0) / col("pwc")))
+          .otherwise(log(lit(0.4) * col("wc") / col("total")))
+          * lit(1000000.0)).cast("long"))
+      .select("prev", "word", "lp_x1m")
+    docPairs.join(types, Seq("prev", "word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(col("occ") * col("lp_x1m")).as("sum_lp_x1m"))
+      .withColumn("avg_lp_x1m",
+        floor(col("sum_lp_x1m") * lit(1.0) / col("n_tokens")).cast("long"))
+  }
+
+  val lmBigram: GraftQuery = new GraftQuery {
+    val name = "doc_lm_bigram"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      lmBigramScores(Tables.load(spark, sfDir, "documents")).orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , ex AS (SELECT doc_id, unnest(ws) AS word,
+                      unnest(generate_series(1, len(ws))) AS pos FROM toks),
+      wc AS (SELECT word, count(*) AS wc FROM ex GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM ex),
+      pr AS (SELECT doc_id, pos, word,
+               coalesce(lag(word) OVER (PARTITION BY doc_id ORDER BY pos), '') AS prev
+             FROM ex),
+      dp AS (SELECT doc_id, prev, word, count(*) AS occ FROM pr GROUP BY 1, 2, 3),
+      bc AS (SELECT prev, word, sum(occ) AS bc FROM dp WHERE prev <> ''
+             GROUP BY 1, 2 HAVING sum(occ) >= 2),
+      ty AS (
+        SELECT d.prev, d.word,
+               CAST(floor(CASE WHEN d.prev = '' THEN ln(wc.wc * 1.0 / t.total)
+                               WHEN bc.bc IS NOT NULL THEN ln(bc.bc * 1.0 / pw.wc)
+                               ELSE ln(0.4 * wc.wc / t.total) END
+                          * 1000000.0) AS BIGINT) AS lp_x1m
+        FROM (SELECT DISTINCT prev, word FROM dp) d
+        JOIN wc ON wc.word = d.word
+        LEFT JOIN wc pw ON pw.word = d.prev
+        LEFT JOIN bc ON bc.prev = d.prev AND bc.word = d.word
+        CROSS JOIN t)
+      SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+             CAST(sum(occ * lp_x1m) AS BIGINT) AS sum_lp_x1m,
+             CAST(floor(sum(occ * lp_x1m) * 1.0 / sum(occ)) AS BIGINT) AS avg_lp_x1m
+      FROM dp JOIN ty ON ty.prev = dp.prev AND ty.word = dp.word
+      GROUP BY doc_id ORDER BY doc_id
+    """)
+  }
+
   /** Classifier-style quality inference — the fastText-architecture
     * hashed-n-gram linear scorer as a single codegen'd projection
     * ([[graft.expressions.DocQuality]]): no corpus pass, no shuffle, one
@@ -689,6 +790,7 @@ object Relevance {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(tfidfTop, percentiles, lmScore, qualityScore, qualityTrained,
-      qualityRules, cmsTopk, qualityThreshold, curriculumOrder)
+    Seq(tfidfTop, percentiles, lmScore, lmBigram, qualityScore,
+      qualityTrained, qualityRules, cmsTopk, qualityThreshold,
+      curriculumOrder)
 }
