@@ -72,9 +72,12 @@ object Packing {
     val name = "pack_sequences"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val t = Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0)
+      // EXACT BPE token counts (round 8): the packing budget is counted
+      // in the tokens the trainer will actually see, not whitespace
+      // words; tokenless docs have no docCounts row, matching the old
+      // n_tokens > 0 filter
+      val t = graft.functions.Bpe.docCounts(Tables.load(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("bpe_ct").as("n_tokens"))
       withPackedOffsets(t, Seq.empty)
         .withColumn("bins_spanned", col("bin_last") - col("bin_first") + 1)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
@@ -82,8 +85,10 @@ object Packing {
         .orderBy("doc_id")
     }
 
-    def oracle: Option[String] = Some(duckToksCte + s"""
-      , t AS (SELECT doc_id, len(ws) AS n_tokens FROM toks WHERE len(ws) > 0),
+    def oracle: Option[String] = Some(
+      graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + s"""
+      , t AS (SELECT doc_id, bpe_ct AS n_tokens FROM bpe),
       o AS (
         SELECT doc_id, n_tokens,
                CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id

@@ -216,10 +216,14 @@ object Sampling {
     val name = "sample_mixture"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val docs = graft.CacheRegistry.persist(
-        Tables.load(spark, sfDir, "documents")
-          .withColumn("tok_ct",
-            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      // EXACT BPE token counts (round 8): mixture targets are token
+      // budgets, so they should be counted in trainer tokens; docs with
+      // no tokens keep tok_ct 0 via the left join
+      val base = Tables.load(spark, sfDir, "documents")
+      val docs = graft.CacheRegistry.persist(base
+        .join(graft.functions.Bpe.docCounts(base), Seq("doc_id"), "left")
+        .withColumn("tok_ct", coalesce(col("bpe_ct"), lit(0L)))
+        .drop("bpe_ct"))
       docs.join(broadcast(mixtureRates(docs)), "source")
         .withColumn("keep", (mixHash(col("doc_id")) < col("rate_bp")).cast("int"))
         .groupBy(col("source"))
@@ -240,11 +244,12 @@ object Sampling {
 
     def oracle: Option[String] = {
       val vals = mixtureRows.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
-      Some(graft.functions.TextFunctions.duckToksCte + s"""
+      Some(graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + s"""
       , weights(source, weight_bp) AS (VALUES $vals),
-      d AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS tok_ct,
+      d AS (SELECT doc_id, source, COALESCE(bpe.bpe_ct, 0) AS tok_ct,
                    ${duckHashHex("'mix:' || CAST(doc_id AS VARCHAR)", 6)} % 10000 AS h
-            FROM toks),
+            FROM toks LEFT JOIN bpe USING (doc_id)),
       avail AS (SELECT source, sum(tok_ct) AS avail_tokens FROM d GROUP BY source),
       tot AS (SELECT sum(tok_ct) AS total_tokens FROM d),
       rates AS (

@@ -19,18 +19,22 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Token/char statistics + quality score: length, punctuation/stopword
-    * ratios, whitespace token count and a BPE-ish chars/4 estimate.
+    * ratios, whitespace token count and the EXACT token count under the
+    * shipped BPE model ([[graft.functions.Bpe]] — a broadcast merge
+    * table applied per word type; was a chars/4 estimate before round 8).
     */
   val textStats: GraftQuery = new GraftQuery {
     val name = "text_stats"
 
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      Tables.load(spark, sfDir, "documents")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      docs
         .withColumn("ws", tokens(col("text")))
         .withColumn("char_ct", length(col("text")))
         .withColumn("token_ct", size(col("ws")))
         .withColumn("uniq_token_ct", size(array_distinct(col("ws"))))
-        .withColumn("bpe_token_ct", ceil(col("char_ct") / 4.0).cast("long"))
+        .join(graft.functions.Bpe.docCounts(docs), Seq("doc_id"), "left")
+        .withColumn("bpe_token_ct", coalesce(col("bpe_ct"), lit(0L)))
         .withColumn("stop_ct",
           size(filter(col("ws"), w => w.isin("the", "a", "of", "to", "and"))))
         .withColumn("alnum_ct", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
@@ -52,18 +56,21 @@ object TextAnalysis {
           "stop_ct", "alnum_ct", "space_ct", "punct_ct",
           "avg_token_len_x100", "stop_ratio_bp", "quality_bp")
         .orderBy("doc_id")
+    }
 
-    def oracle: Option[String] = Some(duckToksCte + """
+    def oracle: Option[String] = Some(
+      graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + """
       , s AS (
         SELECT doc_id,
                length(text) AS char_ct,
                len(ws) AS token_ct,
                len(list_distinct(ws)) AS uniq_token_ct,
-               CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_ct,
+               COALESCE(bpe.bpe_ct, 0) AS bpe_token_ct,
                len(list_filter(ws, w -> w IN ('the','a','of','to','and'))) AS stop_ct,
                length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_ct,
                length(text) - length(regexp_replace(text, ' ', '', 'g')) AS space_ct
-        FROM toks)
+        FROM toks LEFT JOIN bpe USING (doc_id))
       SELECT doc_id, char_ct, token_ct, uniq_token_ct, bpe_token_ct, stop_ct,
              alnum_ct, space_ct,
              char_ct - alnum_ct - space_ct AS punct_ct,
@@ -274,8 +281,13 @@ object TextAnalysis {
   private[graft] def cardPartials(docs: DataFrame): DataFrame = {
     graft.expressions.DocQuality.register(docs.sparkSession)
     docs
+      // EXACT BPE token volume (round 8): the card's tok_ct is what a
+      // training-budget reader needs — trainer tokens, not words; the
+      // broadcast-model type join keeps partials mergeable (counts are
+      // per-doc, so shard sums still re-aggregate exactly)
+      .join(graft.functions.Bpe.docCounts(docs), Seq("doc_id"), "left")
       .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_toks"),
+        coalesce(col("bpe_ct"), lit(0L)).as("n_toks"),
         expr("doc_quality(text)").as("qx1m"))
       .groupBy(col("source"))
       .agg(
@@ -317,20 +329,23 @@ object TextAnalysis {
     def run(spark: SparkSession, sfDir: String): DataFrame =
       cardOutput(cardPartials(Tables.load(spark, sfDir, "documents")))
 
-    def oracle: Option[String] = Some(duckToksCte + s"""
+    def oracle: Option[String] = Some(
+      graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + s"""
       , feats AS (
-        SELECT doc_id, source, lang, n_chars, len(ws) AS n_toks,
+        SELECT doc_id, source, lang, n_chars,
+               COALESCE(bpe.bpe_ct, 0) AS n_toks, len(ws) AS n_words,
                list_concat(ws,
                  CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
                       ELSE list_transform(generate_series(1, len(ws)-1),
                              i -> ws[i] || ' ' || ws[i+1]) END) AS fs
-        FROM toks),
+        FROM toks LEFT JOIN bpe USING (doc_id)),
       q AS (
         SELECT doc_id, source, lang, n_chars, n_toks,
-               CASE WHEN n_toks > 0 THEN
+               CASE WHEN n_words > 0 THEN
                  floor(list_sum(list_transform(fs,
                    g -> (${duckHashHex("g", 4)} - 32767.5) / 32768.0))
-                   / (2 * n_toks - 1) * 1000000.0)
+                   / (2 * n_words - 1) * 1000000.0)
                END AS qx1m
         FROM feats)
       SELECT source, count(*) AS doc_ct,
@@ -343,6 +358,44 @@ object TextAnalysis {
     """)
   }
 
+  /** The tokenizer surface itself, subword-exact: per document the
+    * whitespace token count, the EXACT count under the shipped BPE merge
+    * table, and an md5 over the full ordered subword stream — the oracle
+    * re-derives the segmentation of every word type through the
+    * recursive-CTE apply of the SAME merge literals, so a green hash
+    * proves merge-for-merge, subword-for-subword equality (not just
+    * totals). Engine shape: broadcast model, one segmentation per word
+    * TYPE, hash join back to the token stream.
+    */
+  val bpeTokenize: GraftQuery = new GraftQuery {
+    val name = "bpe_tokenize"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      tok.join(graft.functions.Bpe.segmentTypes(tok), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("token_ct"),
+          sum("n_sub").as("bpe_ct"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, sub_str))), p -> p.sub_str)")))
+            .as("bpe_fp"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(
+      graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + """
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS token_ct,
+             CAST(sum(n_sub) AS BIGINT) AS bpe_ct,
+             md5(string_agg(sub_str, ' ' ORDER BY pos)) AS bpe_fp
+      FROM bpe_ex JOIN bpe_ty USING (word)
+      GROUP BY doc_id ORDER BY doc_id
+    """)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard)
+    Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard,
+      bpeTokenize)
 }
