@@ -29,6 +29,26 @@ object Warmup {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** (name, build seconds, rows) per shared frame — the per-frame
+    * attribution of [[sharedFrames]]' aggregate (`tools.SharedProbe`),
+    * for reading scale captures where an operator's real cost lives in
+    * its shared frame.
+    */
+  def timedFrames(spark: SparkSession, sfDir: String): Seq[(String, Double, Long)] = {
+    def time(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+    Seq(
+      time("enriched")(LogStats.enriched(spark, sfDir).count()),
+      time("vecs")(Similarity.vecs(spark, sfDir).count()),
+      time("ngram_sk")(Dedup.ngramSketches(spark, sfDir).count()),
+      time("doc_toks")(SpanDedup.sharedToks(spark, sfDir).count()),
+      time("doc_embed")(TextEmbed.docVectors(spark, sfDir).count()),
+      time("knn")(KnnJoin.knnRows(spark, sfDir).count()))
+  }
+
   /** (name, rows, materialized partitions) for every shared frame —
     * `tools.CacheProbe`'s data source; the partition column is what
     * cached-plan AQE coalescing changes.

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   *    distinct).
   *  - every other table copied through unchanged.
   *
+  * Blown-up tables are written as 32 files each: the source sf tables are
+  * single small parquet files, and a single-file blowup (observed: 78 MB
+  * documents at 100x) is ONE 128 MB-bound input split — every downstream
+  * scan-heavy stage then runs on one core and the capture measures the
+  * fixture's layout, not the engine (the round-8 ngram-sketch "20x for
+  * 10x data" was exactly this). Real 100 TB inputs arrive in thousands
+  * of files; 32 matches the harness's cores.
+  *
   * Usage: `sbt "runMain graft.tools.ScaleFixture <srcSfDir> <outDir> <factor>"`
   * The output dir is a fully usable SPARK_GRAFT_SF_DIR for Bench/Verify
   * (DuckDB oracle parity is NOT a goal here — the blown-up tables exist
@@ -54,7 +62,7 @@ object ScaleFixture {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // RAW layout (ts stays the nanos long) so Tables.load's events
     // normalization applies to the blowup exactly as to the original
@@ -66,7 +74,7 @@ object ScaleFixture {
           .otherwise(when(col("c") === 0, col("user_id"))
             .otherwise(col("user_id") + col("c") * 1000000L)))
       .drop("c")
-    ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    ev.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select(col("*"), copies)
@@ -76,7 +84,7 @@ object ScaleFixture {
         transform(col("embedding"), (x, i) =>
           (x.cast("double") + (pmod(col("c") * 31 + i, lit(7)) - lit(3)).cast("double") * lit(0.001))
             .cast("float")).as("embedding"))
-    emb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    emb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
