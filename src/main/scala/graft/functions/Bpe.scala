@@ -191,6 +191,18 @@ object Bpe {
       .groupBy("doc_id").agg(sum("n_sub").as("bpe_ct"))
   }
 
+  /** [[docCounts]] over the sf dir's documents table as a SESSION-SHARED
+    * frame — the segmented-vocab counts are a natural shared artifact (a
+    * tokenizer is applied once per corpus, not once per consumer), and
+    * four queries (text_stats, pack_sequences, sample_mixture,
+    * corpus_card) read the identical frame.
+    */
+  def docCountsShared(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"bpe_counts:$sfDir") {
+      docCounts(graft.Tables.load(spark, sfDir, "documents"))
+    }
+
   /** [[graft.functions.TextFunctions.duckToksCte]] with the RECURSIVE
     * keyword the BPE chain needs.
     */

@@ -76,7 +76,7 @@ object Packing {
       // in the tokens the trainer will actually see, not whitespace
       // words; tokenless docs have no docCounts row, matching the old
       // n_tokens > 0 filter
-      val t = graft.functions.Bpe.docCounts(Tables.load(spark, sfDir, "documents"))
+      val t = graft.functions.Bpe.docCountsShared(spark, sfDir)
         .select(col("doc_id"), col("bpe_ct").as("n_tokens"))
       withPackedOffsets(t, Seq.empty)
         .withColumn("bins_spanned", col("bin_last") - col("bin_first") + 1)

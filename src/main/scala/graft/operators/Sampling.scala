@@ -221,7 +221,7 @@ object Sampling {
       // no tokens keep tok_ct 0 via the left join
       val base = Tables.load(spark, sfDir, "documents")
       val docs = graft.CacheRegistry.persist(base
-        .join(graft.functions.Bpe.docCounts(base), Seq("doc_id"), "left")
+        .join(graft.functions.Bpe.docCountsShared(spark, sfDir), Seq("doc_id"), "left")
         .withColumn("tok_ct", coalesce(col("bpe_ct"), lit(0L)))
         .drop("bpe_ct"))
       docs.join(broadcast(mixtureRates(docs)), "source")

@@ -33,7 +33,7 @@ object TextAnalysis {
         .withColumn("char_ct", length(col("text")))
         .withColumn("token_ct", size(col("ws")))
         .withColumn("uniq_token_ct", size(array_distinct(col("ws"))))
-        .join(graft.functions.Bpe.docCounts(docs), Seq("doc_id"), "left")
+        .join(graft.functions.Bpe.docCountsShared(spark, sfDir), Seq("doc_id"), "left")
         .withColumn("bpe_token_ct", coalesce(col("bpe_ct"), lit(0L)))
         .withColumn("stop_ct",
           size(filter(col("ws"), w => w.isin("the", "a", "of", "to", "and"))))
@@ -284,7 +284,8 @@ object TextAnalysis {
       // EXACT BPE token volume (round 8): the card's tok_ct is what a
       // training-budget reader needs — trainer tokens, not words; the
       // broadcast-model type join keeps partials mergeable (counts are
-      // per-doc, so shard sums still re-aggregate exactly)
+      // per-doc, so shard sums still re-aggregate exactly). Counts come
+      // from THIS frame (not the shared table): partials run on slices
       .join(graft.functions.Bpe.docCounts(docs), Seq("doc_id"), "left")
       .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
         coalesce(col("bpe_ct"), lit(0L)).as("n_toks"),
