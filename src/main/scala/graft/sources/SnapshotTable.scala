@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,7 +69,81 @@ object SnapshotTable {
       case None => df
     }
     out.write.mode("overwrite").parquet(s"$root/$version")
-    if (statsCols.nonEmpty) writeStats(df.sparkSession, s"$root/$version", statsCols)
+    commitVersion(df.sparkSession, root, version, retain, statsCols)
+  }
+
+  /** Z-ORDER clustered publish: multi-column data skipping. Linear
+    * clustering ([[publish]] with `clusterFiles`) prunes on the lead
+    * stats column only — a predicate on the SECOND key still touches
+    * every file, because each file spans that column's full range. Here
+    * each file covers a small hyper-rectangle of the key space instead
+    * (the Delta `OPTIMIZE ZORDER BY` semantics), so a selective
+    * predicate on ANY z column prunes to ~n^((d-1)/d) of n files rather
+    * than all of them.
+    *
+    * Mechanics — all metadata-light, no single-task stage anywhere:
+    *   1. each z column is rank-bucketed into 2^`bits` EXACT quantile
+    *      buckets via [[graft.operators.Ranks.distNtileScores]] (all
+    *      columns share ONE range exchange). Rank-, not value-space:
+    *      skewed keys still spread evenly across files, which linear
+    *      value binning (Delta's synthetic range_partition_id) also
+    *      does — and strings ride a monotonic 7-byte big-endian
+    *      surrogate, which only shapes clustering, never pruning
+    *      correctness (stats are computed from the real values);
+    *   2. bucket bits interleave into one z value (column i claims bit
+    *      positions j·d+i), and the write range-partitions by z into
+    *      `nFiles` files — contiguous z runs = aligned key-space tiles;
+    *   3. per-file min/max stats on every z column feed the same
+    *      [[readPruned]]/[[pointLookup]] path as linear clustering.
+    *
+    * `pk` must be unique per row (the rank tiebreaker — dim tables have
+    * one by construction). `bits` caps at 62/d so the z value fits a
+    * long; 8 bits/column resolves 256 tiles per dimension, far past any
+    * realistic per-table file count.
+    */
+  def publishZOrdered(df: DataFrame, root: String, version: String,
+      pk: String, zCols: Seq[String], nFiles: Int, retain: Int = 2,
+      bits: Int = 8): Unit = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (use clusterFiles for 1)")
+    require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits overflows a long")
+    val d = zCols.size
+    val specs = zCols.zipWithIndex.map { case (c, i) =>
+      graft.operators.Ranks.NtileSpec(s"__zb_$i",
+        zSurrogate(df.schema(c).dataType, col(c)), asc = true)
+    }
+    val buckets = graft.operators.Ranks.distNtileScores(df, pk, 1 << bits, specs)
+    val z = (for { j <- 0 until bits; i <- 0 until d } yield
+      shiftleft(shiftright((col(s"__zb_$i") - 1).cast("long"), j)
+        .bitwiseAND(lit(1L)), j * d + i))
+      .reduce(_ bitwiseOR _)
+    df.join(buckets, pk)
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"), col(pk))
+      .drop("__z" +: zCols.indices.map(i => s"__zb_$i"): _*)
+      .write.mode("overwrite").parquet(s"$root/$version")
+    commitVersion(df.sparkSession, root, version, retain, zCols)
+  }
+
+  /** Long-castable monotonic projection for rank bucketing. Strings map
+    * to their first 7 bytes as a big-endian unsigned integer (zero-padded
+    * hex so shorter strings compare correctly) — UTF-8 byte order equals
+    * code-point order, so the projection is order-preserving up to ties
+    * past byte 7, which only blur tile boundaries, never results.
+    */
+  private def zSurrogate(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      conv(rpad(hex(c.cast("binary")), 14, "0"), 16, 10).cast("long")
+    case _ => c
+  }
+
+  /** The shared publish tail: stats before the marker (a published
+    * version always has its stats), then the atomic `_LATEST` move, then
+    * retention pruning.
+    */
+  private def commitVersion(spark: SparkSession, root: String,
+      version: String, retain: Int, statsCols: Seq[String]): Unit = {
+    if (statsCols.nonEmpty) writeStats(spark, s"$root/$version", statsCols)
     val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
     java.nio.file.Files.writeString(tmp, version)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),

@@ -30,8 +30,10 @@ object SnapshotProbe {
     val statsRoot = s"$workDir/dim_stats"
     val plainRoot = s"$workDir/dim_plain"
     val t0 = System.nanoTime()
+    // custkey stats recorded too: the z-order probe below compares
+    // "has stats but linear layout can't use them" fairly
     SnapshotTable.publish(dim, statsRoot, "v1",
-      statsCols = Seq("o_orderkey"), clusterFiles = Some(files))
+      statsCols = Seq("o_orderkey", "o_custkey"), clusterFiles = Some(files))
     val publishStats = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     SnapshotTable.publish(dim.repartition(files), plainRoot, "v1")
@@ -68,6 +70,32 @@ object SnapshotProbe {
         .agg(count(lit(1))).head().getLong(0)
     }
     println(s"""{"rows":${(n + 1)},"files":$files,"publish_stats_sec":$publishStats,"publish_plain_sec":$publishPlain,"point_pruned_sec":$prunedSec,"point_full_sec":$fullSec,"point_pruned_files":$prunedFiles,"point_rows":[$prunedRows,$fullRows],"range_pruned_sec":$rPrunedSec,"range_full_sec":$rFullSec}""")
+
+    // z-order: the SECOND key column (o_custkey) is where linear
+    // clustering prunes nothing — measure both layouts on a selective
+    // custkey range (the "find this customer's dim rows" shape)
+    val zRoot = s"$workDir/dim_z"
+    val tz = System.nanoTime()
+    SnapshotTable.publishZOrdered(dim, zRoot, "v1",
+      pk = "o_orderkey", zCols = Seq("o_orderkey", "o_custkey"), nFiles = files)
+    val publishZ = (System.nanoTime() - tz) / 1e9
+    val cMax = spark.read.parquet(s"$zRoot/v1").agg(max("o_custkey"))
+      .head().getLong(0)
+    val cLo = cMax / 2; val cHi = cLo + cMax / 100
+    def custCount(root: String): Long =
+      SnapshotTable.readPruned(spark, root, "o_custkey", cLo, cHi).get
+        .filter(col("o_custkey").between(cLo, cHi))
+        .agg(count(lit(1))).head().getLong(0)
+    val (zCustSec, zCustRows) = time(custCount(zRoot))
+    val (linCustSec, linCustRows) = time(custCount(statsRoot))
+    assert(zCustRows == linCustRows, s"z/linear row mismatch: $zCustRows vs $linCustRows")
+    val zKeptCust = SnapshotTable
+      .readPruned(spark, zRoot, "o_custkey", cLo, cHi).get.inputFiles.length
+    val linKeptCust = SnapshotTable
+      .readPruned(spark, statsRoot, "o_custkey", cLo, cHi).get.inputFiles.length
+    val zKeptPk = SnapshotTable
+      .readPruned(spark, zRoot, "o_orderkey", lo, hi).get.inputFiles.length
+    println(s"""{"zorder":true,"files":$files,"publish_z_sec":$publishZ,"cust_range_z_sec":$zCustSec,"cust_range_linear_sec":$linCustSec,"cust_kept_files_z":$zKeptCust,"cust_kept_files_linear":$linKeptCust,"pk_kept_files_z":$zKeptPk,"cust_rows":$zCustRows}""")
     spark.stop()
   }
 }

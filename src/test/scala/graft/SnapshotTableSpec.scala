@@ -120,4 +120,47 @@ class SnapshotTableSpec extends SparkSpec {
       s"string point lookup should prune to 1 file, scans ${shit.inputFiles.length}")
     assert(shit.collect().map(_.getLong(1)).toSeq == Seq(777L))
   }
+
+  test("z-order clustering prunes on EITHER key column; linear only on the lead") {
+    // two independent uniform keys: id 0..9999 and code = a permuted
+    // string key ((id * 7919) % 10000 is a permutation — 7919 is prime)
+    val dim = spark.range(10000L).select(col("id"),
+      format_string("c%04d", (col("id") * 7919) % 10000).as("code"))
+
+    // linear clustering on id: the SECOND column's narrow range prunes
+    // nothing — every file spans code's full range
+    val lroot = freshRoot("zlin")
+    SnapshotTable.publish(dim, lroot, "v1",
+      statsCols = Seq("id", "code"), clusterFiles = Some(16))
+    val linB = SnapshotTable.readPruned(spark, lroot, "code", "c4000", "c4099").get
+    assert(linB.inputFiles.length >= 15,
+      s"linear-on-id files each span code's range; expected ~16 kept, got ${linB.inputFiles.length}")
+
+    // z-order on (id, code): BOTH columns' narrow ranges prune to a
+    // minority of the 16 files (each file is a key-space tile)
+    val zroot = freshRoot("zord")
+    SnapshotTable.publishZOrdered(dim, zroot, "v1",
+      pk = "id", zCols = Seq("id", "code"), nFiles = 16)
+    val stats = SnapshotTable.readStats(zroot).get
+    assert(stats.size == 16, s"expected 16 file-stats entries, got ${stats.size}")
+    val zA = SnapshotTable.readPruned(spark, zroot, "id", 7000L, 7099L).get
+    assert(zA.inputFiles.length <= 8,
+      s"z-order should prune on id, kept ${zA.inputFiles.length} of 16")
+    val zB = SnapshotTable.readPruned(spark, zroot, "code", "c4000", "c4099").get
+    assert(zB.inputFiles.length <= 8,
+      s"z-order should prune on code, kept ${zB.inputFiles.length} of 16")
+    // pruned reads are file-granular supersets: row filters on top give
+    // exactly the unclustered answer
+    assert(zA.filter(col("id").between(7000L, 7099L)).count() == 100L)
+    val zBRows = zB.filter(col("code").between("c4000", "c4099"))
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val truth = dim.filter(col("code").between("c4000", "c4099"))
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(zBRows == truth && truth.size == 100,
+      s"z-pruned rows must equal the full-scan rows (${zBRows.size} vs ${truth.size})")
+    // the whole table is still intact under z layout
+    assert(SnapshotTable.read(spark, zroot).get.count() == 10000L)
+  }
 }
