@@ -311,7 +311,7 @@ object TextAnalysis {
         array_distinct(flatten(collect_list(col("lang_set")))).as("lang_set"),
         sum(col("id_checksum")).cast("long").as("id_checksum"))
 
-  private def cardOutput(parts: DataFrame): DataFrame =
+  private[graft] def cardOutput(parts: DataFrame): DataFrame =
     parts.select(col("source"), col("doc_ct"), col("tok_ct"), col("char_ct"),
         col("keep_ct"),
         array_join(sort_array(col("lang_set")), ",").as("langs"),
@@ -396,7 +396,61 @@ object TextAnalysis {
     """)
   }
 
+  /** C4-style blocklist filtering — the "bad words list" gate every web
+    * corpus pipeline runs (C4 dropped any page containing a listed term;
+    * phrase entries catch terms that are only bad in combination). The
+    * list is pipeline config: small (C4's is ~400 entries), so it rides
+    * as literal arrays inside the codegen'd projection — a broadcast in
+    * spirit with zero join machinery, one map-only corpus pass at any
+    * scale. Term hits count token occurrences; phrase hits count bigram
+    * shingle occurrences (multi-word entries need position-adjacent
+    * matching, which a token-set intersect cannot express). `keep` is the
+    * C4 decision: no hit of either kind.
+    */
+  val blocklist: GraftQuery = new GraftQuery {
+    val name = "doc_blocklist"
+
+    private val terms = Seq("slow", "dirty")
+    private val phrases = Seq("big table", "drop table")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("ws", tokens(col("text")))
+        .withColumn("bg", when(size(col("ws")) > 1,
+          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => concat(a, lit(" "), b))).otherwise(array()))
+        .select(
+          col("doc_id"), col("source"),
+          size(filter(col("ws"), w => w.isin(terms: _*)))
+            .cast("long").as("blocked_term_ct"),
+          size(filter(col("bg"), g => g.isin(phrases: _*)))
+            .cast("long").as("blocked_phrase_ct"))
+        .withColumn("keep",
+          (col("blocked_term_ct") === 0 && col("blocked_phrase_ct") === 0)
+            .cast("int"))
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , b AS (
+        SELECT doc_id, source,
+               len(list_filter(ws, w -> w IN (${terms.map("'" + _ + "'").mkString(",")}))) AS blocked_term_ct,
+               CASE WHEN len(ws) < 2 THEN 0
+                    ELSE len(list_filter(list_transform(generate_series(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1]),
+                           g -> g IN (${phrases.map("'" + _ + "'").mkString(",")})))
+               END AS blocked_phrase_ct
+        FROM toks)
+      SELECT doc_id, source,
+             CAST(blocked_term_ct AS BIGINT) AS blocked_term_ct,
+             CAST(blocked_phrase_ct AS BIGINT) AS blocked_phrase_ct,
+             CASE WHEN blocked_term_ct = 0 AND blocked_phrase_ct = 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM b ORDER BY doc_id
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard,
-      bpeTokenize)
+      bpeTokenize, blocklist)
 }
