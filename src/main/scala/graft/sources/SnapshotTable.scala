@@ -65,7 +65,13 @@ object SnapshotTable {
     require(clusterFiles.isEmpty || statsCols.nonEmpty,
       "clusterFiles requires at least one stats column to cluster by")
     val out = clusterFiles match {
+      // sortWithinPartitions tightens parquet ROW-GROUP min/max inside
+      // each file — at 100 TB a file holds many row groups, and sorted
+      // data lets the parquet reader prune within the files the
+      // file-level stats kept (no extra shuffle; a per-partition sort
+      // rides the exchange's output)
       case Some(n) => df.repartitionByRange(n, col(statsCols.head))
+        .sortWithinPartitions(col(statsCols.head))
       case None => df
     }
     out.write.mode("overwrite").parquet(s"$root/$version")
@@ -119,10 +125,45 @@ object SnapshotTable {
     df.join(buckets, pk)
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"), col(pk))
+      // z-sorted within each file: row groups inherit tight rectangles
+      // too (same row-group rationale as the linear publish)
+      .sortWithinPartitions(col("__z"), col(pk))
       .drop("__z" +: zCols.indices.map(i => s"__zb_$i"): _*)
       .write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain, zCols)
   }
+
+  /** OPTIMIZE-style maintenance: rewrite the CURRENT version as a new
+    * clustered one — the compaction pass a streaming dim sink needs
+    * after many small upserts have fragmented the table (each
+    * [[upsert]] writes task-count files; a point lookup on a fragmented
+    * table keeps many small files no matter how good the stats are).
+    * Data is byte-identical by construction (same rows, new layout +
+    * fresh stats), the rewrite publishes through the same atomic marker
+    * move as any version — readers see the old layout or the new one,
+    * never a half-compacted state — and retention ages the fragmented
+    * version out. With `zOrderPk` set (and ≥ 2 statsCols) the rewrite
+    * z-orders; otherwise it range-clusters by the lead stats column, or
+    * just bin-packs to `targetFiles` when no stats are wanted.
+    * Returns the new version id, or None if nothing is published.
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+      statsCols: Seq[String] = Nil, zOrderPk: Option[String] = None,
+      retain: Int = 2): Option[String] =
+    latestVersion(root).map { v =>
+      val next = "v" + (v.drop(1).toLong + 1)
+      val df = readVersion(spark, root, v)
+      zOrderPk match {
+        case Some(pk) =>
+          require(statsCols.size >= 2, "z-order compaction needs >= 2 statsCols")
+          publishZOrdered(df, root, next, pk, statsCols, targetFiles, retain)
+        case None if statsCols.nonEmpty =>
+          publish(df, root, next, retain, statsCols, Some(targetFiles))
+        case None =>
+          publish(df.repartition(targetFiles), root, next, retain)
+      }
+      next
+    }
 
   /** Long-castable monotonic projection for rank bucketing. Strings map
     * to their first 7 bytes as a big-endian unsigned integer (zero-padded

@@ -225,8 +225,12 @@ object Pipelines {
           .partitionBy(col(pk)).orderBy(col("op_seq").desc)
         val newest = routed.withColumn("_rn", row_number().over(wNew))
           .filter(col("_rn") === 1).drop("_rn", "op_seq")
+        // pk stats on every published version: the DimUtil-analog point
+        // lookup can file-prune out of the box; periodic
+        // SnapshotTable.compact(..) re-clusters after fragmentation
         graft.sources.SnapshotTable.upsert(
-          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId")
+          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId",
+          statsCols = Seq(pk))
       }
     }
   }

@@ -163,4 +163,39 @@ class SnapshotTableSpec extends SparkSpec {
     // the whole table is still intact under z layout
     assert(SnapshotTable.read(spark, zroot).get.count() == 10000L)
   }
+
+  test("compact rewrites a fragmented table into a clustered version, data intact") {
+    val root = freshRoot("compact")
+    // a fragmented table: 16 files of unclustered rows, then an upsert
+    // that fragments further (task-count files per upsert)
+    val dim = spark.range(2000L).select(col("id"),
+      format_string("c%04d", (col("id") * 7919) % 2000).as("code"))
+    SnapshotTable.publish(dim.repartition(16), root, "v1")
+    SnapshotTable.upsert(
+      spark.range(5L).select(col("id"), lit("cXXXX").as("code")),
+      root, "id", "v2")
+    val before = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // linear compaction: 4 files, stats + clustering on id
+    val v3 = SnapshotTable.compact(spark, root, 4, statsCols = Seq("id"))
+    assert(v3.contains("v3") && SnapshotTable.latestVersion(root).contains("v3"))
+    assert(SnapshotTable.readStats(root).get.size == 4)
+    val after = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction must not change the data")
+    val hit = SnapshotTable.pointLookup(spark, root, "id", 1234L).get
+    assert(hit.inputFiles.length == 1,
+      s"compacted point lookup should prune to 1 file, scans ${hit.inputFiles.length}")
+
+    // z-order compaction: the same table re-optimized for both keys
+    val v4 = SnapshotTable.compact(spark, root, 16,
+      statsCols = Seq("id", "code"), zOrderPk = Some("id"))
+    assert(v4.contains("v4") && SnapshotTable.latestVersion(root).contains("v4"))
+    val zB = SnapshotTable.readPruned(spark, root, "code", "c0400", "c0499").get
+    assert(zB.inputFiles.length <= 8,
+      s"z-compacted table should prune on code, kept ${zB.inputFiles.length} of 16")
+    assert(SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+  }
 }
