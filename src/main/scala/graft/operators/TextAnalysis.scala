@@ -450,7 +450,108 @@ object TextAnalysis {
     """)
   }
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021, Table A1's
+    * n-gram half): per document the character fraction of the single
+    * most frequent {2,3,4}-gram and the character fraction covered by
+    * duplicated {5..10}-grams — the published thresholds filter on
+    * exactly these nine numbers, and [[repetition]]'s distinct-ratio
+    * pair cannot express them (a document can have a high distinct
+    * ratio and still be 30% one repeated trigram).
+    *
+    * Integer contract: fractions are floor-scaled basis points of the
+    * normalized token stream's character count; the top gram ties break
+    * lexicographically; duplicate coverage counts every occurrence of a
+    * duplicated gram (occurrences overlap, so the sum is capped at
+    * 10000 bp) — each choice pinned so both engines agree exactly.
+    *
+    * Scale shape: ONE data exchange total — the RAW documents
+    * repartition by doc_id BEFORE the 9-family explode (shuffle bytes =
+    * the corpus, not 9x the gram stream), and every downstream stage
+    * (gram counts, the (doc_id, n) argmax window, the per-n rollup, the
+    * doc-grain pivot) is satisfied by that partitioning under the
+    * subset rule, so Catalyst plans them exchange-free (plan-pinned in
+    * GopherRepSpec). Shingles come from the slice+zip_with builder (no
+    * per-element lambda-capture re-evaluation), counted NON-distinct.
+    */
+  private def gramsJoined(toksCol: org.apache.spark.sql.Column, n: Int) = {
+    val len = size(toksCol) - (n - 1)
+    val parts = (0 until n).map(k => slice(toksCol, lit(k + 1), len))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(len <= 0, array().cast("array<string>")).otherwise(joined)
+  }
+
+  /** [[gopherRepetition]]'s core over any (doc_id, text) frame — test
+    * seam for the duplicate-n-gram branch, which the synthetic corpus
+    * never exercises (zero repeated ≥5-grams at every sf; the spec
+    * plants a boilerplate doc and checks against independent
+    * brute-force arithmetic).
+    */
+  private[graft] def gopherRepOf(docs: DataFrame): DataFrame = {
+    {
+      val grams = docs
+        .repartition(col("doc_id"))
+        .withColumn("ws", tokens(col("text")))
+        .filter(size(col("ws")) > 0)
+        .withColumn("char_total", length(array_join(col("ws"), " ")).cast("long"))
+        .select(col("doc_id"), col("char_total"),
+          explode(flatten(array((2 to 10).map(n =>
+            transform(gramsJoined(col("ws"), n),
+              g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+        .select(col("doc_id"), col("char_total"),
+          col("t.n").as("n"), col("t.g").as("g"))
+      val counts = grams.groupBy("doc_id", "char_total", "n", "g")
+        .agg(count(lit(1)).as("cnt"))
+      val rk = counts.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("n"))
+          .orderBy(col("cnt").desc, col("g"))))
+      val perN = rk.groupBy(col("doc_id"), col("char_total"), col("n")).agg(
+        max(when(col("rk") === 1,
+          floor(col("cnt") * length(col("g")) * lit(10000.0) / col("char_total"))))
+          .cast("long").as("top_bp"),
+        least(lit(10000L),
+          floor(coalesce(sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))),
+            lit(0L)) * lit(10000.0) / col("char_total")).cast("long")).as("dup_bp"))
+      val aggs =
+        (2 to 4).map(n =>
+          coalesce(max(when(col("n") === n, col("top_bp"))), lit(0L)).as(s"top${n}_bp")) ++
+        (5 to 10).map(n =>
+          coalesce(max(when(col("n") === n, col("dup_bp"))), lit(0L)).as(s"dup${n}_bp"))
+      perN.groupBy(col("doc_id"), col("char_total"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    }
+  }
+
+  val gopherRepetition: GraftQuery = new GraftQuery {
+    val name = "doc_gopher_rep"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      gopherRepOf(Tables.load(spark, sfDir, "documents"))
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , t AS (SELECT doc_id, ws, length(array_to_string(ws, ' ')) AS char_total
+              FROM toks WHERE len(ws) > 0),
+      g AS (
+        SELECT doc_id, char_total, n, array_to_string(ws[i:i+n-1], ' ') AS g
+        FROM t
+        CROSS JOIN unnest(generate_series(2, 10)) AS tn(n)
+        CROSS JOIN unnest(generate_series(1, len(ws) - n + 1)) AS ti(i)),
+      c AS (SELECT doc_id, char_total, n, g, count(*) AS cnt FROM g GROUP BY ALL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                        ORDER BY cnt DESC, g) AS rk FROM c),
+      pn AS (SELECT doc_id, char_total, n,
+               max(CASE WHEN rk = 1 THEN CAST(floor(cnt * length(g) * 10000.0 / char_total) AS BIGINT) END) AS top_bp,
+               least(10000, CAST(floor(COALESCE(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0) * 10000.0 / char_total) AS BIGINT)) AS dup_bp
+             FROM r GROUP BY doc_id, char_total, n)
+      SELECT doc_id, CAST(char_total AS BIGINT) AS char_total,
+             ${(2 to 4).map(n => s"COALESCE(max(CASE WHEN n = $n THEN top_bp END), 0) AS top${n}_bp").mkString(",\n             ")},
+             ${(5 to 10).map(n => s"COALESCE(max(CASE WHEN n = $n THEN dup_bp END), 0) AS dup${n}_bp").mkString(",\n             ")}
+      FROM pn GROUP BY doc_id, char_total ORDER BY doc_id
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard,
-      bpeTokenize, blocklist)
+      bpeTokenize, blocklist, gopherRepetition)
 }
