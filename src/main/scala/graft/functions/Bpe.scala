@@ -193,9 +193,12 @@ object Bpe {
 
   /** [[docCounts]] over the sf dir's documents table as a SESSION-SHARED
     * frame — the segmented-vocab counts are a natural shared artifact (a
-    * tokenizer is applied once per corpus, not once per consumer), and
-    * four queries (text_stats, pack_sequences, sample_mixture,
-    * corpus_card) read the identical frame.
+    * tokenizer is applied once per corpus, not once per consumer).
+    * Three queries (text_stats, pack_sequences, sample_mixture) read
+    * the identical frame; corpus_card deliberately does NOT (its
+    * partials must run on corpus slices). Like every shared frame, the
+    * cache is bound to the session that built it and released by the
+    * harness's `CacheRegistry.clearAll()` at end of run.
     */
   def docCountsShared(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame =

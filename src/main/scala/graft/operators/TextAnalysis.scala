@@ -416,10 +416,7 @@ object TextAnalysis {
     def run(spark: SparkSession, sfDir: String): DataFrame =
       Tables.load(spark, sfDir, "documents")
         .withColumn("ws", tokens(col("text")))
-        .withColumn("bg", when(size(col("ws")) > 1,
-          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
-            slice(col("ws"), lit(2), size(col("ws")) - 1),
-            (a, b) => concat(a, lit(" "), b))).otherwise(array()))
+        .withColumn("bg", positionalShingles(col("ws"), 2))
         .select(
           col("doc_id"), col("source"),
           size(filter(col("ws"), w => w.isin(terms: _*)))
@@ -494,18 +491,25 @@ object TextAnalysis {
       // own column and every one is consumed again downstream (≥ 2
       // refs), which keeps CollapseProject from re-inlining the chain
       // back into one exponential expression.
-      val withFams = (2 to 10).foldLeft(base.withColumn("g1", col("ws"))) { (df, n) =>
+      val withFams = (3 to 10).foldLeft(
+        base.withColumn("g2", positionalShingles(col("ws"), 2))) { (df, n) =>
         val len = size(col("ws")) - (n - 1)
         df.withColumn(s"g$n",
           when(len <= 0, array().cast("array<string>"))
             .otherwise(zip_with(slice(col(s"g${n - 1}"), lit(1), len),
               slice(col("ws"), lit(n), len), (a, b) => concat(a, lit(" "), b))))
       }
+      // the n = 0 sentinel guarantees one exploded row per document: a
+      // 1-token doc has NO n-grams at any real n, but it is a document
+      // with zero repetition, not a missing row — a join back to doc
+      // grain would duplicate the base subtree instead (differing
+      // projections defeat ReuseExchange, the round-7 scan-audit rule)
+      val fams = (2 to 10).map(n =>
+        transform(col(s"g$n"), g => struct(lit(n).as("n"), g.as("g")))) :+
+        array(struct(lit(0).as("n"), lit("").as("g")))
       val grams = withFams
         .select(col("doc_id"), col("char_total"),
-          explode(flatten(array((2 to 10).map(n =>
-            transform(col(s"g$n"),
-              g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+          explode(flatten(array(fams: _*))).as("t"))
         .select(col("doc_id"), col("char_total"),
           col("t.n").as("n"), col("t.g").as("g"))
       val counts = grams.groupBy("doc_id", "char_total", "n", "g")
@@ -545,7 +549,9 @@ object TextAnalysis {
         SELECT doc_id, char_total, n, array_to_string(ws[i:i+n-1], ' ') AS g
         FROM t
         CROSS JOIN unnest(generate_series(2, 10)) AS tn(n)
-        CROSS JOIN unnest(generate_series(1, len(ws) - n + 1)) AS ti(i)),
+        CROSS JOIN unnest(generate_series(1, len(ws) - n + 1)) AS ti(i)
+        UNION ALL
+        SELECT doc_id, char_total, 0 AS n, '' AS g FROM t),
       c AS (SELECT doc_id, char_total, n, g, count(*) AS cnt FROM g GROUP BY ALL),
       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
                         ORDER BY cnt DESC, g) AS rk FROM c),

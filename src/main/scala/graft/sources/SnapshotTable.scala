@@ -110,12 +110,13 @@ object SnapshotTable {
   def publishZOrdered(df: DataFrame, root: String, version: String,
       pk: String, zCols: Seq[String], nFiles: Int, retain: Int = 2,
       bits: Int = 8): Unit = {
+    require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(zCols.size >= 2, "z-ordering needs >= 2 columns (use clusterFiles for 1)")
     require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits overflows a long")
     val d = zCols.size
     val specs = zCols.zipWithIndex.map { case (c, i) =>
       graft.operators.Ranks.NtileSpec(s"__zb_$i",
-        zSurrogate(df.schema(c).dataType, col(c)), asc = true)
+        zSurrogate(df, c), asc = true)
     }
     val buckets = graft.operators.Ranks.distNtileScores(df, pk, 1 << bits, specs)
     val z = (for { j <- 0 until bits; i <- 0 until d } yield
@@ -133,9 +134,9 @@ object SnapshotTable {
     commitVersion(df.sparkSession, root, version, retain, zCols)
   }
 
-  /** OPTIMIZE-style maintenance: rewrite the CURRENT version as a new
-    * clustered one — the compaction pass a streaming dim sink needs
-    * after many small upserts have fragmented the table (each
+  /** OPTIMIZE-style maintenance: rewrite the CURRENT version as new
+    * version `version`, clustered — the compaction pass a streaming dim
+    * sink needs after many small upserts have fragmented the table (each
     * [[upsert]] writes task-count files; a point lookup on a fragmented
     * table keeps many small files no matter how good the stats are).
     * Data is byte-identical by construction (same rows, new layout +
@@ -145,38 +146,60 @@ object SnapshotTable {
     * version out. With `zOrderPk` set (and ≥ 2 statsCols) the rewrite
     * z-orders; otherwise it range-clusters by the lead stats column, or
     * just bin-packs to `targetFiles` when no stats are wanted.
-    * Returns the new version id, or None if nothing is published.
+    *
+    * `version` is the CALLER's to choose because this format has one
+    * publisher per table root: a streaming dim sink names versions by
+    * batch id, so maintenance must run through the same sequence (e.g.
+    * a dedicated micro-batch, or between stream incarnations using the
+    * next unused id) — an auto-picked latest+1 would collide with the
+    * next batch's own version and overwrite the directory the merge is
+    * reading. Returns the new version id, or None when nothing is
+    * published to compact.
     */
-  def compact(spark: SparkSession, root: String, targetFiles: Int,
-      statsCols: Seq[String] = Nil, zOrderPk: Option[String] = None,
-      retain: Int = 2): Option[String] =
+  def compact(spark: SparkSession, root: String, version: String,
+      targetFiles: Int, statsCols: Seq[String] = Nil,
+      zOrderPk: Option[String] = None, retain: Int = 2): Option[String] =
     latestVersion(root).map { v =>
-      val next = "v" + (v.drop(1).toLong + 1)
+      require(version.matches("v\\d+") && version.drop(1).toLong > v.drop(1).toLong,
+        s"compaction version must be v<digits> after the published $v, got $version")
       val df = readVersion(spark, root, v)
       zOrderPk match {
         case Some(pk) =>
           require(statsCols.size >= 2, "z-order compaction needs >= 2 statsCols")
-          publishZOrdered(df, root, next, pk, statsCols, targetFiles, retain)
+          publishZOrdered(df, root, version, pk, statsCols, targetFiles, retain)
         case None if statsCols.nonEmpty =>
-          publish(df, root, next, retain, statsCols, Some(targetFiles))
+          publish(df, root, version, retain, statsCols, Some(targetFiles))
         case None =>
-          publish(df.repartition(targetFiles), root, next, retain)
+          publish(df.repartition(targetFiles), root, version, retain)
       }
-      next
+      version
     }
 
   /** Long-castable monotonic projection for rank bucketing. Strings map
-    * to their first 7 bytes as a big-endian unsigned integer (zero-padded
-    * hex so shorter strings compare correctly) — UTF-8 byte order equals
+    * to 7 bytes as a big-endian unsigned integer (zero-padded hex so
+    * shorter strings compare correctly) — UTF-8 byte order equals
     * code-point order, so the projection is order-preserving up to ties
-    * past byte 7, which only blur tile boundaries, never results.
+    * past the 7 bytes, which only blur tile boundaries, never results
+    * (stats are computed from the real values; pruning stays correct).
+    *
+    * The 7-byte window starts AFTER the column's longest common prefix:
+    * a dim keyed by URL ("https://..." everywhere) would otherwise
+    * collapse every value to one surrogate and z-clustering on that
+    * column would silently degrade to the pk tiebreaker's order. The
+    * LCP comes from min/max alone (the LCP of a sorted set's extremes
+    * is the set's LCP) — one metadata-sized aggregate on the driver.
     */
-  private def zSurrogate(dt: org.apache.spark.sql.types.DataType,
-      c: Column): Column = dt match {
-    case org.apache.spark.sql.types.StringType =>
-      conv(rpad(hex(c.cast("binary")), 14, "0"), 16, 10).cast("long")
-    case _ => c
-  }
+  private def zSurrogate(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val row = df.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        val (lo, hi) = (Option(row.getString(0)).getOrElse(""),
+          Option(row.getString(1)).getOrElse(""))
+        val lcp = lo.zip(hi).takeWhile { case (a, b) => a == b }.size
+        conv(rpad(hex(substring(col(c), lcp + 1, 7).cast("binary")), 14, "0"),
+          16, 10).cast("long")
+      case _ => col(c)
+    }
 
   /** The shared publish tail: stats before the marker (a published
     * version always has its stats), then the atomic `_LATEST` move, then

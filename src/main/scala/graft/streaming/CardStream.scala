@@ -39,14 +39,20 @@ object CardStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           ExactlyOnce.write(TextAnalysis.cardPartials(batch), partialsDir, batchId)
-        graft.CacheRegistry.clear()
+        // no CacheRegistry.clear() here: the card chain registers no
+        // per-query persists, and a long-lived stream clearing the
+        // GLOBAL registry would unpersist frames owned by whatever
+        // batch query shares the session (DedupStream clears because
+        // its ingestBatch actually registers caches)
       }
       .start()
 
-  /** The live card: re-aggregate all published partials. Safe to call
-    * while the stream runs — it reads whole committed batch partitions
-    * (the batch-id-keyed layout is also what makes this read atomic per
-    * batch).
+  /** The live card: re-aggregate all published partials. A read racing
+    * an in-flight commit may observe that batch partially (parquet
+    * commits rename files one at a time), so a LIVE read is a lower
+    * bound on the in-flight batch and exact for all settled ones; read
+    * after the commit (e.g. after `processAllAvailable`) for the exact
+    * card. Requires at least one committed partial.
     */
   def liveCard(spark: SparkSession, partialsDir: String): DataFrame =
     TextAnalysis.cardOutput(

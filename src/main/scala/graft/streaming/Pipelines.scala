@@ -225,12 +225,16 @@ object Pipelines {
           .partitionBy(col(pk)).orderBy(col("op_seq").desc)
         val newest = routed.withColumn("_rn", row_number().over(wNew))
           .filter(col("_rn") === 1).drop("_rn", "op_seq")
-        // pk stats on every published version: the DimUtil-analog point
-        // lookup can file-prune out of the box; periodic
-        // SnapshotTable.compact(..) re-clusters after fragmentation
+        // no per-batch stats: the merge output is pk-hash-partitioned,
+        // so every file would span the full key range (stats that prune
+        // nothing) while the stats pass re-reads the whole table each
+        // micro-batch. File-skipping comes from periodic maintenance
+        // instead: SnapshotTable.compact(root, v<nextUnusedBatchId>,
+        // ..., statsCols = Seq(pk)) re-clusters AND records stats in one
+        // rewrite (version id coordinated with this sink's batch-id
+        // naming — see compact's doc).
         graft.sources.SnapshotTable.upsert(
-          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId",
-          statsCols = Seq(pk))
+          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId")
       }
     }
   }

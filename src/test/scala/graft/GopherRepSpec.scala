@@ -37,11 +37,15 @@ class GopherRepSpec extends SparkSpec {
     import spark.implicits._
     val boiler = Array.fill(6)("spark makes big data feel small today").mkString(" ")
     val fresh = (1 to 30).map(i => s"w$i word$i").mkString(" ")
-    val docs = Seq((1L, boiler), (2L, fresh)).toDF("doc_id", "text")
+    // a 1-token doc has NO n-grams at any n but must still emit a row
+    // of zeros (it is a document with no repetition, not a missing doc)
+    val single = "hello"
+    val docs = Seq((1L, boiler), (2L, fresh), (3L, single)).toDF("doc_id", "text")
 
     val got = TextAnalysis.gopherRepOf(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    for ((id, text) <- Seq(1L -> boiler, 2L -> fresh)) {
+    assert(got.keySet == Set(1L, 2L, 3L), s"every doc must emit a row: ${got.keySet}")
+    for ((id, text) <- Seq(1L -> boiler, 2L -> fresh, 3L -> single)) {
       val (charTotal, top, dup) = brute(text)
       val r = got(id)
       assert(r.getLong(r.fieldIndex("char_total")) == charTotal, s"doc $id char_total")

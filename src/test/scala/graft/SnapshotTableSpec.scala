@@ -177,8 +177,9 @@ class SnapshotTableSpec extends SparkSpec {
     val before = SnapshotTable.read(spark, root).get
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
-    // linear compaction: 4 files, stats + clustering on id
-    val v3 = SnapshotTable.compact(spark, root, 4, statsCols = Seq("id"))
+    // linear compaction: 4 files, stats + clustering on id (version is
+    // caller-owned — the next unused id in this root's sequence)
+    val v3 = SnapshotTable.compact(spark, root, "v3", 4, statsCols = Seq("id"))
     assert(v3.contains("v3") && SnapshotTable.latestVersion(root).contains("v3"))
     assert(SnapshotTable.readStats(root).get.size == 4)
     val after = SnapshotTable.read(spark, root).get
@@ -189,7 +190,7 @@ class SnapshotTableSpec extends SparkSpec {
       s"compacted point lookup should prune to 1 file, scans ${hit.inputFiles.length}")
 
     // z-order compaction: the same table re-optimized for both keys
-    val v4 = SnapshotTable.compact(spark, root, 16,
+    val v4 = SnapshotTable.compact(spark, root, "v4", 16,
       statsCols = Seq("id", "code"), zOrderPk = Some("id"))
     assert(v4.contains("v4") && SnapshotTable.latestVersion(root).contains("v4"))
     val zB = SnapshotTable.readPruned(spark, root, "code", "c0400", "c0499").get
@@ -197,5 +198,27 @@ class SnapshotTableSpec extends SparkSpec {
       s"z-compacted table should prune on code, kept ${zB.inputFiles.length} of 16")
     assert(SnapshotTable.read(spark, root).get
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    // a stale/colliding version id fails loudly instead of overwriting
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, root, "v4", 4, statsCols = Seq("id"))
+    }
+  }
+
+  test("z-order string buckets survive a long shared prefix (URL-keyed dim)") {
+    // every key shares a 24-char prefix — a naive first-7-bytes
+    // surrogate would collapse all rows to one bucket and the code
+    // column would stop pruning entirely
+    val dim = spark.range(10000L).select(col("id"),
+      format_string("https://example.com/page/c%04d",
+        (col("id") * 7919) % 10000).as("code"))
+    val root = freshRoot("zurl")
+    SnapshotTable.publishZOrdered(dim, root, "v1",
+      pk = "id", zCols = Seq("id", "code"), nFiles = 16)
+    val zB = SnapshotTable.readPruned(spark, root, "code",
+      "https://example.com/page/c4000", "https://example.com/page/c4099").get
+    assert(zB.inputFiles.length <= 8,
+      s"prefix-stripped surrogate should keep code pruning, kept ${zB.inputFiles.length} of 16")
+    assert(zB.filter(col("code").between("https://example.com/page/c4000",
+      "https://example.com/page/c4099")).count() == 100L)
   }
 }
