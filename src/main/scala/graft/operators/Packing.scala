@@ -154,5 +154,78 @@ object Packing {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(packSequences, chunkDocuments)
+  /** CONTENT-DEFINED chunking (the FastCDC family, public algorithm):
+    * chunk boundaries fall after tokens whose hash satisfies a fixed
+    * condition (here hash16 % 16 == 0, ~16-token expected chunks)
+    * instead of at fixed strides. The property that matters for dedup:
+    * an insertion shifts every fixed-stride chunk after it (all hashes
+    * change — [[chunkDocuments]] finds nothing), while content-defined
+    * boundaries re-synchronize at the next boundary token, so every
+    * chunk past it keeps an IDENTICAL hash and chunk-level dedup still
+    * matches the unedited remainder (spec-proven on an edited twin).
+    * Production CDC adds min/max chunk bounds, which make the boundary
+    * decision sequential; the pure form keeps the decision per-token —
+    * embarrassingly parallel and cross-engine reproducible — and the
+    * bounds can ride the same segment arithmetic later.
+    *
+    * Map-only: boundary positions, chunk slices and hashes are all
+    * per-row array work over one corpus scan; the only exchange is the
+    * deterministic output sort.
+    */
+  /** [[chunkDocumentsCdc]]'s core over any (doc_id, text) frame — the
+    * spec seam for the insertion-robustness property.
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") > 0)
+        // boundary AFTER token i iff hash16(token_i) % 16 == 0; the last
+        // token always closes the final chunk
+        .withColumn("ends", array_union(
+          filter(sequence(lit(1), col("n")),
+            i => hash16(element_at(col("ws"), i)) % 16 === 0),
+          array(col("n"))))
+        .withColumn("pairs", zip_with(
+          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)),
+          col("ends"),
+          (prev, e) => struct((prev + 1).as("s"), e.as("e"))))
+        .select(col("doc_id"), col("ws"),
+          posexplode(col("pairs")).as(Seq("chunk_idx", "p")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("p.s").cast("long").as("tok_start"),
+          (col("p.e") - col("p.s") + 1).cast("long").as("tok_ct"),
+          md5(concat_ws(" ",
+            slice(col("ws"), col("p.s"), col("p.e") - col("p.s") + 1)))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocumentsCdc: GraftQuery = new GraftQuery {
+    val name = "chunk_documents_cdc"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      cdcChunksOf(Tables.load(spark, sfDir, "documents"))
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , t AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+      e AS (
+        SELECT doc_id, ws,
+               list_sort(list_distinct(list_concat(
+                 list_filter(generate_series(1, n),
+                   i -> ${duckHash16("ws[i]")} % 16 = 0), [n]))) AS ends
+        FROM t),
+      c AS (
+        SELECT doc_id, ws, ends,
+               unnest(generate_series(1, len(ends))) AS k
+        FROM e)
+      SELECT doc_id,
+             CAST(k - 1 AS BIGINT) AS chunk_idx,
+             CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS BIGINT) AS tok_start,
+             CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS BIGINT) AS tok_ct,
+             md5(array_to_string(ws[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):ends[k]], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(packSequences, chunkDocuments, chunkDocumentsCdc)
 }
