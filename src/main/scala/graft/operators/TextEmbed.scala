@@ -239,5 +239,68 @@ object TextEmbed {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(docEmbed, docEmbedAnn, semanticText)
+  /** SEMANTIC decontamination — the embedding-level companion to the
+    * n-gram/span/bloom contamination family: a paraphrased eval item
+    * shares few exact n-grams with its corpus twin but keeps a high
+    * cosine in embedding space, so eval hygiene at scale checks both.
+    * Benchmark = doc_id < 20 (the same deterministic eval stand-in as
+    * `contamination_ngram`); every corpus doc reports its closest
+    * benchmark item and a flag at 9000 bp cosine.
+    *
+    * Scale shape: the benchmark side is small by definition and
+    * BROADCASTS into one map-only corpus pass; the per-doc argmax is a
+    * packed struct-max aggregation (map-side combinable — ties prefer
+    * the smallest bench id via the negated second field), so the only
+    * data exchange is that one doc-keyed aggregation. No corpus×corpus
+    * pair ever exists.
+    */
+  val contaminationSemantic: GraftQuery = new GraftQuery {
+    val name = "contamination_semantic"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DotProductDouble.register(spark)
+      val v = docVectors(spark, sfDir)
+        .select(col("doc_id"),
+          transform(col("e"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+        .filter(col("nrm") > 0)
+      val bench = v.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
+      v.filter(col("doc_id") >= 20)
+        .crossJoin(broadcast(bench))
+        .withColumn("cos_bp",
+          floor(expr("dot_double(v, bv)") * lit(10000.0) /
+            (col("nrm") * col("bnrm"))).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cos_bp"), (-col("bench_id")).as("nb"))).as("m"))
+        .select(col("doc_id"),
+          (-col("m.nb")).cast("long").as("bench_id"),
+          col("m.cos_bp").as("cos_bp"),
+          (col("m.cos_bp") >= 9000).cast("int").as("flagged"))
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckEmbedCtes + """
+      , n AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n WHERE nrm > 0),
+      scored AS (
+        SELECT c.doc_id, b.doc_id AS bench_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(c.v)),
+                      i -> c.v[i] * b.v[i])) * 10000.0 / (c.nrm * b.nrm)) AS BIGINT) AS cos_bp
+        FROM nz c JOIN nz b ON c.doc_id >= 20 AND b.doc_id < 20),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cos_bp DESC, bench_id) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(bench_id AS BIGINT) AS bench_id, cos_bp,
+             CASE WHEN cos_bp >= 9000 THEN 1 ELSE 0 END AS flagged
+      FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(docEmbed, docEmbedAnn, semanticText, contaminationSemantic)
 }
