@@ -46,4 +46,41 @@ class CardStreamSpec extends SparkSpec {
     assert(streamed == oneShot,
       s"live card must equal the one-shot card\nstreamed: $streamed\nbatch:    $oneShot")
   }
+
+  test("kill-and-resume: the resumed stream neither loses nor double-counts a batch") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("card_restart").toString
+    val dir = s"$work/in"; val parts = s"$work/parts"; val ckpt = s"$work/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def doc(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val chunk1 = Seq(doc(1L, "alpha beta gamma", "srcA"), doc(2L, "delta epsilon", "srcA"))
+    val chunk2 = Seq(doc(3L, "zeta eta theta", "srcA"), doc(4L, "iota kappa", "srcB"))
+    val schema = chunk1.toDF("doc_id", "text", "lang", "source", "n_chars").schema
+    def start() = streaming.CardStream.start(
+      spark.readStream.schema(schema).parquet(dir), parts, ckpt)
+
+    chunk1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    chunk2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    // checkpoint honored: exactly one partial per batch, batch 1 not
+    // reprocessed after the restart
+    val ids = spark.read.parquet(parts).select("batch_id")
+      .distinct().as[Int].collect().toSet
+    assert(ids == Set(0, 1), s"expected exactly 2 batch partials, got $ids")
+    // and the re-aggregated card equals the one-shot card over all docs
+    val streamed = streaming.CardStream.liveCard(spark, parts)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    val oneShot = operators.TextAnalysis.cardOutput(
+      operators.TextAnalysis.cardPartials(
+        (chunk1 ++ chunk2).toDF("doc_id", "text", "lang", "source", "n_chars")))
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    assert(streamed == oneShot,
+      s"restarted card must equal the one-shot card\nstreamed: $streamed\nbatch: $oneShot")
+  }
 }
