@@ -789,8 +789,165 @@ object Relevance {
     """)
   }
 
+  /** IN-ENGINE quality-classifier TRAINING — the half the trained-weights
+    * load path ([[qualityTrained]]) was missing: a batch perceptron over
+    * hashed token-count features, weakly supervised by the Gopher rule
+    * gate's own keep flag (train a cheap classifier on heuristic labels —
+    * the standard bootstrap a real pipeline runs, fastText-on-rules).
+    *
+    * Why a PERCEPTRON and why batch: integer weights, integer updates, and
+    * the batch form's epoch update over currently-misclassified docs is a
+    * plain aggregation — order-independent, map-side-combinable, exactly
+    * reproducible cross-engine, unlike SGD whose result depends on visit
+    * order. The update carries a DECAYING fixed-point learning rate,
+    * w += floor(1024·Σ y·x / (e·D)) with D the corpus size (an in-plan
+    * broadcast scalar) and e the epoch: the raw batch update overshoots
+    * by a factor of the misclassified count and flips whole-class
+    * predictions forever (observed: a 234↔266 oscillation that a
+    * constant rate does NOT fix — measured trajectories in BASELINE.md),
+    * while the 1/e decay is the textbook damping and floor keeps every
+    * step engine-exact. Measured on the sf0.01 corpus: 53%
+    * (majority) → 89% train accuracy by epoch 6 (266, 282, 299, 319,
+    * 435, 445 of 500). Epochs unroll relationally: the weight vector is
+    * a 68-row (bucket, w) table that BROADCASTS into
+    * the feature frame, so an epoch costs one doc-keyed margin
+    * aggregation + one 70-row weight aggregation — no dense vectors, no
+    * driver loop, no collect.
+    *
+    * Emits per doc: label, every epoch's margin and correctness flag —
+    * the oracle re-derives the entire training trajectory, not just the
+    * final predictions.
+    */
+  val trainPerceptron: GraftQuery = new GraftQuery {
+    val name = "train_quality_perceptron"
+    private val B = 64 // hashed tf buckets; engineered features sit above
+    private val E = 6 // unrolled epochs
+    private val S = 1024 // fixed-point weight scale
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val rf = ruleFrame(docs)
+      val lab = rf.select(col("doc_id"), (col("keep") * 2 - 1).as("y"))
+      // features: hashed token counts (buckets 0..63) + the engineered
+      // integer metrics the rules read (bias, scaled length, stopword and
+      // shape signals) — the realistic distillation setup: the linear
+      // model gets the same raw signals the rule battery thresholds
+      val hashed = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), (hash16(col("token")) % B).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      // feature magnitudes matter: every value stays O(10) so no single
+      // feature acts as an overweight quasi-bias (a mean-token-length
+      // feature at ~100 per doc measurably re-introduced the oscillation
+      // the decaying rate exists to damp)
+      val eng = Seq[(Int, org.apache.spark.sql.Column)](
+        (B, lit(1L)),
+        (B + 1, floor(col("token_ct") / 10).cast("long")),
+        (B + 2, col("stop_distinct")),
+        (B + 3, floor(coalesce(col("uniq_ratio_bp"), lit(0L)) / 100).cast("long")))
+        .map { case (b, v) => rf.select(col("doc_id"), lit(b).as("bucket"), v.as("cnt")) }
+        .reduce(_ unionAll _)
+      val fy = graft.CacheRegistry.persist(
+        hashed.unionByName(eng).join(lab, "doc_id"))
+      // corpus size as an in-plan broadcast scalar (the Lloyd-centers
+      // pattern) — the learning-rate denominator
+      val dRow = broadcast(lab.agg(count(lit(1)).as("d")))
+      def margins(w: DataFrame, out: String): DataFrame =
+        fy.join(broadcast(w), "bucket")
+          .groupBy(col("doc_id"), col("y"))
+          .agg((max(col("y")) * sum(col("w") * col("cnt"))).cast("long").as(out))
+      def step(mis: DataFrame, e: Int): DataFrame =
+        mis.groupBy("bucket")
+          .agg(sum(col("y") * col("cnt")).as("g"))
+          .crossJoin(dRow)
+          .select(col("bucket"),
+            floor(lit(S.toDouble) * col("g") / (lit(e) * col("d")))
+              .cast("long").as("u"))
+      // epoch 1: w0 = 0 misclassifies everything (margin 0)
+      val w1 = step(fy, 1).withColumnRenamed("u", "w")
+      val (_, ms) = (2 to E).foldLeft(
+        (w1, Seq(graft.CacheRegistry.persist(margins(w1, "m1"))))) {
+        case ((w, acc), e) =>
+          val upd = step(fy
+            .join(acc.last.filter(col(s"m${e - 1}") <= 0).select("doc_id"),
+              Seq("doc_id"), "left_semi"), e)
+          val wNext = w.join(upd, Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              (coalesce(col("w"), lit(0L)) + coalesce(col("u"), lit(0L))).as("w"))
+          (wNext, acc :+ graft.CacheRegistry.persist(margins(wNext, s"m$e")))
+      }
+      val joined = ms.reduce((a, b) => a.join(b, Seq("doc_id", "y")))
+      joined.select(col("doc_id") +: col("y").cast("long").as("y") +:
+        ((1 to E).map(e => col(s"m$e")) ++
+          (1 to E).map(e => (col(s"m$e") > 0).cast("int").as(s"ok$e"))): _*)
+        .orderBy("doc_id")
+    }
+
+    def oracle: Option[String] = {
+      // MATERIALIZED is load-bearing for oracle cost: every epoch re-reads
+      // fy three times, and DuckDB would otherwise re-inline the whole
+      // tokenize+feature build per reference (measured ~1000x slower)
+      val epochs = (2 to E).map { e =>
+        s"""
+      u$e AS (SELECT bucket, CAST(floor($S.0 * sum(y * cnt) / ($e * (SELECT d FROM dd))) AS BIGINT) AS u FROM fy
+             WHERE doc_id IN (SELECT doc_id FROM m${e - 1} WHERE m${e - 1} <= 0)
+             GROUP BY 1),
+      w$e AS MATERIALIZED (SELECT COALESCE(w${e - 1}.bucket, u$e.bucket) AS bucket,
+                    COALESCE(w, 0) + COALESCE(u, 0) AS w
+             FROM w${e - 1} FULL OUTER JOIN u$e ON w${e - 1}.bucket = u$e.bucket),
+      m$e AS MATERIALIZED (SELECT doc_id, y, CAST(y * sum(w * cnt) AS BIGINT) AS m$e
+             FROM fy JOIN w$e USING (bucket) GROUP BY doc_id, y)"""
+      }.mkString(",")
+      val mJoin = (2 to E).map(e => s"JOIN m$e USING (doc_id, y)").mkString(" ")
+      Some(duckToksCte + s"""
+      , met AS MATERIALIZED (
+        SELECT doc_id,
+               len(ws) AS token_ct,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_ct,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_ct,
+               len(list_distinct(ws)) AS uniq_ct,
+               len(list_distinct(list_filter(ws,
+                 w -> w IN ('the','be','to','of','and','a','in','that')))) AS stop_distinct
+        FROM toks),
+      lab AS (
+        SELECT doc_id,
+               2 * CAST(token_ct BETWEEN 50 AND 100000 AS BIGINT)
+                 * CAST(token_ct > 0 AND
+                        floor(alnum_ct * 100.0 / token_ct) BETWEEN 300 AND 1000 AS BIGINT)
+                 * CAST(token_ct > 0 AND
+                        floor(alpha_ct * 10000.0 / token_ct) >= 8000 AS BIGINT)
+                 * CAST(stop_distinct >= 2 AS BIGINT)
+                 * CAST(token_ct > 0 AND
+                        floor(uniq_ct * 10000.0 / token_ct) >= 2000 AS BIGINT)
+               - 1 AS y
+        FROM met),
+      feat AS (
+        SELECT doc_id, ${duckHash16("token")} % $B AS bucket, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+        GROUP BY 1, 2
+        UNION ALL SELECT doc_id, $B, 1 FROM met
+        UNION ALL SELECT doc_id, ${B + 1},
+          CAST(floor(token_ct / 10.0) AS BIGINT) FROM met
+        UNION ALL SELECT doc_id, ${B + 2}, stop_distinct FROM met
+        UNION ALL SELECT doc_id, ${B + 3},
+          CASE WHEN token_ct > 0 THEN CAST(floor(
+            floor(uniq_ct * 10000.0 / token_ct) / 100.0) AS BIGINT) ELSE 0 END FROM met),
+      fy AS MATERIALIZED (SELECT f.doc_id, bucket, cnt, y FROM feat f JOIN lab USING (doc_id)),
+      dd AS MATERIALIZED (SELECT count(*) AS d FROM lab),
+      w1 AS MATERIALIZED (SELECT bucket, CAST(floor($S.0 * sum(y * cnt) / (1 * (SELECT d FROM dd))) AS BIGINT) AS w
+             FROM fy GROUP BY 1),
+      m1 AS MATERIALIZED (SELECT doc_id, y, CAST(y * sum(w * cnt) AS BIGINT) AS m1
+             FROM fy JOIN w1 USING (bucket) GROUP BY doc_id, y),$epochs
+      SELECT doc_id, CAST(y AS BIGINT) AS y,
+             ${(1 to E).map(e => s"m$e").mkString(", ")},
+             ${(1 to E).map(e => s"CASE WHEN m$e > 0 THEN 1 ELSE 0 END AS ok$e").mkString(",\n             ")}
+      FROM m1 $mJoin ORDER BY doc_id
+    """)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(tfidfTop, percentiles, lmScore, lmBigram, qualityScore,
       qualityTrained, qualityRules, cmsTopk, qualityThreshold,
-      curriculumOrder)
+      curriculumOrder, trainPerceptron)
 }
