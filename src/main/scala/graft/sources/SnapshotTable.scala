@@ -97,8 +97,10 @@ object SnapshotTable {
     *      surrogate, which only shapes clustering, never pruning
     *      correctness (stats are computed from the real values);
     *   2. bucket bits interleave into one z value (column i claims bit
-    *      positions j·d+i), and the write range-partitions by z into
-    *      `nFiles` files — contiguous z runs = aligned key-space tiles;
+    *      positions j·d+i); a second exact ntile cuts the z order into
+    *      `nFiles` equal-count runs and pinned hashing gives each run its
+    *      own file — contiguous z runs = aligned key-space tiles, and the
+    *      layout is a pure function of the data (no boundary sampling);
     *   3. per-file min/max stats on every z column feed the same
     *      [[readPruned]]/[[pointLookup]] path as linear clustering.
     *
@@ -123,15 +125,49 @@ object SnapshotTable {
       shiftleft(shiftright((col(s"__zb_$i") - 1).cast("long"), j)
         .bitwiseAND(lit(1L)), j * d + i))
       .reduce(_ bitwiseOR _)
-    df.join(buckets, pk)
-      .withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"), col(pk))
+    // file id = EXACT ntile of z (equal row counts, adapts to the joint
+    // key density — correlated z columns concentrate mass on the curve's
+    // diagonal, and equal-count tiling still yields equal files there),
+    // placed by pinned hash. A repartitionByRange here would re-SAMPLE
+    // file boundaries every run (RangePartitioner's seed rides the RDD
+    // id), smearing tiles across files differently per session; exact
+    // ranks + pinned placement make the layout a pure function of the
+    // data, so pruning selectivity is reproducible.
+    val fileOf = graft.operators.Ranks.distNtileScores(
+      buckets.withColumn("__z", z), pk, nFiles,
+      Seq(graft.operators.Ranks.NtileSpec("__file", col("__z"), asc = true,
+        carryAs = Some("__z"))))
+    df.join(fileOf, pk)
+      .withColumn("__pin",
+        element_at(typedLit(partitionPins(nFiles)), col("__file")))
+      .repartition(nFiles, col("__pin"))
       // z-sorted within each file: row groups inherit tight rectangles
       // too (same row-group rationale as the linear publish)
       .sortWithinPartitions(col("__z"), col(pk))
-      .drop("__z" +: zCols.indices.map(i => s"__zb_$i"): _*)
+      .drop("__z", "__file", "__pin")
       .write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain, zCols)
+  }
+
+  /** For each target partition p < n, the smallest non-negative int whose
+    * Murmur3 hash (seed 42 — what `repartition(n, col)`'s HashPartitioning
+    * applies) lands on p: routing each file id through its pin gives every
+    * tile its own output partition deterministically, with no sampling.
+    * Coupon-collector cost, ~n·ln(n) driver-side hashes.
+    */
+  private def partitionPins(n: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val pins = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var i = 0
+    var remaining = n
+    while (remaining > 0) {
+      val h = Murmur3Hash(Seq(Literal(i)), 42).eval().asInstanceOf[Int]
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; pins(p) = i; remaining -= 1 }
+      i += 1
+    }
+    pins
   }
 
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version as new

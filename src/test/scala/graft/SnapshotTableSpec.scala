@@ -162,6 +162,18 @@ class SnapshotTableSpec extends SparkSpec {
       s"z-pruned rows must equal the full-scan rows (${zBRows.size} vs ${truth.size})")
     // the whole table is still intact under z layout
     assert(SnapshotTable.read(spark, zroot).get.count() == 10000L)
+    // the layout is a pure function of the data: a re-publish produces
+    // the identical tile rectangles (exact ntiles + pinned placement —
+    // a sampled range split here varied run-to-run with the session's
+    // RDD-id seed, which is exactly what this pins against)
+    val zroot2 = freshRoot("zord2")
+    SnapshotTable.publishZOrdered(dim, zroot2, "v1",
+      pk = "id", zCols = Seq("id", "code"), nFiles = 16)
+    def rects(root: String) = SnapshotTable.readStats(root).get
+      .map(s => (s.mins("id"), s.maxs("id"), s.mins("code"), s.maxs("code")))
+      .sorted
+    assert(rects(zroot2) == rects(zroot),
+      "re-published z layout must carry identical per-file stats")
   }
 
   test("compact rewrites a fragmented table into a clustered version, data intact") {
