@@ -16,7 +16,8 @@ object SparkEntry {
       Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++ Multimodal.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
-      HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all
+      HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all ++
+      SnapshotDiff.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

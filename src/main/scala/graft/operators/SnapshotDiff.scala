@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Version-diff (change data feed) over the [[graft.sources.SnapshotTable]]
+  * format — the Delta `table_changes` / Iceberg incremental-read analog a
+  * downstream consumer uses to process ONLY what changed between two dim
+  * publishes instead of re-reading the whole table (reference semantic: the
+  * dim layer the Phoenix sink maintains, `RT/app/function/DimSinkFunction
+  * .java:22-76`, whose consumers re-scan dims today).
+  *
+  * The oracled query below materializes two versions of a per-customer
+  * order rollup from the shared `orders` table — an "old" publish covering
+  * order dates ≤ 1995 and a "new" publish covering ≥ 1993 — and emits
+  * [[SnapshotTable.diff]] between them. The sliding window populates every
+  * change class deterministically: customers whose orders all predate 1993
+  * fall out (`delete`), customers whose orders all postdate 1995 appear
+  * (`insert`), customers straddling the boundary change their rollup
+  * (`update_preimage`/`update_postimage`), and customers entirely inside
+  * [1993, 1995] are row-identical in both versions — the rows diff must
+  * NOT emit, and whose untouched tiles the fingerprint matcher skips
+  * without scanning. The DuckDB oracle recomputes the full diff
+  * relationally (FULL OUTER JOIN of the two window aggregates).
+  */
+object SnapshotDiff {
+
+  private[graft] def root(sfDir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_snapdiff_" +
+      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  private def rollup(orders: DataFrame, from: Option[String],
+      until: Option[String]): DataFrame =
+    orders
+      .filter(from.map(d => col("o_orderdate") >= lit(d)).getOrElse(lit(true)) &&
+        until.map(d => col("o_orderdate") < lit(d)).getOrElse(lit(true)))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_ct"),
+        Money.sumCents(col("o_totalprice")).as("total_cents"))
+
+  val changes: GraftQuery = new GraftQuery {
+    val name = "snapshot_diff"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = root(sfDir)
+      // fresh root per run: the query is a pure function of sfDir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      val orders = Tables.load(spark, sfDir, "orders")
+      SnapshotTable.publish(rollup(orders, None, Some("1996-01-01")),
+        dir, "v1", retain = 2, statsCols = Seq("o_custkey"),
+        clusterFiles = Some(8))
+      // the new version publishes on the OLD version's file grid
+      // (value-stable boundaries), so tiles whose customers didn't
+      // change fingerprint-match and the diff never scans them
+      val bounds = SnapshotTable.keyBoundaries(dir, "v1", "o_custkey").get
+      SnapshotTable.publishAligned(rollup(orders, Some("1993-01-01"), None),
+        dir, "v2", "o_custkey", bounds, retain = 2)
+      SnapshotTable.diff(spark, dir, "v1", "v2", "o_custkey")
+        .orderBy(col("o_custkey"), col("_change_type"))
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH vold AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_ct,
+               ${Money.sumCentsSql("o_totalprice")} AS total_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      vnew AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_ct,
+               ${Money.sumCentsSql("o_totalprice")} AS total_cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+        GROUP BY 1),
+      j AS (
+        SELECT vold.o_custkey AS ok, vnew.o_custkey AS nk,
+               vold.order_ct AS oct, vnew.order_ct AS nct,
+               vold.total_cents AS ocents, vnew.total_cents AS ncents
+        FROM vold FULL OUTER JOIN vnew ON vold.o_custkey = vnew.o_custkey)
+      SELECT nk AS o_custkey, nct AS order_ct, ncents AS total_cents,
+             'insert' AS _change_type
+      FROM j WHERE ok IS NULL
+      UNION ALL
+      SELECT ok, oct, ocents, 'delete' FROM j WHERE nk IS NULL
+      UNION ALL
+      SELECT ok, oct, ocents, 'update_preimage'
+      FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL
+        AND (oct <> nct OR ocents <> ncents)
+      UNION ALL
+      SELECT nk, nct, ncents, 'update_postimage'
+      FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL
+        AND (oct <> nct OR ocents <> ncents)
+      ORDER BY o_custkey, _change_type
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(changes)
+}

@@ -170,6 +170,68 @@ object SnapshotTable {
     pins
   }
 
+  /** Publish with EXPLICIT file boundaries on `key` — the diff-friendly
+    * clustering. [[publish]]'s range clustering re-derives count-balanced
+    * boundaries per version, so a single inserted row shifts the content
+    * of every later file and a version diff must rescan the table even
+    * when almost nothing changed. Pinning the cutpoints to VALUES
+    * (typically [[keyBoundaries]] of the previous version) keeps every
+    * untouched key region byte-identical across publishes, which is what
+    * lets [[diffFiles]] fingerprint-skip its files. Rows past the last
+    * cutpoint (monotonically growing keys) land in the last file; a
+    * region that accumulates rows makes its file fat — when drift
+    * accumulates, re-balance with [[compact]] (boundaries re-derive and
+    * the next diff pays one full rescan: the standard cluster-maintenance
+    * trade). File `i` holds rows with `boundaries(i-1) <= key <
+    * boundaries(i)` (file 0 everything below, nulls included).
+    */
+  def publishAligned(df: DataFrame, root: String, version: String,
+      key: String, boundaries: Seq[Any], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
+    require(boundaries.nonEmpty, "publishAligned needs at least one cutpoint")
+    val n = boundaries.size + 1
+    val fileId = boundaries
+      .map(b => when(col(key) >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("__pin",
+        element_at(typedLit(partitionPins(n)), fileId + 1))
+      .repartition(n, col("__pin"))
+      .sortWithinPartitions(col(key))
+      .drop("__pin")
+      .write.mode("overwrite").parquet(s"$root/$version")
+    commitVersion(df.sparkSession, root, version, retain,
+      if (statsCols.nonEmpty) statsCols else Seq(key))
+  }
+
+  /** The interior cutpoints of a published version's file layout on
+    * `key`, derived from the per-file min stats — metadata only, no scan.
+    * Feed these to [[publishAligned]] to publish the NEXT version on the
+    * same grid. None when the version has no stats on `key`.
+    */
+  def keyBoundaries(root: String, version: String,
+      key: String): Option[Seq[Any]] =
+    readStatsVersion(root, version).flatMap { stats =>
+      val mins = stats.flatMap(fs => fs.mins.get(key).flatMap(decode))
+      if (mins.size != stats.size) None
+      else Some(sortAnys(mins).drop(1))
+    }
+
+  private def decode(encoded: String): Option[Any] = encoded.take(2) match {
+    case "L:" => Some(encoded.drop(2).toLong)
+    case "D:" => Some(encoded.drop(2).toDouble)
+    case "S:" => Some(new String(
+      java.util.Base64.getDecoder.decode(encoded.drop(2)), "UTF-8"))
+    case _ => None
+  }
+
+  private def sortAnys(vs: Seq[Any]): Seq[Any] = vs.sortWith {
+    case (a: Long, b: Long) => a < b
+    case (a: Double, b: Double) => a < b
+    case (a: String, b: String) => a < b
+    case _ => false
+  }
+
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version as new
     * version `version`, clustered — the compaction pass a streaming dim
     * sink needs after many small upserts have fragmented the table (each
@@ -272,10 +334,14 @@ object SnapshotTable {
 
   /** Per-file column stats of one published data file. Values are the
     * typed encodings of [[encode]]; `None` min/max for a column means the
-    * file is non-prunable on it.
+    * file is non-prunable on it. `count`/`fingerprint` (row count and an
+    * order-independent content fingerprint — the sum over rows of a
+    * 64-bit full-row hash, carried exactly as a decimal) exist on stats
+    * written since they were introduced; older `_STATS` parse with None.
     */
   final case class FileStats(file: String,
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      count: Option[Long] = None, fingerprint: Option[String] = None)
 
   /** Typed, order-preserving-per-type encoding for stats values. Strings
     * are Base64-wrapped (raw strings could contain the field separator);
@@ -314,17 +380,37 @@ object SnapshotTable {
     * move, so readers never see a version without its stats.
     */
   private def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    // content fingerprint: sum of a full-row 64-bit hash, accumulated in
+    // DECIMAL (exact, order-independent, and safe under ANSI overflow
+    // checking). Only atomic columns hash — a nested type anywhere drops
+    // the fingerprint for the whole version (diff then rescans, never
+    // mis-skips).
+    val hashable = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }).map(f => col(f.name))
+    val fpAggs =
+      if (hashable.length == df.schema.size)
+        Seq(count(lit(1)).as("__cnt"),
+          sum(xxhash64(hashable.toIndexedSeq: _*).cast("decimal(38,0)")).as("__fp"))
+      else Seq(count(lit(1)).as("__cnt"), first(lit(null)).as("__fp"))
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val rows = spark.read.parquet(dir)
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) ++ fpAggs
+    val rows = df
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val body = rows.map { r =>
       val base = r.getString(0).split('/').last
-      (base +: cols.flatMap(c => Seq(
+      ((base +: cols.flatMap(c => Seq(
         encode(r.get(r.fieldIndex(s"__min_$c"))),
-        encode(r.get(r.fieldIndex(s"__max_$c")))))).mkString("\t")
+        encode(r.get(r.fieldIndex(s"__max_$c")))))) ++ Seq(
+        r.getLong(r.fieldIndex("__cnt")).toString,
+        Option(r.get(r.fieldIndex("__fp"))).map(_.toString).getOrElse("X")))
+        .mkString("\t")
     }.sorted.mkString("\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_STATS"),
@@ -333,20 +419,26 @@ object SnapshotTable {
 
   /** The published version's per-file stats, if recorded. */
   def readStats(root: String): Option[Seq[FileStats]] =
-    latestVersion(root).flatMap { v =>
-      val p = java.nio.file.Paths.get(s"$root/$v/_STATS")
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val lines = java.nio.file.Files.readString(p).split("\n").toSeq
-        val cols = lines.head.split("\t").toSeq
-        Some(lines.tail.filter(_.nonEmpty).map { line =>
-          val f = line.split("\t")
-          FileStats(f(0),
-            cols.zipWithIndex.map { case (c, i) => c -> f(1 + 2 * i) }.toMap,
-            cols.zipWithIndex.map { case (c, i) => c -> f(2 + 2 * i) }.toMap)
-        })
-      }
+    latestVersion(root).flatMap(v => readStatsVersion(root, v))
+
+  /** Per-file stats of a specific retained version, if recorded. */
+  def readStatsVersion(root: String, version: String): Option[Seq[FileStats]] = {
+    val p = java.nio.file.Paths.get(s"$root/$version/_STATS")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readString(p).split("\n").toSeq
+      val cols = lines.head.split("\t").toSeq
+      Some(lines.tail.filter(_.nonEmpty).map { line =>
+        val f = line.split("\t")
+        val tail = f.drop(1 + 2 * cols.size)
+        FileStats(f(0),
+          cols.zipWithIndex.map { case (c, i) => c -> f(1 + 2 * i) }.toMap,
+          cols.zipWithIndex.map { case (c, i) => c -> f(2 + 2 * i) }.toMap,
+          tail.headOption.map(_.toLong),
+          tail.lift(1).filter(_ != "X"))
+      })
     }
+  }
 
   /** Read the latest snapshot restricted to files whose [min, max] on
     * `column` intersects [lower, upper] (inclusive). Files without
@@ -382,6 +474,96 @@ object SnapshotTable {
       value: Any): Option[DataFrame] =
     readPruned(spark, root, pkCol, value, value)
       .map(_.filter(col(pkCol) === lit(value)))
+
+  /** CHANGE DATA FEED between two retained versions (the Delta
+    * `table_changes` / Iceberg incremental-read analog): every row that
+    * is in `vNew` but not `vOld` (`insert`), in `vOld` but not `vNew`
+    * (`delete`), or present in both with different content
+    * (`update_preimage` + `update_postimage` — both images, the Delta CDF
+    * contract). Rows are identified by `pk` (must be unique and non-null
+    * per version); sameness is a 64-bit full-row hash.
+    *
+    * 100 TB shape: the naive version diff is two full scans plus a
+    * table-sized shuffle. When both versions carry per-file count +
+    * content fingerprints in `_STATS` ([[publish]] has recorded them
+    * since fingerprints were introduced), [[diffFiles]] first matches
+    * identical files pair-wise ON THE DRIVER — same min/max, row count
+    * and fingerprint — and the scan reads only the UNMATCHED files on
+    * each side. A clustered table whose changes concentrate in a few
+    * tiles (the common dim-update pattern) diffs by scanning just those
+    * tiles; the deterministic layout ([[publishZOrdered]], and
+    * [[publish]]'s range clustering for stable key populations) is what
+    * makes tile boundaries line up between versions so untouched tiles
+    * fingerprint-match. Missing or incomparable stats on either side fall
+    * back to the full diff — skipping is an optimization, never a
+    * correctness dependence (up to the 64-bit fingerprint, the same
+    * confidence bar as the row-sameness hash).
+    */
+  def diff(spark: SparkSession, root: String, vOld: String, vNew: String,
+      pk: String): DataFrame = {
+    val oldDf = readVersion(spark, root, vOld)
+    val newDf = readVersion(spark, root, vNew)
+    require(oldDf.schema == newDf.schema,
+      s"diff requires identical schemas; $vOld vs $vNew differ")
+    val kept = diffFiles(root, vOld, vNew)
+    def side(df: DataFrame, version: String, files: Option[Seq[String]]) =
+      files match {
+        case Some(Nil) => df.filter(lit(false))
+        case Some(fs) => spark.read.schema(df.schema)
+          .parquet(fs.map(f => s"$root/$version/$f"): _*)
+        case None => df
+      }
+    val dataCols = oldDf.columns.toSeq.map(col)
+    def keyed(df: DataFrame, h: String, row: String) =
+      df.select(col(pk).as("__pk"),
+        xxhash64(dataCols: _*).as(h), struct(dataCols: _*).as(row))
+    val j = graft.CacheRegistry.persist(
+      keyed(side(oldDf, vOld, kept.map(_._1)), "__oh", "__orow")
+        .join(keyed(side(newDf, vNew, kept.map(_._2)), "__nh", "__nrow"),
+          Seq("__pk"), "full_outer"))
+    val changed = j.filter(col("__oh").isNotNull && col("__nh").isNotNull &&
+      col("__oh") =!= col("__nh"))
+    Seq(
+      j.filter(col("__oh").isNull)
+        .select(col("__nrow.*")).withColumn("_change_type", lit("insert")),
+      j.filter(col("__nh").isNull)
+        .select(col("__orow.*")).withColumn("_change_type", lit("delete")),
+      changed.select(col("__orow.*"))
+        .withColumn("_change_type", lit("update_preimage")),
+      changed.select(col("__nrow.*"))
+        .withColumn("_change_type", lit("update_postimage")))
+      .reduce(_ unionByName _)
+  }
+
+  /** The driver-side file-matching half of [[diff]]: the UNMATCHED files
+    * of each version (old, new), or None when either side lacks complete
+    * count+fingerprint stats (→ full diff). Matching is multiset-exact:
+    * a (mins, maxs, count, fingerprint) key pairs one old file with one
+    * new file per occurrence.
+    */
+  private[graft] def diffFiles(root: String, vOld: String,
+      vNew: String): Option[(Seq[String], Seq[String])] = {
+    def key(fs: FileStats): Option[(Map[String, String], Map[String, String],
+        Long, String)] =
+      for { c <- fs.count; f <- fs.fingerprint } yield (fs.mins, fs.maxs, c, f)
+    for {
+      so <- readStatsVersion(root, vOld)
+      sn <- readStatsVersion(root, vNew)
+      if so.forall(key(_).isDefined) && sn.forall(key(_).isDefined)
+    } yield {
+      def unmatched(mine: Seq[FileStats], other: Seq[FileStats]) = {
+        val budget = scala.collection.mutable.Map.empty[Any, Int]
+        other.foreach { fs =>
+          budget.updateWith(key(fs).get)(n => Some(n.getOrElse(0) + 1)); ()
+        }
+        mine.filter { fs =>
+          val k = key(fs).get
+          if (budget.getOrElse(k, 0) > 0) { budget(k) -= 1; false } else true
+        }.map(_.file)
+      }
+      (unmatched(so, sn), unmatched(sn, so))
+    }
+  }
 
   /** Keep-latest upsert: merge `updates` over the current snapshot by
     * `pk` (update rows win; schema may widen — existing rows null-fill

@@ -96,6 +96,35 @@ object SnapshotProbe {
     val zKeptPk = SnapshotTable
       .readPruned(spark, zRoot, "o_orderkey", lo, hi).get.inputFiles.length
     println(s"""{"zorder":true,"files":$files,"publish_z_sec":$publishZ,"cust_range_z_sec":$zCustSec,"cust_range_linear_sec":$linCustSec,"cust_kept_files_z":$zKeptCust,"cust_kept_files_linear":$linKeptCust,"pk_kept_files_z":$zKeptPk,"cust_rows":$zCustRows}""")
+
+    // version diff: a dim update touching ~0.4% of rows in one key run
+    // plus a small append — the common micro-batch shape. Fingerprinted
+    // + aligned publishes let the diff scan only the changed tiles; the
+    // stats-less publishes force the full-table fallback diff.
+    val updLo = n / 2; val updHi = updLo + n / 250
+    val dim2 = dim
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey").between(updLo, updHi), lit("U"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(dim.filter(col("o_orderkey") < 1000)
+        .withColumn("o_orderkey", col("o_orderkey") + n + 1))
+    val bounds = SnapshotTable
+      .keyBoundaries(statsRoot, "v1", "o_orderkey").get
+    val ta = System.nanoTime()
+    // stats columns must match v1's for tiles to fingerprint-pair
+    SnapshotTable.publishAligned(dim2, statsRoot, "v2", "o_orderkey",
+      bounds, retain = 3, statsCols = Seq("o_orderkey", "o_custkey"))
+    val publishAligned = (System.nanoTime() - ta) / 1e9
+    SnapshotTable.publish(dim2.repartition(files), plainRoot, "v2", retain = 3)
+    val (keptOld, keptNew) =
+      SnapshotTable.diffFiles(statsRoot, "v1", "v2").get
+    val (dPrunedSec, dPrunedRows) = time(
+      SnapshotTable.diff(spark, statsRoot, "v1", "v2", "o_orderkey").count())
+    val (dFullSec, dFullRows) = time(
+      SnapshotTable.diff(spark, plainRoot, "v1", "v2", "o_orderkey").count())
+    assert(dPrunedRows == dFullRows,
+      s"diff row mismatch: $dPrunedRows vs $dFullRows")
+    println(s"""{"diff":true,"files":$files,"publish_aligned_sec":$publishAligned,"diff_pruned_sec":$dPrunedSec,"diff_full_sec":$dFullSec,"diff_files_scanned":${keptOld.size + keptNew.size},"diff_rows":$dPrunedRows}""")
     spark.stop()
   }
 }

@@ -176,6 +176,51 @@ class SnapshotTableSpec extends SparkSpec {
       "re-published z layout must carry identical per-file stats")
   }
 
+  test("diff emits exact change rows; fingerprint matching skips untouched tiles") {
+    val root = freshRoot("diff")
+    val v1 = spark.range(8000L).select(col("id"), (col("id") % 97).as("v"))
+    SnapshotTable.publish(v1, root, "v1", retain = 4,
+      statsCols = Seq("id"), clusterFiles = Some(8))
+    // v2 on v1's file grid: update one key run, delete another, append new
+    // keys past the max — three tiles' worth of change in an 8-tile table
+    val v2 = v1
+      .filter(!col("id").between(200, 204))
+      .withColumn("v",
+        when(col("id").between(100, 109), col("v") + 1000).otherwise(col("v")))
+      .unionByName(spark.range(8000L, 8010L).select(col("id"), lit(-1L).as("v")))
+    val bounds = SnapshotTable.keyBoundaries(root, "v1", "id").get
+    SnapshotTable.publishAligned(v2, root, "v2", "id", bounds, retain = 4)
+    val d = SnapshotTable.diff(spark, root, "v1", "v2", "id")
+    // exact change classes
+    val got = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val want =
+      (8000L to 8009L).map(k => (k, -1L, "insert")).toSet ++
+        (200L to 204L).map(k => (k, k % 97, "delete")) ++
+        (100L to 109L).map(k => (k, k % 97, "update_preimage")) ++
+        (100L to 109L).map(k => (k, k % 97 + 1000, "update_postimage"))
+    assert(got == want, s"diff rows off: extra=${got -- want} missing=${want -- got}")
+    // the scan evidence: changes live in the tile holding 100-204 and the
+    // last tile (inserts past the old max) — every other tile pair
+    // fingerprint-matches on the driver and is never read. diffFiles IS
+    // the skip decision (the scan frames are built from exactly these
+    // lists); df.inputFiles would be vacuous here — the internal persist
+    // substitutes a cached relation and hides the file scans. The
+    // got == want equality above is what proves no changed tile was
+    // wrongly skipped.
+    val (keptOld, keptNew) = SnapshotTable.diffFiles(root, "v1", "v2").get
+    assert(keptOld.size <= 3 && keptNew.size <= 3,
+      s"diff should scan only changed tiles of 8, kept " +
+        s"${keptOld.size} old + ${keptNew.size} new")
+    // an identical republish diffs to zero rows without scanning anything
+    SnapshotTable.publishAligned(v2, root, "v3", "id", bounds, retain = 4)
+    val (k3o, k3n) = SnapshotTable.diffFiles(root, "v2", "v3").get
+    assert(k3o.isEmpty && k3n.isEmpty,
+      s"identical versions must fingerprint-match every tile, kept " +
+        s"${k3o.size}/${k3n.size}")
+    assert(SnapshotTable.diff(spark, root, "v2", "v3", "id").count() == 0L)
+  }
+
   test("compact rewrites a fragmented table into a clustered version, data intact") {
     val root = freshRoot("compact")
     // a fragmented table: 16 files of unclustered rows, then an upsert
