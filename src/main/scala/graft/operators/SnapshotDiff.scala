@@ -98,5 +98,57 @@ object SnapshotDiff {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(changes)
+  /** MERGE INTO over the snapshot format: the late-amendment batch every
+    * dim pipeline applies. Base = the pre-1996 rollup; the merge batch =
+    * the FULL rollup of every customer who ordered in 1996+ (their rows
+    * amend or insert), with rollups above 15 orders dropped entirely (the
+    * matched-delete clause). The query emits the post-merge TABLE READ —
+    * so the oracle re-derives the merge relationally and any wrongly
+    * carried, dropped or double-written tile shows up as a hash mismatch.
+    */
+  val merged: GraftQuery = new GraftQuery {
+    val name = "snapshot_merge"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = root(sfDir) + "_merge"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      val orders = Tables.load(spark, sfDir, "orders")
+      SnapshotTable.publish(rollup(orders, None, Some("1996-01-01")),
+        dir, "v1", retain = 2, statsCols = Seq("o_custkey"),
+        clusterFiles = Some(8))
+      val amended = rollup(orders, None, None)
+        .join(rollup(orders, Some("1996-01-01"), None).select("o_custkey"),
+          Seq("o_custkey"), "left_semi")
+      SnapshotTable.merge(amended, dir, "o_custkey", "v2",
+        deleteWhen = Some(col("order_ct") > 15), retain = 2)
+      SnapshotTable.read(spark, dir).get.orderBy("o_custkey")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH base AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_ct,
+               ${Money.sumCentsSql("o_totalprice")} AS total_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      amended AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_ct,
+               ${Money.sumCentsSql("o_totalprice")} AS total_cents
+        FROM orders
+        WHERE o_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT * FROM base
+        WHERE o_custkey NOT IN (SELECT o_custkey FROM amended)
+        UNION ALL
+        SELECT * FROM amended WHERE order_ct <= 15
+      ) ORDER BY o_custkey
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(changes, merged)
 }

@@ -232,6 +232,140 @@ object SnapshotTable {
     case _ => false
   }
 
+  /** MERGE INTO analog (Delta `whenMatched update / whenNotMatched
+    * insert`, plus an optional matched-delete predicate): apply `updates`
+    * (keyed by `pk`, same schema as the table) to the CURRENT version and
+    * publish the result as `version`, rewriting ONLY the tiles that
+    * receive changes. Matched rows are replaced by their update row
+    * (or removed when `deleteWhen` holds on the update row); unmatched
+    * update rows insert.
+    *
+    * 100 TB shape — the whole point of a table-format merge: cost is
+    * proportional to the CHANGED data, not the table.
+    *   - update rows map to tiles against the current version's
+    *     boundaries (broadcast cutpoints, map-only);
+    *   - only those tiles are read, merged (update side broadcasts when
+    *     micro-batch-sized) and rewritten, one file per changed tile;
+    *   - every untouched file is carried into the new version by copy —
+    *     the local stand-in for a manifest re-reference — and its
+    *     `_STATS` line (min/max, count, fingerprint) is reused VERBATIM,
+    *     so stats cost is also changed-tiles-only. Carried-over
+    *     fingerprints are what let a subsequent [[diff]] skip the same
+    *     untouched tiles.
+    * Rows past the last boundary merge into the last tile (growing keys
+    * fatten it; re-balance with [[compact]], as with [[publishAligned]]).
+    * Requires the current version to carry stats on `pk`; without them
+    * the merge falls back to a full rewrite published with pk stats.
+    */
+  def merge(updates: DataFrame, root: String, pk: String, version: String,
+      deleteWhen: Option[Column] = None, retain: Int = 2): Unit = {
+    require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
+    val spark = updates.sparkSession
+    val vOld = latestVersion(root) match {
+      case None =>
+        // first publish: nothing to match, inserts only
+        return publish(deleteWhen.foldLeft(updates)((u, d) => u.filter(!d)),
+          root, version, retain, Seq(pk))
+      case Some(v) => v
+    }
+    val current = readVersion(spark, root, vOld)
+    require(updates.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      current.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "merge updates must match the table schema (names and types)")
+    val inserts = deleteWhen.foldLeft(updates)((u, d) => u.filter(!d))
+    val stats = readStatsVersion(root, vOld)
+    val bounds = keyBoundaries(root, vOld, pk)
+    (stats, bounds) match {
+      case (Some(st), Some(bs)) if bs.nonEmpty =>
+        // tile id of each update row against the broadcast cutpoints
+        val tile = bs.map(b => when(col(pk) >= lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+        val changed = updates.select(tile.as("__tile")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        // file order by min(pk) IS tile order (how keyBoundaries derives)
+        val filesByTile = st
+          .sortBy(fs => fs.mins.get(pk).flatMap(decode) match {
+            case Some(l: Long) => (0, l, 0.0, "")
+            case Some(d: Double) => (1, 0L, d, "")
+            case Some(s: String) => (2, 0L, 0.0, s)
+            case _ => (3, 0L, 0.0, "")
+          })
+          .map(_.file).toIndexedSeq
+        val (chFiles, keepFiles) = filesByTile.zipWithIndex
+          .partition { case (_, i) => changed(i) }
+        val dir = s"$root/$version"
+        if (chFiles.isEmpty) {
+          // no-op merge: clone the version (copies + verbatim stats)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          copyFiles(root, vOld, version, filesByTile)
+          writeStatsLines(dir, statsHeader(root, vOld),
+            statsLines(root, vOld, filesByTile.toSet))
+        } else {
+          val oldChanged = spark.read.schema(current.schema)
+            .parquet(chFiles.map { case (f, _) => s"$root/$vOld/$f" }: _*)
+          val denseIx = chFiles.map(_._2).zipWithIndex.toMap
+          val tileToDense = element_at(
+            typedLit(filesByTile.indices.map(i =>
+              denseIx.getOrElse(i, -1)).toArray), tile + 1)
+          val merged = oldChanged
+            .join(broadcast(updates.select(col(pk))), Seq(pk), "left_anti")
+            .unionByName(inserts)
+          merged
+            .withColumn("__pin", element_at(
+              typedLit(partitionPins(chFiles.size)), tileToDense + 1))
+            .repartition(chFiles.size, col("__pin"))
+            .sortWithinPartitions(col(pk))
+            .drop("__pin")
+            .write.mode("overwrite").parquet(dir)
+          val newFiles = Option(new java.io.File(dir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(_.getName).toSeq
+          copyFiles(root, vOld, version, keepFiles.map(_._1))
+          val cols = statsHeader(root, vOld)
+          writeStatsLines(dir, cols,
+            statsLines(root, vOld, keepFiles.map(_._1).toSet) ++
+              computeStatsLines(spark, dir, newFiles, cols))
+        }
+        finishCommit(root, version, retain)
+      case _ =>
+        val merged = current
+          .join(updates.select(col(pk)), Seq(pk), "left_anti")
+          .unionByName(inserts)
+        publish(merged, root, version, retain, Seq(pk))
+    }
+  }
+
+  private def copyFiles(root: String, vFrom: String, vTo: String,
+      files: Seq[String]): Unit =
+    files.foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$root/$vFrom/$f"),
+        java.nio.file.Paths.get(s"$root/$vTo/$f"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def statsHeader(root: String, version: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$root/$version/_STATS")
+    java.nio.file.Files.readString(p).split("\n").head.split("\t").toSeq
+  }
+
+  /** Raw `_STATS` body lines of a version, restricted to `files`. */
+  private def statsLines(root: String, version: String,
+      files: Set[String]): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$root/$version/_STATS")
+    java.nio.file.Files.readString(p).split("\n").toSeq.drop(1)
+      .filter(l => l.nonEmpty && files(l.split("\t").head))
+  }
+
+  private def writeStatsLines(dir: String, cols: Seq[String],
+      lines: Seq[String]): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_STATS"),
+      cols.mkString("\t") + "\n" + lines.sorted.mkString("\n") + "\n")
+    ()
+  }
+
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version as new
     * version `version`, clustered — the compaction pass a streaming dim
     * sink needs after many small upserts have fragmented the table (each
@@ -306,6 +440,13 @@ object SnapshotTable {
   private def commitVersion(spark: SparkSession, root: String,
       version: String, retain: Int, statsCols: Seq[String]): Unit = {
     if (statsCols.nonEmpty) writeStats(spark, s"$root/$version", statsCols)
+    finishCommit(root, version, retain)
+  }
+
+  /** The marker move + retention half of a commit (stats, if any, must
+    * already be in place — a published version never lacks its stats).
+    */
+  private def finishCommit(root: String, version: String, retain: Int): Unit = {
     val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
     java.nio.file.Files.writeString(tmp, version)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),
@@ -379,8 +520,18 @@ object SnapshotTable {
     * written as a tab-separated typed table. Runs before the `_LATEST`
     * move, so readers never see a version without its stats.
     */
-  private def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
-    val df = spark.read.parquet(dir)
+  private def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    writeStatsLines(dir, cols, computeStatsLines(spark, dir, Nil, cols))
+
+  /** Per-file stats lines for a version directory — all files when
+    * `files` is empty, else just the named ones (the merge path computes
+    * stats for freshly written tiles only, carrying the rest verbatim).
+    */
+  private def computeStatsLines(spark: SparkSession, dir: String,
+      files: Seq[String], cols: Seq[String]): Seq[String] = {
+    val df =
+      if (files.isEmpty) spark.read.parquet(dir)
+      else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     // content fingerprint: sum of a full-row 64-bit hash, accumulated in
     // DECIMAL (exact, order-independent, and safe under ANSI overflow
     // checking). Only atomic columns hash — a nested type anywhere drops
@@ -403,7 +554,7 @@ object SnapshotTable {
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val body = rows.map { r =>
+    rows.toSeq.map { r =>
       val base = r.getString(0).split('/').last
       ((base +: cols.flatMap(c => Seq(
         encode(r.get(r.fieldIndex(s"__min_$c"))),
@@ -411,10 +562,7 @@ object SnapshotTable {
         r.getLong(r.fieldIndex("__cnt")).toString,
         Option(r.get(r.fieldIndex("__fp"))).map(_.toString).getOrElse("X")))
         .mkString("\t")
-    }.sorted.mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_STATS"),
-      cols.mkString("\t") + "\n" + body + "\n")
+    }
   }
 
   /** The published version's per-file stats, if recorded. */

@@ -221,6 +221,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.diff(spark, root, "v2", "v3", "id").count() == 0L)
   }
 
+  test("merge rewrites only changed tiles; carried files and stats are verbatim") {
+    val root = freshRoot("merge")
+    val base = spark.range(8000L).select(col("id"), (col("id") % 97).as("v"))
+    SnapshotTable.publish(base, root, "v1", retain = 4,
+      statsCols = Seq("id"), clusterFiles = Some(8))
+    // one merge batch carrying all three clauses: matched-update (keys
+    // 100-109), matched-delete (keys 300-302, flagged v < 0), and
+    // not-matched insert (keys past the max) — changes land in the first
+    // and last of 8 tiles
+    val ups = spark.range(100L, 110L).select(col("id"), lit(5000L).as("v"))
+      .unionByName(spark.range(300L, 303L).select(col("id"), lit(-1L).as("v")))
+      .unionByName(spark.range(8000L, 8005L).select(col("id"), lit(7L).as("v")))
+    SnapshotTable.merge(ups, root, "id", "v2",
+      deleteWhen = Some(col("v") < 0), retain = 4)
+    val got = SnapshotTable.read(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 8000L).filterNot(k => k >= 300L && k <= 302L)
+      .map(k => if (k >= 100L && k < 110L) (k, 5000L) else (k, k % 97))
+      .toSet ++ (8000L until 8005L).map(k => (k, 7L))
+    assert(got == want,
+      s"merged rows off: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    // physical carry-over: untouched tiles keep their v1 file names (a
+    // byte copy), and their _STATS lines are reused verbatim
+    def names(v: String) = new java.io.File(s"$root/$v").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val carried = names("v1") intersect names("v2")
+    assert(carried.size >= 5 && names("v2").size >= carried.size + 1,
+      s"expected >=5 carried + fresh changed files, carried ${carried.size} " +
+        s"of ${names("v2").size}")
+    def lines(v: String) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/$v/_STATS"))
+      .split("\n").drop(1).filter(l => carried(l.split("\t").head)).toSet
+    assert(lines("v1") == lines("v2"),
+      "carried files must keep their stats lines verbatim")
+    // composition: a diff across the merge skips every carried tile and
+    // reports exactly the merge's deltas
+    val (ko, kn) = SnapshotTable.diffFiles(root, "v1", "v2").get
+    assert(ko.size <= 3 && kn.size <= 3,
+      s"diff after merge should scan changed tiles only, kept ${ko.size}/${kn.size}")
+    val byType = SnapshotTable.diff(spark, root, "v1", "v2", "id")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 5L, "delete" -> 3L,
+      "update_preimage" -> 10L, "update_postimage" -> 10L), s"diff classes: $byType")
+  }
+
   test("compact rewrites a fragmented table into a clustered version, data intact") {
     val root = freshRoot("compact")
     // a fragmented table: 16 files of unclustered rows, then an upsert
