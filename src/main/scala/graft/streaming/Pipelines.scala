@@ -225,16 +225,36 @@ object Pipelines {
           .partitionBy(col(pk)).orderBy(col("op_seq").desc)
         val newest = routed.withColumn("_rn", row_number().over(wNew))
           .filter(col("_rn") === 1).drop("_rn", "op_seq")
-        // no per-batch stats: the merge output is pk-hash-partitioned,
-        // so every file would span the full key range (stats that prune
-        // nothing) while the stats pass re-reads the whole table each
-        // micro-batch. File-skipping comes from periodic maintenance
-        // instead: SnapshotTable.compact(root, v<nextUnusedBatchId>,
-        // ..., statsCols = Seq(pk)) re-clusters AND records stats in one
-        // rewrite (version id coordinated with this sink's batch-id
-        // naming — see compact's doc).
-        graft.sources.SnapshotTable.upsert(
-          newest, s"$outDir/dim/$sinkTable", pk, s"v$batchId")
+        // Two regimes, self-upgrading at the first compaction:
+        //  - before any stats exist (fresh table, or pk-hash-partitioned
+        //    upsert output), keep-latest upsert — full rewrite per batch,
+        //    schema may widen. Per-batch stats would be pointless here:
+        //    hash-partitioned files span the full key range and the stats
+        //    pass re-reads the whole table each micro-batch.
+        //  - once periodic maintenance has clustered the table and
+        //    recorded pk stats (SnapshotTable.compact(root,
+        //    v<nextUnusedBatchId>, ..., statsCols = Seq(pk)) — version id
+        //    coordinated with this sink's batch-id naming, see compact's
+        //    doc), every following batch applies as a tile-local MERGE:
+        //    only the tiles the batch touches are rewritten, untouched
+        //    files and their stats carry over — per-batch cost follows
+        //    the BATCH size, not the table size, and the carried
+        //    fingerprints keep version diffs cheap. A schema change
+        //    falls back to the widening upsert (stats drop; the next
+        //    compact restores the merge regime).
+        val dimRoot = s"$outDir/dim/$sinkTable"
+        val canMerge = graft.sources.SnapshotTable.latestVersion(dimRoot)
+          .exists { v =>
+            graft.sources.SnapshotTable.keyBoundaries(dimRoot, v, pk)
+              .exists(_.nonEmpty) &&
+              graft.sources.SnapshotTable.readVersion(spark, dimRoot, v)
+                .schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                newest.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          }
+        if (canMerge)
+          graft.sources.SnapshotTable.merge(newest, dimRoot, pk, s"v$batchId")
+        else
+          graft.sources.SnapshotTable.upsert(newest, dimRoot, pk, s"v$batchId")
       }
     }
   }

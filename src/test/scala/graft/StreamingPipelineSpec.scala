@@ -245,6 +245,40 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(dimRows == Map("2" -> "25")) // within-batch seq then latest batch win
   }
 
+  test("cdc dim sink upgrades to tile-local merges after a stats compaction") {
+    val out = java.nio.file.Files.createTempDirectory("cdcmerge").toString
+    val cfg = Seq(("t", "update", "hbase", "dim_t", "id,val", "id"))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table",
+        "sink_columns", "sink_pk")
+    val cols = Seq("database", "tableName", "type", "op_seq", "after")
+    def mkBatch(seq0: Long, ids: Seq[Int], v: String) =
+      ids.zipWithIndex.map { case (id, i) =>
+        ("g", "t", "update", seq0 + i, Map("id" -> f"k$id%04d", "val" -> v))
+      }.toDF(cols: _*)
+    // regime 1: no stats yet — full-rewrite upserts
+    Pipelines.routeCdcBatch(mkBatch(0L, 0 until 200, "a"), 0L, cfg, out)
+    val root = s"$out/dim/dim_t"
+    // periodic maintenance clusters + records pk stats (version id from
+    // the sink's own sequence, per compact's coordination contract)
+    graft.sources.SnapshotTable.compact(spark, root, "v100",
+      targetFiles = 4, statsCols = Seq("id"))
+    // regime 2: the next micro-batch (two keys in one tile) MERGES —
+    // untouched tiles carry over byte-identically instead of rewriting
+    Pipelines.routeCdcBatch(mkBatch(1000L, Seq(10, 11), "b"), 101L, cfg, out)
+    assert(graft.sources.SnapshotTable.latestVersion(root).contains("v101"))
+    def names(v: String) = new java.io.File(s"$root/$v").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val carried = names("v100") intersect names("v101")
+    assert(carried.size >= 2,
+      s"merge regime should carry untouched tiles, carried ${carried.size} " +
+        s"of ${names("v100").size}")
+    val dim = Pipelines.readDim(spark, out, "dim_t").get.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dim.size == 200 && dim("k0010") == "b" && dim("k0011") == "b" &&
+      dim("k0000") == "a" && dim("k0199") == "a",
+      s"merged dim content off: ${dim.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("streaming session windows (complete mode) equal batch aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("sessdir")
     java.nio.file.Files.copy(
