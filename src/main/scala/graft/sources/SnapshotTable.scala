@@ -57,13 +57,19 @@ object SnapshotTable {
     * `clusterFiles = Some(n)` range-partitions the write by the FIRST
     * stats column into n files — skipping only pays when the key is
     * clustered across files (random placement gives every file the full
-    * key range and nothing prunes).
+    * key range and nothing prunes). `bloomCols` additionally records a
+    * per-file Bloom filter sidecar for those columns (`bloomBits` bits
+    * per file, ≈ 10 per distinct value for ~1% false keeps) — what lets
+    * [[pointLookup]] prune on a column the table is NOT clustered by.
     */
   def publish(df: DataFrame, root: String, version: String, retain: Int = 2,
-      statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None): Unit = {
+      statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(clusterFiles.isEmpty || statsCols.nonEmpty,
       "clusterFiles requires at least one stats column to cluster by")
+    require(bloomCols.isEmpty || statsCols.nonEmpty,
+      "bloomCols requires stats (pointLookup prunes by range first)")
     val out = clusterFiles match {
       // sortWithinPartitions tightens parquet ROW-GROUP min/max inside
       // each file — at 100 TB a file holds many row groups, and sorted
@@ -75,7 +81,8 @@ object SnapshotTable {
       case None => df
     }
     out.write.mode("overwrite").parquet(s"$root/$version")
-    commitVersion(df.sparkSession, root, version, retain, statsCols)
+    commitVersion(df.sparkSession, root, version, retain, statsCols,
+      bloomCols, bloomBits)
   }
 
   /** Z-ORDER clustered publish: multi-column data skipping. Linear
@@ -187,7 +194,8 @@ object SnapshotTable {
     */
   def publishAligned(df: DataFrame, root: String, version: String,
       key: String, boundaries: Seq[Any], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(boundaries.nonEmpty, "publishAligned needs at least one cutpoint")
     val n = boundaries.size + 1
@@ -201,7 +209,7 @@ object SnapshotTable {
       .drop("__pin")
       .write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain,
-      if (statsCols.nonEmpty) statsCols else Seq(key))
+      if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits)
   }
 
   /** The interior cutpoints of a published version's file layout on
@@ -295,11 +303,14 @@ object SnapshotTable {
           .partition { case (_, i) => changed(i) }
         val dir = s"$root/$version"
         if (chFiles.isEmpty) {
-          // no-op merge: clone the version (copies + verbatim stats)
+          // no-op merge: clone the version (copies + verbatim sidecars)
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
           copyFiles(root, vOld, version, filesByTile)
           writeStatsLines(dir, statsHeader(root, vOld),
             statsLines(root, vOld, filesByTile.toSet))
+          bloomLines(root, vOld, filesByTile.toSet).foreach {
+            case (bits, ls) => writeBloomLines(dir, bits, ls)
+          }
         } else {
           val oldChanged = spark.read.schema(current.schema)
             .parquet(chFiles.map { case (f, _) => s"$root/$vOld/$f" }: _*)
@@ -326,6 +337,14 @@ object SnapshotTable {
           writeStatsLines(dir, cols,
             statsLines(root, vOld, keepFiles.map(_._1).toSet) ++
               computeStatsLines(spark, dir, newFiles, cols))
+          // bloom sidecar rides along: carried files keep their filters,
+          // fresh tiles get new ones with the same columns and sizing
+          bloomLines(root, vOld, keepFiles.map(_._1).toSet).foreach {
+            case (bits, kept) =>
+              val bcols = readBlooms(root, vOld).get.cols.toSeq.sorted
+              writeBloomLines(dir, bits,
+                kept ++ computeBloomLines(spark, dir, newFiles, bcols, bits))
+          }
         }
         finishCommit(root, version, retain)
       case _ =>
@@ -364,6 +383,153 @@ object SnapshotTable {
       java.nio.file.Paths.get(s"$dir/_STATS"),
       cols.mkString("\t") + "\n" + lines.sorted.mkString("\n") + "\n")
     ()
+  }
+
+  // ---- Bloom-filter file skipping (the `_BLOOM` sidecar) -------------
+  //
+  // Per-(file, column) Bloom filters let a POINT lookup skip files on a
+  // column the table is not clustered by — a secondary/natural key whose
+  // min/max spans every file. k = 4 bit positions per value from seeded
+  // 64-bit hashes; `bits` is caller-sized (≈ 10 bits per distinct value
+  // per file for ~1% false keeps). Building is one pass over the written
+  // files: positions explode (4 rows/value/column), partial bit_or
+  // combines map-side to at most files x bits/64 words (each task reads
+  // one file, so per-task state is one file's words). The driver then
+  // assembles words per (column, file) — bounded by files x bits/64
+  // longs, the same metadata scale as `_STATS` — and writes the sidecar
+  // before the marker move. False positives only KEEP files (never skip
+  // a file containing the value); a column or file absent from the
+  // sidecar is kept.
+
+  private val BloomSeeds = 1 to 4
+
+  final case class Blooms(bits: Int, cols: Set[String],
+      words: Map[(String, String), Array[Long]]) {
+    def mayContain(column: String, file: String, value: Any): Boolean =
+      words.get((column, file)) match {
+        case None => true // no filter for this pair: must keep
+        case Some(ws) => BloomSeeds.forall { s =>
+          val pos = ((bloomHash(value, s) % bits) + bits) % bits
+          (ws(pos.toInt >> 6) >> (pos.toInt & 63) & 1L) == 1L
+        }
+      }
+  }
+
+  /** Driver-side twin of the build's `xxhash64(col, lit(seed))`. */
+  private def bloomHash(value: Any, seed: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val v = value match {
+      case i: Int => Literal(i.toLong)
+      case other => Literal(other)
+    }
+    XxHash64(Seq(v, Literal(seed)), 42L).eval().asInstanceOf[Long]
+  }
+
+  private def writeBlooms(spark: SparkSession, dir: String,
+      cols: Seq[String], bits: Int): Unit = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq
+    writeBloomLines(dir, bits, computeBloomLines(spark, dir, files, cols, bits))
+  }
+
+  private def writeBloomLines(dir: String, bits: Int,
+      lines: Seq[String]): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_BLOOM"),
+      s"bits=$bits\n" + lines.sorted.mkString("\n") + "\n")
+    ()
+  }
+
+  // parsed-sidecar memo: a version directory is immutable once published,
+  // so its parsed filters can be reused across lookups (a dim point-read
+  // path does thousands; re-parsing a multi-MB sidecar per lookup would
+  // eat the pruning win). Small LRU — entries are the sidecar's size.
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, Option[Blooms]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Blooms]]): Boolean = size > 4
+    }
+
+  /** The `_BLOOM` sidecar of a version, if present (parsed once per
+    * version — published version directories are immutable).
+    */
+  def readBlooms(root: String, version: String): Option[Blooms] =
+    bloomCache.synchronized {
+      val k = s"$root/$version"
+      val hit = bloomCache.get(k)
+      if (hit != null) hit
+      else {
+        val parsed = parseBlooms(root, version)
+        bloomCache.put(k, parsed)
+        parsed
+      }
+    }
+
+  private def parseBlooms(root: String, version: String): Option[Blooms] = {
+    val p = java.nio.file.Paths.get(s"$root/$version/_BLOOM")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readString(p).split("\n").toSeq
+      val bits = lines.head.stripPrefix("bits=").toInt
+      val entries = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(c, f, b64) = l.split("\t", 3)
+        val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+        val ws = new Array[Long](bits >> 6)
+        var i = 0
+        while (i < ws.length) { ws(i) = bb.getLong(); i += 1 }
+        (c, f) -> ws
+      }
+      Some(Blooms(bits, entries.map(_._1._1).toSet, entries.toMap))
+    }
+  }
+
+  /** Raw `_BLOOM` body lines of a version restricted to `files`, with the
+    * sidecar's bits — Nil when no sidecar exists.
+    */
+  private def bloomLines(root: String, version: String,
+      files: Set[String]): Option[(Int, Seq[String])] = {
+    val p = java.nio.file.Paths.get(s"$root/$version/_BLOOM")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readString(p).split("\n").toSeq
+      Some((lines.head.stripPrefix("bits=").toInt,
+        lines.tail.filter(l => l.nonEmpty && files(l.split("\t")(1)))))
+    }
+  }
+
+  /** Per-(column, file) bloom lines for just `files` of a version dir. */
+  private def computeBloomLines(spark: SparkSession, dir: String,
+      files: Seq[String], cols: Seq[String], bits: Int): Seq[String] = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, "bloomBits must be a power of two")
+    if (files.isEmpty) Nil
+    else {
+      val df = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      val perCol = cols.flatMap { c =>
+        val v = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.IntegerType => col(c).cast("long")
+          case _ => col(c)
+        }
+        BloomSeeds.map { s =>
+          df.select(input_file_name().as("__file"), lit(c).as("__col"),
+            pmod(xxhash64(v, lit(s)), lit(bits.toLong)).as("__pos"))
+        }
+      }.reduce(_ unionAll _)
+      val rows = perCol
+        .groupBy(col("__file"), col("__col"),
+          (col("__pos") / 64).cast("int").as("__word"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(pmod(__pos, 64) AS INT)))").as("__bits"))
+        .collect()
+      rows.groupBy(r => (r.getString(1), r.getString(0).split('/').last))
+        .toSeq.map { case ((c, f), rs) =>
+          val ws = new Array[Long](bits >> 6)
+          rs.foreach(r => ws(r.getInt(2)) = r.getLong(3))
+          val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+          ws.foreach(bb.putLong)
+          s"$c\t$f\t" + java.util.Base64.getEncoder.encodeToString(bb.array())
+        }
+    }
   }
 
   /** OPTIMIZE-style maintenance: rewrite the CURRENT version as new
@@ -438,8 +604,10 @@ object SnapshotTable {
     * retention pruning.
     */
   private def commitVersion(spark: SparkSession, root: String,
-      version: String, retain: Int, statsCols: Seq[String]): Unit = {
+      version: String, retain: Int, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
     if (statsCols.nonEmpty) writeStats(spark, s"$root/$version", statsCols)
+    if (bloomCols.nonEmpty) writeBlooms(spark, s"$root/$version", bloomCols, bloomBits)
     finishCommit(root, version, retain)
   }
 
@@ -588,40 +756,66 @@ object SnapshotTable {
     }
   }
 
+  /** Files of `stats` whose [min, max] on `column` intersects
+    * [lower, upper]; files without comparable stats are kept (pruning may
+    * only skip PROVABLY irrelevant files).
+    */
+  private def keptByRange(stats: Seq[FileStats], column: String,
+      lower: Any, upper: Any): Seq[FileStats] =
+    stats.filter { fs =>
+      val below = fs.maxs.get(column).flatMap(cmp(_, lower)).exists(_ < 0)
+      val above = fs.mins.get(column).flatMap(cmp(_, upper)).exists(_ > 0)
+      !(below || above)
+    }
+
+  /** A frame over exactly `files` of version `v` (schema-preserving empty
+    * frame when none survive pruning).
+    */
+  private def readFiles(spark: SparkSession, root: String, v: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty) readVersion(spark, root, v).filter(lit(false))
+    else spark.read.parquet(files.map(f => s"$root/$v/$f"): _*)
+
   /** Read the latest snapshot restricted to files whose [min, max] on
-    * `column` intersects [lower, upper] (inclusive). Files without
-    * comparable stats are kept (pruning may only skip PROVABLY
-    * irrelevant files). Falls back to the full scan when no stats exist.
-    * The returned frame is NOT yet filtered — skipping is file-granular;
-    * callers apply their row predicate as usual.
+    * `column` intersects [lower, upper] (inclusive). Falls back to the
+    * full scan when no stats exist. The returned frame is NOT yet
+    * filtered — skipping is file-granular; callers apply their row
+    * predicate as usual.
     */
   def readPruned(spark: SparkSession, root: String, column: String,
       lower: Any, upper: Any): Option[DataFrame] =
     latestVersion(root).map { v =>
-      val dir = s"$root/$v"
-      readStats(root) match {
-        case Some(stats) =>
-          val kept = stats.filter { fs =>
-            val below = fs.maxs.get(column).flatMap(cmp(_, lower)).exists(_ < 0)
-            val above = fs.mins.get(column).flatMap(cmp(_, upper)).exists(_ > 0)
-            !(below || above)
-          }
-          if (kept.isEmpty)
-            // provably empty: keep the schema, scan nothing
-            readVersion(spark, root, v).filter(lit(false))
-          else spark.read.parquet(kept.map(fs => s"$dir/${fs.file}"): _*)
+      readStatsVersion(root, v) match {
+        case Some(stats) => readFiles(spark, root, v,
+          keptByRange(stats, column, lower, upper).map(_.file))
         case None => readVersion(spark, root, v)
       }
     }
 
   /** Dim point-lookup (reference: `RT/utils/DimUtil.java:22-27`, one
     * HBase row by pk): stats-pruned scan + the pk filter — one file's
-    * worth of IO on a pk-clustered snapshot.
+    * worth of IO on a pk-clustered snapshot. When the version carries a
+    * `_BLOOM` sidecar for `pkCol` ([[publish]]'s `bloomCols`), files
+    * whose filter excludes the value are also skipped — that is what
+    * prunes equality lookups on a column the table is NOT clustered by
+    * (a secondary/natural key), where min/max spans everything.
     */
   def pointLookup(spark: SparkSession, root: String, pkCol: String,
       value: Any): Option[DataFrame] =
-    readPruned(spark, root, pkCol, value, value)
-      .map(_.filter(col(pkCol) === lit(value)))
+    latestVersion(root).map { v =>
+      val frame = readStatsVersion(root, v) match {
+        case Some(stats) =>
+          val ranged = keptByRange(stats, pkCol, value, value).map(_.file)
+          val kept = readBlooms(root, v) match {
+            case Some(bl) if bl.cols.contains(pkCol) =>
+              ranged.filter(f => bl.mayContain(pkCol, f, value))
+            case _ => ranged
+          }
+          readFiles(spark, root, v, kept)
+        case None => readVersion(spark, root, v)
+      }
+      frame.filter(col(pkCol) === lit(value))
+    }
 
   /** CHANGE DATA FEED between two retained versions (the Delta
     * `table_changes` / Iceberg incremental-read analog): every row that

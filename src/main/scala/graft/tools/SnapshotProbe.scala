@@ -125,6 +125,33 @@ object SnapshotProbe {
     assert(dPrunedRows == dFullRows,
       s"diff row mismatch: $dPrunedRows vs $dFullRows")
     println(s"""{"diff":true,"files":$files,"publish_aligned_sec":$publishAligned,"diff_pruned_sec":$dPrunedSec,"diff_full_sec":$dFullSec,"diff_files_scanned":${keptOld.size + keptNew.size},"diff_rows":$dPrunedRows}""")
+
+    // bloom skipping: point lookups on a SCATTERED secondary key (a
+    // natural key the table is not clustered by) — min/max keeps every
+    // file; the per-file bloom sidecar keeps ~1
+    val bRoot = s"$workDir/dim_bloom"
+    val natMod = 16777259L // prime > max pk: the permutation is injective
+    val dimN = dim.withColumn("o_nat",
+      format_string("n%09d", (col("o_orderkey") * 7919L) % natMod))
+    val tb = System.nanoTime()
+    SnapshotTable.publish(dimN, bRoot, "v1", retain = 2,
+      statsCols = Seq("o_orderkey"), clusterFiles = Some(files),
+      bloomCols = Seq("o_nat"), bloomBits = 1 << 21)
+    val publishBloomSec = (System.nanoTime() - tb) / 1e9
+    val natKeys = keys.map(k => f"n${(k * 7919L) % natMod}%09d")
+    val (bPruneSec, bPruneRows) = time {
+      natKeys.map(kk =>
+        SnapshotTable.pointLookup(spark, bRoot, "o_nat", kk).get.count()).sum
+    }
+    val bKept = SnapshotTable
+      .pointLookup(spark, bRoot, "o_nat", natKeys.head).get.inputFiles.length
+    val (bFullSec, bFullRows) = time {
+      natKeys.map(kk => SnapshotTable.read(spark, bRoot).get
+        .filter(col("o_nat") === kk).count()).sum
+    }
+    assert(bPruneRows == bFullRows,
+      s"bloom lookup row mismatch: $bPruneRows vs $bFullRows")
+    println(s"""{"bloom":true,"files":$files,"publish_bloom_sec":$publishBloomSec,"nat_pruned_sec":$bPruneSec,"nat_full_sec":$bFullSec,"nat_kept_files":$bKept,"nat_rows":$bPruneRows}""")
     spark.stop()
   }
 }

@@ -221,6 +221,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.diff(spark, root, "v2", "v3", "id").count() == 0L)
   }
 
+  test("bloom sidecar prunes point lookups on an unclustered column; merge carries it") {
+    val root = freshRoot("bloom")
+    // pk-clustered dim with a SCATTERED secondary key: every file spans
+    // nat's full range, so min/max alone keeps all 8 files for any nat
+    val dim = spark.range(40000L).select(col("id"),
+      format_string("n%05d", (col("id") * 7919) % 40000).as("nat"))
+    SnapshotTable.publish(dim, root, "v1", retain = 4, statsCols = Seq("id"),
+      clusterFiles = Some(8), bloomCols = Seq("nat"))
+    val ranged = SnapshotTable.readPruned(spark, root, "nat", "n07777", "n07777").get
+    assert(ranged.inputFiles.length == 8,
+      s"sanity: range stats cannot prune a scattered key, kept ${ranged.inputFiles.length}")
+    val hit = SnapshotTable.pointLookup(spark, root, "nat", "n07777").get
+    assert(hit.inputFiles.length <= 2,
+      s"bloom should prune the scattered-key lookup, kept ${hit.inputFiles.length}")
+    assert(hit.count() == 1L)
+    // an absent key is (near-)provably nowhere: nothing to scan, no rows
+    val miss = SnapshotTable.pointLookup(spark, root, "nat", "zzzzz").get
+    assert(miss.inputFiles.length <= 2 && miss.count() == 0L)
+    // pk lookups still prune by range alone
+    assert(SnapshotTable.pointLookup(spark, root, "id", 1234L).get
+      .inputFiles.length == 1)
+    // a merge carries filters for untouched tiles and builds fresh ones
+    // for the rewritten tile, so secondary-key lookups keep pruning
+    val ups = spark.range(5L).select(col("id"), lit("nXXXXX").as("nat"))
+    SnapshotTable.merge(ups, root, "id", "v2", retain = 4)
+    val hit2 = SnapshotTable.pointLookup(spark, root, "nat", "n07777").get
+    assert(hit2.inputFiles.length <= 2 && hit2.count() == 1L,
+      s"post-merge bloom lookup kept ${hit2.inputFiles.length}")
+    assert(SnapshotTable.pointLookup(spark, root, "nat", "nXXXXX").get
+      .count() == 5L)
+  }
+
   test("merge rewrites only changed tiles; carried files and stats are verbatim") {
     val root = freshRoot("merge")
     val base = spark.range(8000L).select(col("id"), (col("id") % 97).as("v"))
