@@ -262,19 +262,37 @@ object SnapshotTable {
     *     untouched tiles.
     * Rows past the last boundary merge into the last tile (growing keys
     * fatten it; re-balance with [[compact]], as with [[publishAligned]]).
-    * Requires the current version to carry stats on `pk`; without them
-    * the merge falls back to a full rewrite published with pk stats.
+    * The tile path requires the current version to carry pk stats AND a
+    * range-DISJOINT file layout on pk (verified from the stats on the
+    * driver — a hash-partitioned table would scatter a key's old row
+    * outside the rewritten tile and duplicate it); anything else falls
+    * back to a full rewrite published with pk stats, clustered when
+    * `clusterFiles` is set (which is also how the first publish and the
+    * fallback BOOTSTRAP the tile regime for later batches).
     */
   def merge(updates: DataFrame, root: String, pk: String, version: String,
-      deleteWhen: Option[Column] = None, retain: Int = 2): Unit = {
+      deleteWhen: Option[Column] = None, retain: Int = 2,
+      clusterFiles: Option[Int] = None): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     val spark = updates.sparkSession
     val vOld = latestVersion(root) match {
       case None =>
         // first publish: nothing to match, inserts only
         return publish(deleteWhen.foldLeft(updates)((u, d) => u.filter(!d)),
-          root, version, retain, Seq(pk))
-      case Some(v) => v
+          root, version, retain, Seq(pk), clusterFiles)
+      // REPLAYED batch (foreachBatch at-least-once): the marker moves
+      // LAST, so a committed `version` means the batch fully applied —
+      // re-applying a merge to its own output would overwrite the very
+      // files the carry step copies from. Skip; the table already holds
+      // the batch (merge is idempotent in content, so skipping IS the
+      // identical republish). A crash BEFORE the marker move leaves the
+      // marker on the previous version and the normal path below cleans
+      // the partial directory up.
+      case Some(v) if v == version => return ()
+      case Some(v) =>
+        require(version.drop(1).toLong > v.drop(1).toLong,
+          s"merge version must advance the published $v, got $version")
+        v
     }
     val current = readVersion(spark, root, vOld)
     require(updates.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -284,7 +302,7 @@ object SnapshotTable {
     val stats = readStatsVersion(root, vOld)
     val bounds = keyBoundaries(root, vOld, pk)
     (stats, bounds) match {
-      case (Some(st), Some(bs)) if bs.nonEmpty =>
+      case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
         // tile id of each update row against the broadcast cutpoints
         val tile = bs.map(b => when(col(pk) >= lit(b), 1).otherwise(0))
           .reduce(_ + _)
@@ -351,8 +369,34 @@ object SnapshotTable {
         val merged = current
           .join(updates.select(col(pk)), Seq(pk), "left_anti")
           .unionByName(inserts)
-        publish(merged, root, version, retain, Seq(pk))
+        publish(merged, root, version, retain, Seq(pk), clusterFiles)
     }
+  }
+
+  /** True when the per-file [min, max] ranges on `key` are strictly
+    * disjoint in min-order — the layout property the tile-local merge
+    * path depends on (with a unique pk, equal adjacent boundaries would
+    * mean one value in two files, so strict comparison is exact). Any
+    * undecodable value fails safe.
+    */
+  private def rangeDisjoint(stats: Seq[FileStats], key: String): Boolean = {
+    val ranges = stats.map(fs => (fs.mins.get(key).flatMap(decode),
+      fs.maxs.get(key).flatMap(decode)))
+    if (ranges.exists(r => r._1.isEmpty || r._2.isEmpty)) false
+    else {
+      val sorted = ranges.map(r => (r._1.get, r._2.get))
+        .sortWith((a, b) => lessThan(a._1, b._1))
+      sorted.zip(sorted.drop(1)).forall { case ((_, aMax), (bMin, _)) =>
+        lessThan(aMax, bMin)
+      }
+    }
+  }
+
+  private def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
   }
 
   private def copyFiles(root: String, vFrom: String, vTo: String,
@@ -630,6 +674,15 @@ object SnapshotTable {
       Some(java.nio.file.Files.readString(marker).trim)
     else None
   }
+
+  /** Retained version directories, numerically ascending. Includes any
+    * not-yet-committed version directory (a publisher's in-flight write);
+    * use [[latestVersion]] for the committed head.
+    */
+  def versions(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sortBy(_.drop(1).toLong).toSeq
 
   /** Read the latest published snapshot (None before the first publish —
     * unpublished version directories are never visible).

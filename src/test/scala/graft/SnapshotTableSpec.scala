@@ -297,6 +297,13 @@ class SnapshotTableSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType == Map("insert" -> 5L, "delete" -> 3L,
       "update_preimage" -> 10L, "update_postimage" -> 10L), s"diff classes: $byType")
+    // at-least-once replay: re-merging the committed batch is a no-op
+    // (a naive re-apply would overwrite the files the carry copies from)
+    SnapshotTable.merge(ups, root, "id", "v2",
+      deleteWhen = Some(col("v") < 0), retain = 4)
+    val replayed = SnapshotTable.read(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == want, "replayed merge must leave the table unchanged")
   }
 
   test("compact rewrites a fragmented table into a clustered version, data intact") {
