@@ -31,6 +31,15 @@ object SnapshotDiff {
     sys.props("java.io.tmpdir") + "/graft_snapdiff_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
 
+  /** Fresh-root helper: each query rebuilds its table state from sfDir. */
+  private def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   private def rollup(orders: DataFrame, from: Option[String],
       until: Option[String]): DataFrame =
     orders
@@ -46,11 +55,7 @@ object SnapshotDiff {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val dir = root(sfDir)
       // fresh root per run: the query is a pure function of sfDir
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      rmTree(dir)
       val orders = Tables.load(spark, sfDir, "orders")
       SnapshotTable.publish(rollup(orders, None, Some("1996-01-01")),
         dir, "v1", retain = 2, statsCols = Seq("o_custkey"),
@@ -111,11 +116,7 @@ object SnapshotDiff {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val dir = root(sfDir) + "_merge"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      rmTree(dir)
       val orders = Tables.load(spark, sfDir, "orders")
       SnapshotTable.publish(rollup(orders, None, Some("1996-01-01")),
         dir, "v1", retain = 2, statsCols = Seq("o_custkey"),
@@ -169,11 +170,7 @@ object SnapshotDiff {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val dir = root(sfDir) + "_ivm"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      rmTree(dir)
       val orders = Tables.load(spark, sfDir, "orders")
       SnapshotTable.publish(rollup(orders, None, Some("1996-01-01")),
         dir, "v1", retain = 2, statsCols = Seq("o_custkey"),

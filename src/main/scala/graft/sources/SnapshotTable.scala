@@ -252,8 +252,9 @@ object SnapshotTable {
     * proportional to the CHANGED data, not the table.
     *   - update rows map to tiles against the current version's
     *     boundaries (broadcast cutpoints, map-only);
-    *   - only those tiles are read, merged (update side broadcasts when
-    *     micro-batch-sized) and rewritten, one file per changed tile;
+    *   - only those tiles are read, merged (AQE broadcasts the batch's
+    *     key set when it is actually small) and rewritten, one file per
+    *     changed tile;
     *   - every untouched file is carried into the new version by copy —
     *     the local stand-in for a manifest re-reference — and its
     *     `_STATS` line (min/max, count, fingerprint) is reused VERBATIM,
@@ -298,6 +299,20 @@ object SnapshotTable {
     require(updates.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       current.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       "merge updates must match the table schema (names and types)")
+    // three consumers read the update set (tile discovery, the matched-key
+    // anti join, the insert union) — persist it for the merge's duration
+    // rather than re-evaluating an arbitrary source frame three times
+    val ups = updates.persist()
+    try mergeInto(ups, root, pk, version, vOld, current, deleteWhen, retain,
+      clusterFiles)
+    finally { ups.unpersist(blocking = false); () }
+  }
+
+  private def mergeInto(updates: DataFrame, root: String, pk: String,
+      version: String, vOld: String, current: DataFrame,
+      deleteWhen: Option[Column], retain: Int,
+      clusterFiles: Option[Int]): Unit = {
+    val spark = updates.sparkSession
     val inserts = deleteWhen.foldLeft(updates)((u, d) => u.filter(!d))
     val stats = readStatsVersion(root, vOld)
     val bounds = keyBoundaries(root, vOld, pk)
@@ -336,8 +351,12 @@ object SnapshotTable {
           val tileToDense = element_at(
             typedLit(filesByTile.indices.map(i =>
               denseIx.getOrElse(i, -1)).toArray), tile + 1)
+          // no broadcast hint: AQE converts to a broadcast join at
+          // runtime when the batch's key set is actually small, and a
+          // table-scale update set (SnapshotDiff.merged passes one)
+          // stays a shuffle join instead of OOMing the driver
           val merged = oldChanged
-            .join(broadcast(updates.select(col(pk))), Seq(pk), "left_anti")
+            .join(updates.select(col(pk)), Seq(pk), "left_anti")
             .unionByName(inserts)
           merged
             .withColumn("__pin", element_at(
@@ -372,6 +391,19 @@ object SnapshotTable {
         publish(merged, root, version, retain, Seq(pk), clusterFiles)
     }
   }
+
+  /** Whether a [[merge]] into `root`'s version `v` would take the
+    * tile-local path on `pk`: stats present, boundaries derivable, and
+    * the file layout range-disjoint. Callers choosing between merge and
+    * a cheaper full-rewrite strategy (e.g. the CDC dim sink) should gate
+    * on this — a non-tile-mergeable table (hash layout, or z-order whose
+    * per-file pk ranges overlap) would otherwise pay merge's fallback
+    * full rewrite PLUS a stats pass every batch.
+    */
+  def tileMergeable(root: String, version: String, pk: String): Boolean =
+    readStatsVersion(root, version).exists(st =>
+      keyBoundaries(root, version, pk).exists(_.nonEmpty) &&
+        rangeDisjoint(st, pk))
 
   /** True when the per-file [min, max] ranges on `key` are strictly
     * disjoint in min-order — the layout property the tile-local merge
@@ -489,24 +521,34 @@ object SnapshotTable {
   // parsed-sidecar memo: a version directory is immutable once published,
   // so its parsed filters can be reused across lookups (a dim point-read
   // path does thousands; re-parsing a multi-MB sidecar per lookup would
-  // eat the pruning win). Small LRU — entries are the sidecar's size.
+  // eat the pruning win). Entries carry the sidecar's mtime: a deleted-
+  // and-republished root reusing the same version id (the rm-then-rerun
+  // pattern harness queries follow) gets a fresh parse instead of stale
+  // filters that would silently mis-skip. Small LRU — entries are the
+  // sidecar's size.
   private val bloomCache =
-    new java.util.LinkedHashMap[String, Option[Blooms]](8, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (Long, Option[Blooms])](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[Blooms]]): Boolean = size > 4
+          e: java.util.Map.Entry[String, (Long, Option[Blooms])]): Boolean =
+        size > 4
     }
 
   /** The `_BLOOM` sidecar of a version, if present (parsed once per
-    * version — published version directories are immutable).
+    * distinct sidecar file — keyed by path + modification time).
     */
   def readBlooms(root: String, version: String): Option[Blooms] =
     bloomCache.synchronized {
       val k = s"$root/$version"
+      val p = java.nio.file.Paths.get(s"$k/_BLOOM")
+      val mtime =
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.getLastModifiedTime(p).toMillis
+        else -1L
       val hit = bloomCache.get(k)
-      if (hit != null) hit
+      if (hit != null && hit._1 == mtime) hit._2
       else {
         val parsed = parseBlooms(root, version)
-        bloomCache.put(k, parsed)
+        bloomCache.put(k, (mtime, parsed))
         parsed
       }
     }

@@ -83,6 +83,12 @@ object IvmStream {
         .filter(col("n_rows") > 0)
     }
     SnapshotTable.publish(newView, viewRoot, version)
+    // diff registers its join frame in the per-query cache registry; the
+    // view publish above is the last consumer, so release per batch — a
+    // long-running stream would otherwise pin one cached frame per
+    // micro-batch forever (the DedupStream precedent: the stream owns
+    // the session's per-query registry while running)
+    graft.CacheRegistry.clear()
   }
 
   /** The maintained view at its last committed version. */

@@ -243,10 +243,17 @@ object Pipelines {
         //    falls back to the widening upsert (stats drop; the next
         //    compact restores the merge regime).
         val dimRoot = s"$outDir/dim/$sinkTable"
+        // the merge route needs: a tile-mergeable layout (stats + range-
+        // disjoint files — a z-order compaction's overlapping pk ranges
+        // would trap every batch in merge's full-rewrite fallback), a
+        // matching schema, AND a batch id ABOVE the published version
+        // (a stream restarted on a fresh checkpoint re-numbers from 0;
+        // merge's monotonicity guard would fail that batch forever,
+        // where the upsert below just keeps publishing)
         val canMerge = graft.sources.SnapshotTable.latestVersion(dimRoot)
           .exists { v =>
-            graft.sources.SnapshotTable.keyBoundaries(dimRoot, v, pk)
-              .exists(_.nonEmpty) &&
+            batchId > v.drop(1).toLong &&
+              graft.sources.SnapshotTable.tileMergeable(dimRoot, v, pk) &&
               graft.sources.SnapshotTable.readVersion(spark, dimRoot, v)
                 .schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                 newest.schema.fields.map(f => (f.name, f.dataType)).toSeq
