@@ -13,7 +13,8 @@ object SparkEntry {
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
       TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++
-      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++ Multimodal.all ++
+      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++
+      Multimodal.all ++ MultimodalAv.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
       HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all ++

@@ -112,17 +112,27 @@ object Multimodal {
   }
 
   /** Feature kernel: image payloads (PNG/JPEG magic) decode through the
-    * REAL JDK codec and stripe over decoded pixel channel sums; anything
-    * else falls to the byte-domain STUB (mean byte per stripe — the
-    * deterministic stand-in for codecs this environment lacks, e.g.
-    * audio/video). Runs per partition over an iterator — the batch
-    * execution shape a vectorized decoder needs.
+    * REAL JDK codec and stripe over decoded pixel channel sums; WAV
+    * payloads stripe over decoded PCM samples (shifted to unsigned so all
+    * modalities share a non-negative feature domain); Y4M payloads stripe
+    * over per-pixel YUV sums of every frame in order — all real codecs,
+    * see [[MultimodalAv]]. Anything else falls to the byte-domain STUB
+    * (mean byte per stripe — the deterministic stand-in for codecs this
+    * environment lacks, e.g. compressed audio/video). Runs per partition
+    * over an iterator — the batch execution shape a vectorized decoder
+    * needs.
     */
   def decodeFeatures(payload: Array[Byte], nFeatures: Int = 8): Array[Double] =
     decodeImage(payload) match {
       case Some(img) => stripeMeans(img.pixelSums, nFeatures)
-      // ??? non-image codec goes here; deterministic byte-domain fake
-      case None => stripeMeans(payload.map(_ & 0xff), nFeatures)
+      case None => MultimodalAv.decodeAudio(payload) match {
+        case Some(a) => stripeMeans(a.samples.map(_ + 32768), nFeatures)
+        case None => MultimodalAv.decodeVideo(payload) match {
+          case Some(v) => stripeMeans(v.frames.flatten, nFeatures)
+          // ??? compressed-codec boundary; deterministic byte-domain fake
+          case None => stripeMeans(payload.map(_ & 0xff), nFeatures)
+        }
+      }
     }
 
   /** "Resize": byte-domain downsample keeping every `step`-th byte — stands
