@@ -118,7 +118,8 @@ object SnapshotTable {
     */
   def publishZOrdered(df: DataFrame, root: String, version: String,
       pk: String, zCols: Seq[String], nFiles: Int, retain: Int = 2,
-      bits: Int = 8): Unit = {
+      bits: Int = 8, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(zCols.size >= 2, "z-ordering needs >= 2 columns (use clusterFiles for 1)")
     require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits overflows a long")
@@ -153,7 +154,8 @@ object SnapshotTable {
       .sortWithinPartitions(col("__z"), col(pk))
       .drop("__z", "__file", "__pin")
       .write.mode("overwrite").parquet(s"$root/$version")
-    commitVersion(df.sparkSession, root, version, retain, zCols)
+    commitVersion(df.sparkSession, root, version, retain, zCols,
+      bloomCols, bloomBits)
   }
 
   /** For each target partition p < n, the smallest non-negative int whose
@@ -246,7 +248,10 @@ object SnapshotTable {
     * publish the result as `version`, rewriting ONLY the tiles that
     * receive changes. Matched rows are replaced by their update row
     * (or removed when `deleteWhen` holds on the update row); unmatched
-    * update rows insert.
+    * update rows insert. A NULL `deleteWhen` result means NOT deleted
+    * (the SQL MERGE `WHEN MATCHED AND <cond>` contract: an unknown
+    * condition does not fire the delete clause) — the row applies as a
+    * normal update/insert.
     *
     * 100 TB shape — the whole point of a table-format merge: cost is
     * proportional to the CHANGED data, not the table.
@@ -279,7 +284,9 @@ object SnapshotTable {
     val vOld = latestVersion(root) match {
       case None =>
         // first publish: nothing to match, inserts only
-        return publish(deleteWhen.foldLeft(updates)((u, d) => u.filter(!d)),
+        return publish(
+          deleteWhen.foldLeft(updates)((u, d) =>
+            u.filter(!coalesce(d, lit(false)))),
           root, version, retain, Seq(pk), clusterFiles)
       // REPLAYED batch (foreachBatch at-least-once): the marker moves
       // LAST, so a committed `version` means the batch fully applied —
@@ -313,7 +320,10 @@ object SnapshotTable {
       deleteWhen: Option[Column], retain: Int,
       clusterFiles: Option[Int]): Unit = {
     val spark = updates.sparkSession
-    val inserts = deleteWhen.foldLeft(updates)((u, d) => u.filter(!d))
+    // null predicate = not-deleted (SQL MERGE semantics), not delete:
+    // filter(!d) alone would drop null-condition rows
+    val inserts = deleteWhen.foldLeft(updates)((u, d) =>
+      u.filter(!coalesce(d, lit(false))))
     val stats = readStatsVersion(root, vOld)
     val bounds = keyBoundaries(root, vOld, pk)
     (stats, bounds) match {
@@ -388,7 +398,15 @@ object SnapshotTable {
         val merged = current
           .join(updates.select(col(pk)), Seq(pk), "left_anti")
           .unionByName(inserts)
-        publish(merged, root, version, retain, Seq(pk), clusterFiles)
+        // full-rewrite fallback: carry the previous version's bloom
+        // sidecar columns/sizing forward — a table published with a
+        // `_BLOOM` must not silently lose its secondary-key pruning
+        // after one non-tile-mergeable batch
+        val (bcols, bbits) = readBlooms(root, vOld)
+          .map(bl => (bl.cols.toSeq.sorted, bl.bits))
+          .getOrElse((Nil, 1 << 17))
+        publish(merged, root, version, retain, Seq(pk), clusterFiles,
+          bcols, bbits)
     }
   }
 
@@ -479,8 +497,16 @@ object SnapshotTable {
 
   private val BloomSeeds = 1 to 4
 
+  /** `fams` records each column's canonical hash family as written by
+    * the build ("L" integral, "D" floating, "S" string) — what lets a
+    * probe detect a cross-class value and bypass the filter instead of
+    * hashing in the wrong domain. Columns from sidecars written before
+    * the family tag are absent (probes then fall back to the value's
+    * runtime class).
+    */
   final case class Blooms(bits: Int, cols: Set[String],
-      words: Map[(String, String), Array[Long]]) {
+      words: Map[(String, String), Array[Long]],
+      fams: Map[String, String] = Map.empty) {
     def mayContain(column: String, file: String, value: Any): Boolean =
       words.get((column, file)) match {
         case None => true // no filter for this pair: must keep
@@ -491,14 +517,54 @@ object SnapshotTable {
       }
   }
 
-  /** Driver-side twin of the build's `xxhash64(col, lit(seed))`. */
+  /** Driver-side twin of the build's `xxhash64(col, lit(seed))`. The
+    * build canonicalizes integral columns to long and float to double
+    * ([[computeBloomLines]]); the probe widens the same way so both
+    * sides hash the same domain regardless of runtime width.
+    */
   private def bloomHash(value: Any, seed: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val v = value match {
       case i: Int => Literal(i.toLong)
+      case s: Short => Literal(s.toLong)
+      case b: Byte => Literal(b.toLong)
+      case f: Float => Literal(f.toDouble)
       case other => Literal(other)
     }
     XxHash64(Seq(v, Literal(seed)), 42L).eval().asInstanceOf[Long]
+  }
+
+  /** The probe value for a bloom lookup against a column whose sidecar
+    * family tag is `family` ("L" integral, "D" floating, "S" string) —
+    * None when the probe's type CLASS differs from the column's. Range
+    * pruning fails safe on an incomparable probe (keeps the file), but
+    * a bloom probe hashed in the wrong domain matches no filter and
+    * would wrongly SKIP every file even though the row filter could
+    * still coerce-match — so a cross-class probe must bypass the bloom
+    * entirely, and same-class probes normalize to the build's canonical
+    * width before hashing.
+    */
+  private def bloomProbe(family: String, value: Any): Option[Any] =
+    (family, value) match {
+      case ("L", v: Long) => Some(v)
+      case ("L", v: Int) => Some(v.toLong)
+      case ("L", v: Short) => Some(v.toLong)
+      case ("L", v: Byte) => Some(v.toLong)
+      case ("D", v: Double) => Some(v)
+      case ("D", v: Float) => Some(v.toDouble)
+      case ("S", v: String) => Some(v)
+      case _ => None
+    }
+
+  /** A column's canonical hash family tag for the sidecar. */
+  private def bloomFamily(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "L"
+      case FloatType | DoubleType => "D"
+      case StringType => "S"
+      case _ => "O"
+    }
   }
 
   private def writeBlooms(spark: SparkSession, dir: String,
@@ -559,15 +625,19 @@ object SnapshotTable {
     else {
       val lines = java.nio.file.Files.readString(p).split("\n").toSeq
       val bits = lines.head.stripPrefix("bits=").toInt
-      val entries = lines.tail.filter(_.nonEmpty).map { l =>
-        val Array(c, f, b64) = l.split("\t", 3)
+      val parsed = lines.tail.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", 4)
+        val (c, f, b64) = (parts(0), parts(1), parts(2))
+        val fam = if (parts.length >= 4) Some(parts(3)) else None
         val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
         val ws = new Array[Long](bits >> 6)
         var i = 0
         while (i < ws.length) { ws(i) = bb.getLong(); i += 1 }
-        (c, f) -> ws
+        ((c, f) -> ws, fam.map(c -> _))
       }
-      Some(Blooms(bits, entries.map(_._1._1).toSet, entries.toMap))
+      val entries = parsed.map(_._1)
+      Some(Blooms(bits, entries.map(_._1._1).toSet, entries.toMap,
+        parsed.flatMap(_._2).toMap))
     }
   }
 
@@ -593,8 +663,14 @@ object SnapshotTable {
     else {
       val df = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
       val perCol = cols.flatMap { c =>
+        // canonical hash domains (mirrors `encode`'s stats families):
+        // every integral width hashes as long, float as double, so a
+        // probe of any width in the same class agrees with the build
         val v = df.schema(c).dataType match {
-          case org.apache.spark.sql.types.IntegerType => col(c).cast("long")
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType => col(c).cast("long")
+          case org.apache.spark.sql.types.FloatType => col(c).cast("double")
           case _ => col(c)
         }
         BloomSeeds.map { s =>
@@ -607,13 +683,15 @@ object SnapshotTable {
           (col("__pos") / 64).cast("int").as("__word"))
         .agg(expr("bit_or(shiftleft(1L, CAST(pmod(__pos, 64) AS INT)))").as("__bits"))
         .collect()
+      val fams = cols.map(c => c -> bloomFamily(df.schema(c).dataType)).toMap
       rows.groupBy(r => (r.getString(1), r.getString(0).split('/').last))
         .toSeq.map { case ((c, f), rs) =>
           val ws = new Array[Long](bits >> 6)
           rs.foreach(r => ws(r.getInt(2)) = r.getLong(3))
           val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
           ws.foreach(bb.putLong)
-          s"$c\t$f\t" + java.util.Base64.getEncoder.encodeToString(bb.array())
+          s"$c\t$f\t" + java.util.Base64.getEncoder.encodeToString(bb.array()) +
+            s"\t${fams(c)}"
         }
     }
   }
@@ -647,13 +725,24 @@ object SnapshotTable {
       require(version.matches("v\\d+") && version.drop(1).toLong > v.drop(1).toLong,
         s"compaction version must be v<digits> after the published $v, got $version")
       val df = readVersion(spark, root, v)
+      // a compaction is a layout rewrite, not a capability change: the
+      // previous version's bloom sidecar columns/sizing carry forward
+      // (fresh filters are rebuilt for the new files)
+      val (bcols, bbits) = readBlooms(root, v)
+        .map(bl => (bl.cols.toSeq.sorted, bl.bits))
+        .getOrElse((Nil, 1 << 17))
       zOrderPk match {
         case Some(pk) =>
           require(statsCols.size >= 2, "z-order compaction needs >= 2 statsCols")
-          publishZOrdered(df, root, version, pk, statsCols, targetFiles, retain)
+          publishZOrdered(df, root, version, pk, statsCols, targetFiles,
+            retain, bloomCols = bcols, bloomBits = bbits)
         case None if statsCols.nonEmpty =>
-          publish(df, root, version, retain, statsCols, Some(targetFiles))
+          publish(df, root, version, retain, statsCols, Some(targetFiles),
+            bcols, bbits)
         case None =>
+          require(bcols.isEmpty,
+            "compacting away stats would orphan the bloom sidecar " +
+              "(pointLookup prunes by range first) — pass statsCols")
           publish(df.repartition(targetFiles), root, version, retain)
       }
       version
@@ -903,7 +992,26 @@ object SnapshotTable {
           val ranged = keptByRange(stats, pkCol, value, value).map(_.file)
           val kept = readBlooms(root, v) match {
             case Some(bl) if bl.cols.contains(pkCol) =>
-              ranged.filter(f => bl.mayContain(pkCol, f, value))
+              // normalize the probe against the column's sidecar family
+              // first: a cross-class probe (e.g. a String against a
+              // long column) bypasses the bloom — false keeps are safe,
+              // wrong-domain hashing that skips everything is not.
+              // A tagged "O" (other-typed) column bypasses outright —
+              // no canonical probe domain exists. Sidecars written
+              // before the family tag fall back to the value's runtime
+              // class, widened the same way the build canonicalizes.
+              val family = bl.fams.get(pkCol).orElse {
+                value match {
+                  case _: Long | _: Int | _: Short | _: Byte => Some("L")
+                  case _: Double | _: Float => Some("D")
+                  case _: String => Some("S")
+                  case _ => None
+                }
+              }
+              family.flatMap(bloomProbe(_, value)) match {
+                case Some(p) => ranged.filter(f => bl.mayContain(pkCol, f, p))
+                case None => ranged
+              }
             case _ => ranged
           }
           readFiles(spark, root, v, kept)

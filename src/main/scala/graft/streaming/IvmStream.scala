@@ -50,6 +50,22 @@ object IvmStream {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val version = s"v$batchId"
+    // Stale-checkpoint guard: a stream restarted on a FRESH checkpoint
+    // against an existing dimRoot re-numbers batches from 0, and the
+    // merge's monotonicity require would then fail every batch forever
+    // with a message naming only the version arithmetic. Detect it here:
+    // a batch id at or below the published version is fine ONLY when it
+    // IS a committed version (at-least-once replay — merge then
+    // short-circuits and the view recomputes idempotently).
+    SnapshotTable.latestVersion(dimRoot).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId > lv || SnapshotTable.versions(dimRoot).contains(version),
+        s"IvmStream batch $batchId does not advance $dimRoot's published " +
+          s"v$lv and v$batchId is not a committed version: the stream was " +
+          "restarted on a fresh checkpoint against an existing dim table " +
+          "(micro-batch ids re-number from 0). dimRoot, viewRoot and the " +
+          "checkpoint share the batch-id sequence and must be wiped " +
+          "together — or resume from the original checkpoint.")
+    }
     def before(root: String): Option[String] =
       SnapshotTable.versions(root).filter(_.drop(1).toLong < batchId).lastOption
     val dimPrev = before(dimRoot)

@@ -82,4 +82,24 @@ class IvmStreamSpec extends SparkSpec {
       assert(SnapshotTable.read(spark, dimRoot).get.count() == 320L)
     } finally q.stop()
   }
+
+  test("a fresh checkpoint against an existing dim fails naming the stale-checkpoint cause") {
+    val dir = java.nio.file.Files.createTempDirectory("ivmstale").toString
+    val (dimRoot, viewRoot) = (s"$dir/dim", s"$dir/view")
+    val b = spark.range(100L).select(col("id"), (col("id") % 7).as("amt"))
+    IvmStream.applyBatch(b, 5L, dimRoot, viewRoot, "id", bucketOf,
+      Seq("amt"), clusterFiles = 4)
+    // a restarted stream on a WIPED checkpoint re-numbers batches from 0:
+    // the guard must fail with the cause, not merge's version arithmetic
+    val e = intercept[IllegalArgumentException] {
+      IvmStream.applyBatch(b, 0L, dimRoot, viewRoot, "id", bucketOf,
+        Seq("amt"), clusterFiles = 4)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"),
+      s"error must name the stale-checkpoint cause, got: ${e.getMessage}")
+    // a genuine replay of the committed batch id still passes (idempotent)
+    IvmStream.applyBatch(b, 5L, dimRoot, viewRoot, "id", bucketOf,
+      Seq("amt"), clusterFiles = 4)
+    assert(rows(IvmStream.liveView(spark, viewRoot).get) == rows(direct(dimRoot)))
+  }
 }

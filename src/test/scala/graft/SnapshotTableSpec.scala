@@ -363,4 +363,76 @@ class SnapshotTableSpec extends SparkSpec {
     assert(zB.filter(col("code").between("https://example.com/page/c4000",
       "https://example.com/page/c4099")).count() == 100L)
   }
+
+  test("bloom sidecar survives the merge full-rewrite fallback and compaction") {
+    val root = freshRoot("bloomcarry")
+    // UNCLUSTERED layout: per-file pk ranges overlap, so a merge cannot
+    // take the tile path and must fall back to the full rewrite
+    val dim = spark.range(20000L).select(
+      ((col("id") * 7919) % 20000).as("id"),
+      format_string("n%05d", (col("id") * 104729) % 20000).as("nat"))
+      .repartition(8)
+    SnapshotTable.publish(dim, root, "v1", retain = 4, statsCols = Seq("id"),
+      bloomCols = Seq("nat"))
+    assert(!SnapshotTable.tileMergeable(root, "v1", "id"),
+      "sanity: the fixture must force merge's fallback path")
+    val ups = spark.range(3L).select(col("id"), lit("nYYYYY").as("nat"))
+    SnapshotTable.merge(ups, root, "id", "v2", retain = 4,
+      clusterFiles = Some(8))
+    val carried = SnapshotTable.readBlooms(root, "v2")
+    assert(carried.exists(_.cols == Set("nat")),
+      "fallback rewrite must re-publish the bloom sidecar, not drop it")
+    val hit = SnapshotTable.pointLookup(spark, root, "nat", "n07777").get
+    assert(hit.inputFiles.length <= 2 && hit.count() == 1L,
+      s"post-fallback bloom lookup kept ${hit.inputFiles.length}")
+    // compaction is a layout rewrite — the sidecar carries there too
+    SnapshotTable.compact(spark, root, "v9", 4, statsCols = Seq("id"))
+    assert(SnapshotTable.readBlooms(root, "v9").exists(_.cols == Set("nat")),
+      "compaction must rebuild the bloom sidecar for the new files")
+    val hit2 = SnapshotTable.pointLookup(spark, root, "nat", "n07777").get
+    assert(hit2.inputFiles.length <= 2 && hit2.count() == 1L,
+      s"post-compaction bloom lookup kept ${hit2.inputFiles.length}")
+    // compacting a bloom'd table WITHOUT stats would orphan the sidecar
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, root, "v10", 4)
+    }
+  }
+
+  test("bloom probe normalizes integral widths; cross-class probes bypass the bloom") {
+    val root = freshRoot("bloomtype")
+    // SHORT secondary key: the build hashes the canonical long domain,
+    // and an Int/Long probe must land in the same domain (a runtime-type
+    // hash would match no filter and wrongly skip every file)
+    val dim = spark.range(8000L).select(col("id"),
+      pmod(col("id") * 7919, lit(100)).cast("short").as("code16"))
+    SnapshotTable.publish(dim, root, "v1", retain = 2, statsCols = Seq("id"),
+      clusterFiles = Some(8), bloomCols = Seq("code16"))
+    val asInt = SnapshotTable.pointLookup(spark, root, "code16", 57).get
+    assert(asInt.count() == 80L,
+      "an Int probe against a short column must not be bloom-skipped to empty")
+    val asLong = SnapshotTable.pointLookup(spark, root, "code16", 57L).get
+    assert(asLong.count() == 80L)
+    val asShort = SnapshotTable.pointLookup(spark, root, "code16", 57.toShort).get
+    assert(asShort.count() == 80L)
+    // cross-class probe (string vs integral): bloom must be BYPASSED —
+    // all range-kept files stay, because wrong-domain hashing proves nothing
+    val crossClass = SnapshotTable.pointLookup(spark, root, "code16", "57").get
+    assert(crossClass.inputFiles.length == 8,
+      s"cross-class probe must keep all files, kept ${crossClass.inputFiles.length}")
+  }
+
+  test("merge treats a NULL delete predicate as not-deleted (SQL MERGE semantics)") {
+    val root = freshRoot("nulldel")
+    SnapshotTable.publish(
+      df(Seq(1L -> "a", 2L -> "b", 3L -> "c")), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(2))
+    // when() without otherwise(): TRUE for "del", NULL for everything else
+    val ups = df(Seq(1L -> "del", 2L -> "b2", 4L -> "d"))
+    SnapshotTable.merge(ups, root, "id", "v2",
+      deleteWhen = Some(when(col("val") === "del", lit(true))))
+    val got = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(2L -> "b2", 3L -> "c", 4L -> "d"),
+      s"null-predicate rows must apply as updates/inserts, got $got")
+  }
 }
