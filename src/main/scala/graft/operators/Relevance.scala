@@ -800,19 +800,27 @@ object Relevance {
     * plain aggregation — order-independent, map-side-combinable, exactly
     * reproducible cross-engine, unlike SGD whose result depends on visit
     * order. The update carries a DECAYING fixed-point learning rate,
-    * w += floor(1024·Σ y·x / (e·D)) with D the corpus size (an in-plan
-    * broadcast scalar) and e the epoch: the raw batch update overshoots
-    * by a factor of the misclassified count and flips whole-class
-    * predictions forever (observed: a 234↔266 oscillation that a
-    * constant rate does NOT fix — measured trajectories in BASELINE.md),
-    * while the 1/e decay is the textbook damping and floor keeps every
-    * step engine-exact. Measured on the sf0.01 corpus: 53%
-    * (majority) → 89% train accuracy by epoch 6 (266, 282, 299, 319,
-    * 435, 445 of 500). Epochs unroll relationally: the weight vector is
-    * a 68-row (bucket, w) table that BROADCASTS into
-    * the feature frame, so an epoch costs one doc-keyed margin
-    * aggregation + one 70-row weight aggregation — no dense vectors, no
-    * driver loop, no collect.
+    * w += floor(1024·Σ y·x / (e·D)) with D the corpus size and e the
+    * epoch: the raw batch update overshoots by a factor of the
+    * misclassified count and flips whole-class predictions forever
+    * (observed: a 234↔266 oscillation that a constant rate does NOT fix —
+    * measured trajectories in BASELINE.md), while the 1/e decay is the
+    * textbook damping and floor keeps every step engine-exact. Measured
+    * on the sf0.01 corpus: 53% (majority) → 89% train accuracy by epoch 6
+    * (266, 282, 299, 319, 435, 445 of 500).
+    *
+    * Execution shape: the corpus is reduced ONCE to per-doc sparse
+    * feature vectors (one shuffle, cached behind a lineage leaf); the
+    * 68-long weight vector is a DRIVER-SIDE MODEL (the [[TrainedWeights]]
+    * convention — what the cluster holds per doc, the driver holds per
+    * model). Each epoch the cluster map-side-combines the misclassified
+    * docs down to a ≤68-row gradient, the driver applies the decayed
+    * update, and the next epoch's margins read the weights as a folded
+    * literal array — one job per epoch, cost ∝ corpus, driver state 68
+    * longs at ANY corpus size. The fully in-plan form (per-epoch weight
+    * frames joined back in) was measured 15x slower: 14 tiny-job
+    * round-trips plus a 6-way trajectory self-join bought nothing but
+    * scheduler overhead.
     *
     * Emits per doc: label, every epoch's margin and correctness flag —
     * the oracle re-derives the entire training trajectory, not just the
@@ -840,46 +848,67 @@ object Relevance {
       // feature acts as an overweight quasi-bias (a mean-token-length
       // feature at ~100 per doc measurably re-introduced the oscillation
       // the decaying rate exists to damp)
-      val eng = Seq[(Int, org.apache.spark.sql.Column)](
-        (B, lit(1L)),
-        (B + 1, floor(col("token_ct") / 10).cast("long")),
-        (B + 2, col("stop_distinct")),
-        (B + 3, floor(coalesce(col("uniq_ratio_bp"), lit(0L)) / 100).cast("long")))
-        .map { case (b, v) => rf.select(col("doc_id"), lit(b).as("bucket"), v.as("cnt")) }
-        .reduce(_ unionAll _)
-      val fy = graft.CacheRegistry.persist(
-        hashed.unionByName(eng).join(lab, "doc_id"))
-      // corpus size as an in-plan broadcast scalar (the Lloyd-centers
-      // pattern) — the learning-rate denominator
-      val dRow = broadcast(lab.agg(count(lit(1)).as("d")))
-      def margins(w: DataFrame, out: String): DataFrame =
-        fy.join(broadcast(w), "bucket")
+      // the four engineered features ride ONE pass over rf (explode of a
+      // 4-struct literal array) instead of a 4-branch union that would
+      // re-run the tokenizer per branch
+      val eng = rf.select(col("doc_id"), explode(array(
+          struct(lit(B).as("bucket"), lit(1L).as("cnt")),
+          struct(lit(B + 1).as("bucket"),
+            floor(col("token_ct") / 10).cast("long").as("cnt")),
+          struct(lit(B + 2).as("bucket"), col("stop_distinct").as("cnt")),
+          struct(lit(B + 3).as("bucket"),
+            floor(coalesce(col("uniq_ratio_bp"), lit(0L)) / 100)
+              .cast("long").as("cnt")))).as("x"))
+        .select(col("doc_id"), col("x.bucket").as("bucket"),
+          col("x.cnt").as("cnt"))
+      // per-doc SPARSE FEATURE VECTORS, materialized behind a lineage
+      // leaf: every epoch is then a projection/aggregation over |docs|
+      // rows, not 68x-exploded (bucket, cnt) pairs — the shape that
+      // survives a 100x corpus — and no epoch plan re-carries the
+      // tokenize+rules tree for Catalyst to re-analyze
+      val docVec = graft.CacheRegistry.materialize(
+        hashed.unionByName(eng).join(lab, "doc_id")
           .groupBy(col("doc_id"), col("y"))
-          .agg((max(col("y")) * sum(col("w") * col("cnt"))).cast("long").as(out))
-      def step(mis: DataFrame, e: Int): DataFrame =
-        mis.groupBy("bucket")
-          .agg(sum(col("y") * col("cnt")).as("g"))
-          .crossJoin(dRow)
-          .select(col("bucket"),
-            floor(lit(S.toDouble) * col("g") / (lit(e) * col("d")))
-              .cast("long").as("u"))
-      // epoch 1: w0 = 0 misclassifies everything (margin 0)
-      val w1 = step(fy, 1).withColumnRenamed("u", "w")
-      val (_, ms) = (2 to E).foldLeft(
-        (w1, Seq(graft.CacheRegistry.persist(margins(w1, "m1"))))) {
-        case ((w, acc), e) =>
-          val upd = step(fy
-            .join(acc.last.filter(col(s"m${e - 1}") <= 0).select("doc_id"),
-              Seq("doc_id"), "left_semi"), e)
-          val wNext = w.join(upd, Seq("bucket"), "full_outer")
-            .select(col("bucket"),
-              (coalesce(col("w"), lit(0L)) + coalesce(col("u"), lit(0L))).as("w"))
-          (wNext, acc :+ graft.CacheRegistry.persist(margins(wNext, s"m$e")))
+          .agg(collect_list(struct(col("bucket"), col("cnt"))).as("bc")))
+      val d = docVec.count() // cached — the learning-rate denominator
+      // The weight vector is a DRIVER-SIDE MODEL (the TrainedWeights
+      // convention): per epoch the cluster reduces the misclassified set
+      // to a ≤68-row gradient, the driver applies the decayed update, and
+      // the next epoch's margins read the weights as a FOLDED LITERAL
+      // array (ConstantFolding collapses the lit() CreateArray — nothing
+      // is re-evaluated per element). At any corpus size the driver holds
+      // 68 longs and each epoch is exactly one job: a projection +
+      // map-side-combined 68-group aggregation over the cached vectors.
+      // The earlier all-in-plan form (weight frames joined per epoch) paid
+      // ~14 tiny-job round-trips + a 6-way trajectory join — measured
+      // 47 s -> ~3 s at sf0.1 for E=6 across this rewrite chain.
+      val w = Array.fill(B + 4)(0L)
+      def wLit: org.apache.spark.sql.Column = array(w.map(lit(_)).toSeq: _*)
+      def marginCol(wa: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (col("y") * aggregate(col("bc"), lit(0L), (acc, x) =>
+          acc + element_at(wa, x("bucket") + 1) * x("cnt"))).cast("long")
+      val marginCols = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+      (1 to E).foreach { e =>
+        // epoch 1: w0 = 0 misclassifies everything (margin 0)
+        val mis = if (e == 1) docVec else docVec.filter(marginCol(wLit) <= 0)
+        val grad = mis.select(col("y"), explode(col("bc")).as("x"))
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(sum(col("y") * col("x.cnt")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val b = r.get(0).asInstanceOf[Number].intValue()
+          val g = r.getLong(1)
+          // same double-math shape as the oracle: floor((S*g) / (e*d))
+          w(b) += math.floor((S.toDouble * g) / (e.toDouble * d)).toLong
+        }
+        marginCols += marginCol(wLit) // snapshots the CURRENT weights
       }
-      val joined = ms.reduce((a, b) => a.join(b, Seq("doc_id", "y")))
-      joined.select(col("doc_id") +: col("y").cast("long").as("y") +:
-        ((1 to E).map(e => col(s"m$e")) ++
-          (1 to E).map(e => (col(s"m$e") > 0).cast("int").as(s"ok$e"))): _*)
+      // the whole trajectory is ONE projection over the cached vectors —
+      // no per-epoch persists, no 6-way join
+      docVec.select(col("doc_id") +: col("y").cast("long").as("y") +:
+        (marginCols.toSeq.zipWithIndex.map { case (m, i) => m.as(s"m${i + 1}") } ++
+          marginCols.toSeq.zipWithIndex.map { case (m, i) =>
+            (m > 0).cast("int").as(s"ok${i + 1}") }): _*)
         .orderBy("doc_id")
     }
 
