@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level token statistics a curation pipeline reads before
+  * training: collocation mining (which bigrams are phrases, not chance
+  * co-occurrence) and vocabulary coverage (per-doc OOV rate against the
+  * corpus head vocabulary — the rare-word/garble signal used alongside
+  * the quality scores in [[Relevance]]).
+  */
+object CorpusStats {
+
+  /** Collocation lift body over any (doc_id, text) frame — fixture-
+    * testable: all pairs with n_xy ≥ minPair scored, unordered.
+    */
+  private[graft] def collocationsOf(docs: DataFrame, minPair: Int): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col("doc_id"), tokens(col("text")).as("ws")))
+    val pr = toks
+      .select(explode(when(size(col("ws")) >= 2,
+          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+    val pairCt = pr.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val uni = toks.select(explode(col("ws")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(pairCt.agg(sum(col("n_xy")).as("t_pairs")))
+    pairCt.filter(col("n_xy") >= minPair)
+      .join(broadcast(uni.select(col("t").as("x"), col("n").as("n_x"))), "x")
+      .join(broadcast(uni.select(col("t").as("y"), col("n").as("n_y"))), "y")
+      .crossJoin(tot)
+      .withColumn("lift_bp", expr("(n_xy * t_pairs * 10000) div (n_x * n_y)"))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("lift_bp"))
+  }
+
+  /** OOV body over any (doc_id, text) frame against the top-`vocabSize`
+    * head vocabulary — fixture-testable.
+    */
+  private[graft] def vocabCoverageOf(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs.select(col("doc_id"), tokens(col("text")).as("ws")))
+    val ex = toks.select(col("doc_id"), explode(col("ws")).as("t"))
+    val vocab = ex.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(vocabSize)
+    val inv = ex.join(broadcast(vocab.select("t")), Seq("t"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("iv"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("token_ct"))
+      .join(inv, Seq("doc_id"), "left")
+      .withColumn("in_vocab", coalesce(col("iv"), lit(0L)))
+      .withColumn("oov_bp",
+        when(col("token_ct") > 0,
+          expr("((token_ct - in_vocab) * 10000) div token_ct")))
+      .select("doc_id", "token_ct", "in_vocab", "oov_bp")
+  }
+
+  /** Top collocations by integer LIFT over adjacent token pairs.
+    *
+    * lift = P(x,y) / (P(x)·P(y)) — the exponentiated PMI — computed as
+    * `(n_xy * T * 10^4) div (n_x * n_y)` in basis points over unigram
+    * occurrence counts and total bigram count T, all BIGINT (PMI's log is
+    * monotone, so lift RANKS identically while staying integer-exact
+    * cross-engine). Documented bound: n_xy·T·10^4 must fit int64 — holds
+    * through ~10^7-token corpora per shard; at full 100 TB scale the
+    * score is computed per shard or the formula drops to doubles (ranking
+    * only needs ties broken, not cross-engine hashes).
+    *
+    * Shape: one tokenize pass feeds both the exploded pair counts and the
+    * unigram counts; unigram counts broadcast into the pair frame (a
+    * vocabulary is small relative to any corpus); min-count 5 prunes the
+    * hapax tail BEFORE the joins.
+    */
+  val collocations: GraftQuery = new GraftQuery {
+    val name = "token_collocations"
+    private val MinPair = 5
+    private val TopK = 50
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      collocationsOf(Tables.load(spark, sfDir, "documents"), MinPair)
+        .orderBy(col("lift_bp").desc, col("x"), col("y"))
+        .limit(TopK)
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , pr AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> struct_pack(x := ws[i], y := ws[i + 1]))) AS pr
+        FROM toks WHERE len(ws) >= 2),
+      pc AS (SELECT pr.x AS x, pr.y AS y, count(*) AS n_xy FROM pr GROUP BY 1, 2),
+      uni AS (SELECT unnest(ws) AS t FROM toks),
+      uc AS (SELECT t, count(*) AS n FROM uni GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS t_pairs FROM pc)
+      SELECT pc.x, pc.y, CAST(n_xy AS BIGINT) AS n_xy,
+             CAST(ux.n AS BIGINT) AS n_x, CAST(uy.n AS BIGINT) AS n_y,
+             (CAST(n_xy AS BIGINT) * (SELECT t_pairs FROM tot) * 10000)
+               // (CAST(ux.n AS BIGINT) * CAST(uy.n AS BIGINT)) AS lift_bp
+      FROM pc JOIN uc ux ON pc.x = ux.t JOIN uc uy ON pc.y = uy.t
+      WHERE n_xy >= $MinPair
+      ORDER BY lift_bp DESC, pc.x, pc.y LIMIT $TopK
+    """)
+  }
+
+  /** Per-doc out-of-vocabulary rate against the corpus TOP-1000 head
+    * vocabulary (count-desc, token-asc ties — fully deterministic). The
+    * head vocab is tiny by construction → broadcast semi join; the only
+    * corpus-sized shuffles are the two token aggregations.
+    */
+  val vocabCoverage: GraftQuery = new GraftQuery {
+    val name = "vocab_coverage"
+    private val VocabSize = 1000
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      vocabCoverageOf(Tables.load(spark, sfDir, "documents"), VocabSize)
+        .orderBy("doc_id")
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , ex AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+      tc AS (SELECT t, count(*) AS n FROM ex GROUP BY 1),
+      vocab AS (SELECT t FROM tc ORDER BY n DESC, t LIMIT $VocabSize),
+      iv AS (SELECT doc_id, count(*) AS iv FROM ex JOIN vocab USING (t)
+             GROUP BY 1)
+      SELECT toks.doc_id AS doc_id, CAST(len(ws) AS BIGINT) AS token_ct,
+             CAST(COALESCE(iv, 0) AS BIGINT) AS in_vocab,
+             CASE WHEN len(ws) > 0 THEN
+               ((CAST(len(ws) AS BIGINT) - COALESCE(iv, 0)) * 10000)
+                 // CAST(len(ws) AS BIGINT)
+             END AS oov_bp
+      FROM toks LEFT JOIN iv ON toks.doc_id = iv.doc_id
+      ORDER BY toks.doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(collocations, vocabCoverage)
+}

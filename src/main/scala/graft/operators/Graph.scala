@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the page-visit stream: PageRank in EXACT
+  * fixed-point arithmetic, unrolled power iteration.
+  *
+  * Domain: the reference's page stream keys every dashboard on visit
+  * counts (`RT/app/dws/VisitorStatsApp.java`); ranking pages by the
+  * stationary visit distribution is the canonical step past raw counts
+  * (Page/Brin 1999 — public algorithm), and a training-data pipeline
+  * uses the same computation for source/domain authority weighting.
+  *
+  * Exactness contract: rank mass is a BIGINT in 10^-12 units of 1; edge
+  * probabilities are BIGINT ppm (`(n * 10^6) div out_n`); every division
+  * in the update is an INTEGER division mirrored verbatim in the oracle
+  * (the [[Relevance.trainPerceptron]] pattern), so the full trajectory is
+  * hash-exact cross-engine — no float drift, no iteration-order
+  * dependence (per-edge floors, then exact integer sums).
+  *
+  * Execution shape: edges and the node frame materialize ONCE (lineage
+  * leaves); each iteration is one co-partitionable join
+  * (ranks ⨝ edges on src) + one aggregation by dst — the rank vector
+  * stays IN THE CLUSTER, node-partitioned, because unlike a trained
+  * weight vector (68 longs → driver model) a web-scale rank vector is
+  * O(nodes). The dangling-mass term and 1/N base ride as 1-row broadcast
+  * scalars (the Lloyd-centers pattern). At 100 TB: edges partition by
+  * src, ranks by node; AQE picks broadcast while ranks fit, shuffle
+  * joins after — no plan change in this code.
+  */
+object Graph {
+
+  private val Iterations = 5
+  private val Mass = 1000000000000L // 10^12 — total rank mass, fixed-point
+  private[graft] val Damp = 85 // damping factor, percent
+
+  /** Page-transition edges (src, dst, n) from a (user_id, event_id, tsn,
+    * page) frame: consecutive pages per user under (tsn, event_id) order
+    * within the 30-min session gap — the [[Behavior.transitionGrid]]
+    * construction with pages as nodes.
+    */
+  private[graft] def pageEdges(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+    ev.withColumn("dst", lead(col("page"), 1).over(w))
+      .withColumn("gap_ns", lead(col("tsn"), 1).over(w) - col("tsn"))
+      .filter(col("dst").isNotNull && col("gap_ns") <= Behavior.GapNs)
+      .groupBy(col("page").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** `iters` exact power iterations over (node) nodes and (src, dst, n)
+    * edges; returns (node, out_n, r) with r the final fixed-point rank.
+    *
+    * Update (all integer ops, everything nonnegative):
+    * {{{
+    *   p_ppm(u,v) = (n(u,v) * 10^6) div out(u)
+    *   contrib(v) = Σ_u (r(u) * p_ppm(u,v)) div 10^6
+    *   dang       = Σ_{out(u)=0} r(u)
+    *   r'(v)      = (15·M) div (100·N)
+    *              + (85 · (contrib(v) + dang div N)) div 100
+    * }}}
+    * Floors leak a little mass per iteration — deterministic and
+    * identical on both engines, which is the point.
+    */
+  private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    // edges feed two derivations (p and the out-degree side of nodeF) —
+    // cache so the sessionized-window pass runs once; p and nodeF become
+    // lineage LEAVES (each iteration's plan references them 2^k times
+    // through the rank chain — tiny leaves keep Catalyst analysis flat)
+    val ed = graft.CacheRegistry.persist(edges)
+    val outDeg = ed.groupBy(col("src")).agg(sum(col("n")).as("out_n"))
+    val p = graft.CacheRegistry.materialize(
+      ed.join(outDeg, "src")
+        .withColumn("p_ppm", expr("(n * 1000000) div out_n"))
+        .select("src", "dst", "p_ppm"))
+    val nodeF = graft.CacheRegistry.materialize(
+      nodes.join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("out_n"), lit(0L)).as("out_n")))
+    val nRow = broadcast(nodeF.agg(count(lit(1)).as("nn")))
+    val r0 =
+      nodeF.crossJoin(nRow).select(col("node"), expr(s"$Mass div nn").as("r"))
+    // iterations chain LAZY persists: the single downstream action
+    // evaluates each level exactly once (first use populates the cache,
+    // the level's second reference — the dangling-mass aggregate — reads
+    // it back), so the whole trajectory is ONE job instead of one
+    // materialize round-trip per iteration
+    val rFinal = (1 to iters).foldLeft(r0) { case (ranks, _) =>
+      val rc = graft.CacheRegistry.persist(ranks)
+      val contrib = p.join(rc, p("src") === rc("node"))
+        .withColumn("part", expr("(r * p_ppm) div 1000000"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("part")).as("c"))
+      val dang = broadcast(
+        rc.join(nodeF.filter(col("out_n") === 0), "node")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang")))
+      nodeF.join(contrib, Seq("node"), "left")
+        .crossJoin(nRow).crossJoin(dang)
+        .select(col("node"),
+          expr(s"(15 * $Mass) div (100 * nn)" +
+            s" + ($Damp * (coalesce(c, 0) + (dang div nn))) div 100").as("r"))
+    }
+    nodeF.join(rFinal, "node")
+  }
+
+  /** PageRank over the page graph (page = the `props.k` payload —
+    * the [[Behavior.propsStats]] extraction), 5 exact iterations.
+    */
+  val pageRank: GraftQuery = new GraftQuery {
+    val name = "pagerank_pages"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // cached: the parsed projection feeds both the edge window and the
+      // node set — one events scan + one JSON parse
+      val ev = graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
+        .withColumn("page",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))("k"))
+        .filter(col("page").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+          col("page")))
+      val edges = pageEdges(ev)
+      val nodes = ev.select(col("page").as("node")).distinct()
+      pagerank(nodes, edges, Iterations)
+        .select(col("node").as("page"), col("out_n"), col("r").as("rank_fp"))
+        .orderBy("page")
+    }
+
+    def oracle: Option[String] = {
+      val iter = (1 to Iterations).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""
+      d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang
+              FROM $prev JOIN nf USING (node) WHERE nf.out_n = 0),
+      c$i AS (SELECT dst AS node,
+                     CAST(sum((r * p_ppm) // 1000000) AS BIGINT) AS c
+              FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1),
+      r$i AS MATERIALIZED (SELECT nf.node, CAST(
+              (15 * $Mass) // (100 * (SELECT nn FROM nc))
+            + ($Damp * (COALESCE(c.c, 0)
+                        + ((SELECT dang FROM d$i) // (SELECT nn FROM nc)))) // 100
+            AS BIGINT) AS r
+            FROM nf LEFT JOIN c$i c USING (node))"""
+      }.mkString(",")
+      Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS page
+        FROM events
+        WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
+      pairs AS (SELECT page AS src, lead(page) OVER w AS dst,
+                       lead(tsn) OVER w - tsn AS gap_ns
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      ed AS (SELECT src, dst, count(*) AS n FROM pairs
+             WHERE dst IS NOT NULL AND gap_ns <= ${Behavior.GapNs}
+             GROUP BY 1, 2),
+      outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM ed GROUP BY 1),
+      nodes AS (SELECT DISTINCT page AS node FROM ev),
+      nf AS MATERIALIZED (
+        SELECT node, COALESCE(out_n, 0) AS out_n
+        FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src),
+      p AS MATERIALIZED (
+        SELECT src, dst, (n * 1000000) // out_n AS p_ppm
+        FROM ed JOIN outdeg USING (src)),
+      nc AS (SELECT count(*) AS nn FROM nf),
+      r0 AS (SELECT node, $Mass // (SELECT nn FROM nc) AS r FROM nf),$iter
+      SELECT nf.node AS page, nf.out_n, r$Iterations.r AS rank_fp
+      FROM nf JOIN r$Iterations USING (node) ORDER BY page
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(pageRank)
+}

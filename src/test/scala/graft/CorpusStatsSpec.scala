@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.CorpusStats
+
+/** Collocation lift and vocabulary-coverage pins on planted corpora. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a planted phrase tops the lift ranking with the hand value") {
+    // "neural network" always adjacent (5x); filler words common enough
+    // that chance pairs score low. Bigrams: 5x (neural,network) + filler.
+    val docs = (1 to 5).map(i =>
+      (i.toLong, "neural network is a tool and a tool is common")).toDF("doc_id", "text")
+    val rows = CorpusStats.collocationsOf(docs, 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    // corpus: per doc 10 tokens -> 9 bigrams, T = 45
+    // n(neural,network)=5, n(neural)=5, n(network)=5
+    // lift_bp = (5 * 45 * 10000) div (5 * 5) = 90000
+    assert(rows((("neural", "network")))._1 === 5L)
+    assert(rows((("neural", "network")))._2 === 90000L)
+    // "a tool" occurs 2x/doc = 10 with n(a)=10, n(tool)=10:
+    // (10 * 45 * 10000) div 100 = 45000 — half the planted lift
+    assert(rows((("a", "tool")))._2 === 45000L)
+    CacheRegistry.clear()
+  }
+
+  test("vocab coverage: head vocab by count then token, oov floor-bp") {
+    // counts: x:4, y:3, z:2, q:1 → vocab(size 2) = {x, y}
+    val docs = Seq(
+      (1L, "x x y z"), // 4 tokens, 3 in vocab → oov 2500 bp
+      (2L, "x x y y z q"), // 6 tokens, 4 in vocab → oov 3333 bp
+      (3L, ""), // 0 tokens → null oov
+      (4L, "z")) // 1 token, 0 in vocab → 10000 bp
+      .toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverageOf(docs, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) === ((4L, 3L, 2500L)))
+    assert(got(2L) === ((6L, 4L, 3333L)))
+    assert(got(3L) === ((0L, 0L, -1L)))
+    assert(got(4L) === ((1L, 0L, 10000L)))
+    CacheRegistry.clear()
+  }
+
+  test("vocab ties break on token order, not arrival order") {
+    // b and a tie at 2; vocab(1) takes 'a' (count desc, token asc)
+    val docs = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverageOf(docs, 1).collect().head
+    assert(got.getLong(2) === 2L) // the two 'a's
+    CacheRegistry.clear()
+  }
+}
