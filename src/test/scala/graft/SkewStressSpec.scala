@@ -103,6 +103,37 @@ class SkewStressSpec extends SparkSpec {
       s"AQE skew handling must engage on the band self-join; plan:\n${plan.take(2000)}")
   }
 
+  test("explicit salted join spreads the whale key across shuffle partitions") {
+    // skew-split OFF and broadcast OFF: the comparison isolates what the
+    // SALT does to the plain shuffle-join layout
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      // coalescing would merge the small test partitions back into one
+      // and mask the layout under measurement
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ev = skewedEvents(100000)
+      val users = spark.range(6000L).select(col("id").as("user_id"),
+        pmod(col("id"), lit(7)).as("segment"))
+      def hotPartitions(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter(col("user_id") === HotUser)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .distinct().count()
+      val plain = hotPartitions(ev.join(users, "user_id"))
+      val salted = hotPartitions(operators.SaltedJoin.saltedJoin(
+        ev, users, "user_id", 8, pmod(col("event_id"), lit(8))))
+      assert(plain === 1L, s"unsalted hot key must land in one partition, got $plain")
+      assert(salted > 1L, s"salted hot key must spread, got $salted partition(s)")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation keeps the hot key flat and exact") {
     val ev = operators.Salted.saltedSumCount(
       skewedEvents(60000).drop("props"), Seq("user_id"), "value", salts = 16)
