@@ -120,15 +120,32 @@ object ProductQuant {
     * probe and the sub-vector table are seedK-independent and session-
     * shared, so the 4-bit and 8-bit points pay for them once.
     */
-  private def pqChain(spark: SparkSession, sfDir: String,
-      seedK: Int, mCount: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** The session-shared IVF cell ranking (pq_ranked) — exposed for
+    * [[Warmup]] so the first ann_ivf_pq* query is not charged the build.
+    */
+  private[graft] def sharedRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Similarity.vecs(spark, sfDir)
     // IVF candidate generation — identical cell machinery to ann_ivf
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val ranked = graft.CacheRegistry.shared(s"pq_ranked:$sfDir") {
+    graft.CacheRegistry.shared(s"pq_ranked:$sfDir") {
       Similarity.cellRanked(e, cents).select("vec_id", "cid", "crank")
     }
+  }
+
+  /** The session-shared sub-vector table (pq_sub) for `mCount` subspaces
+    * — [[Warmup]]-visible for the same reason.
+    */
+  private[graft] def sharedSub(spark: SparkSession, sfDir: String,
+      mCount: Int): DataFrame = {
+    val e = Similarity.vecs(spark, sfDir)
+    graft.CacheRegistry.shared(s"pq_sub:$mCount:$sfDir")(subVectors(e, mCount))
+  }
+
+  private def pqChain(spark: SparkSession, sfDir: String,
+      seedK: Int, mCount: Int): (DataFrame, DataFrame, DataFrame) = {
+    val e = Similarity.vecs(spark, sfDir)
+    val ranked = sharedRanked(spark, sfDir)
     val pairs = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
       .join(ranked.filter(col("crank") === 1)
@@ -136,8 +153,7 @@ object ProductQuant {
       .filter(col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
     // PQ codebook: deterministic seeds + one exact Lloyd step
-    val sub = graft.CacheRegistry.shared(s"pq_sub:$mCount:$sfDir")(
-      subVectors(e, mCount))
+    val sub = sharedSub(spark, sfDir, mCount)
     val seeds = sub.filter(col("vec_id") < seedK)
       .select(col("m"), col("vec_id").as("k"), col("s").as("cw"))
     val cb = graft.CacheRegistry.persist(refine(assign(sub, seeds)))

@@ -211,7 +211,7 @@ object SpanDedup {
     * identical (tiny) result, and the gram self-join behind it is the
     * family's most expensive plan.
     */
-  private def sharedSpanPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def sharedSpanPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.shared(s"span_pairs:$sfDir") {
       spanPairsOf(gramTable(spark, sfDir, SpanN), SpanN, SpanMin, SpanDfCap)
     }

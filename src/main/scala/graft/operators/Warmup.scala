@@ -3,17 +3,22 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Materializes the session-shared frames ([[graft.CacheRegistry.shared]])
-  * outside any per-query timer. Seven frames are shared across the suite —
+  * outside any per-query timer. Eleven frames are shared across the suite —
   * the enriched-events derivation (seven log queries), the normalized
   * embedding vectors (the ANN family), the char-5-gram sketches (ngram
   * dedup + contamination), the tokenized corpus (the span family +
   * pipeline manifest), the derived document embeddings (doc_embed /
   * doc_embed_ann / dedup_semantic_text), the blocked k-NN neighbor
-  * rows (the KnnJoin trio) and the exact BPE token counts
-  * (text_stats / pack_sequences / sample_mixture). Without an explicit
+  * rows (the KnnJoin trio), the exact BPE token counts
+  * (text_stats / pack_sequences / sample_mixture), the span-pair frame
+  * (dedup_span / span_coverage), and the PQ cell ranking + 8/16-subspace
+  * sub-vector tables (the ann_ivf_pq* family). Without an explicit
   * warmup, whichever query a harness happens to run first against each
   * frame is charged its full build cost, making per-query timings
-  * order-dependent.
+  * order-dependent. (The pipeline-manifest loser frames stay OUT by
+  * design: they are the staged outputs of the dedup apps, and charging
+  * the composition's run 1 their cold build is the documented cost model
+  * — see `PipelineManifest`.)
   */
 object Warmup {
 
@@ -29,6 +34,10 @@ object Warmup {
     TextEmbed.docVectors(spark, sfDir).count()
     KnnJoin.knnRows(spark, sfDir).count()
     graft.functions.Bpe.docCountsShared(spark, sfDir).count()
+    SpanDedup.sharedSpanPairs(spark, sfDir).count()
+    ProductQuant.sharedRanked(spark, sfDir).count()
+    ProductQuant.sharedSub(spark, sfDir, 8).count()
+    ProductQuant.sharedSub(spark, sfDir, 16).count()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -50,7 +59,11 @@ object Warmup {
       time("doc_toks")(SpanDedup.sharedToks(spark, sfDir).count()),
       time("doc_embed")(TextEmbed.docVectors(spark, sfDir).count()),
       time("knn")(KnnJoin.knnRows(spark, sfDir).count()),
-      time("bpe_counts")(graft.functions.Bpe.docCountsShared(spark, sfDir).count()))
+      time("bpe_counts")(graft.functions.Bpe.docCountsShared(spark, sfDir).count()),
+      time("span_pairs")(SpanDedup.sharedSpanPairs(spark, sfDir).count()),
+      time("pq_ranked")(ProductQuant.sharedRanked(spark, sfDir).count()),
+      time("pq_sub8")(ProductQuant.sharedSub(spark, sfDir, 8).count()),
+      time("pq_sub16")(ProductQuant.sharedSub(spark, sfDir, 16).count()))
   }
 
   /** (name, rows, materialized partitions) for every shared frame —
@@ -65,6 +78,10 @@ object Warmup {
       ("doc_toks", SpanDedup.sharedToks(spark, sfDir)),
       ("doc_embed", TextEmbed.docVectors(spark, sfDir)),
       ("knn", KnnJoin.knnRows(spark, sfDir)),
-      ("bpe_counts", graft.functions.Bpe.docCountsShared(spark, sfDir))
+      ("bpe_counts", graft.functions.Bpe.docCountsShared(spark, sfDir)),
+      ("span_pairs", SpanDedup.sharedSpanPairs(spark, sfDir)),
+      ("pq_ranked", ProductQuant.sharedRanked(spark, sfDir)),
+      ("pq_sub8", ProductQuant.sharedSub(spark, sfDir, 8)),
+      ("pq_sub16", ProductQuant.sharedSub(spark, sfDir, 16))
     ).map { case (n, df) => (n, df.count(), df.rdd.getNumPartitions) }
 }
