@@ -18,7 +18,8 @@ object SparkEntry {
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
       HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all ++
-      SnapshotDiff.all ++ Graph.all ++ CorpusStats.all ++ SaltedJoin.all
+      SnapshotDiff.all ++ Graph.all ++ CorpusStats.all ++ SaltedJoin.all ++
+      InvertedIndex.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

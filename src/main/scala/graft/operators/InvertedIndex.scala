@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted text index published THROUGH the snapshot table format —
+  * the composition proof that the same file-level data skipping serving
+  * dim point lookups also serves text retrieval.
+  *
+  * Build: the (token, doc_id, tf) posting table, range-clustered by
+  * token at publish so `_STATS` min/max prune by term. Query: a term
+  * lookup is [[SnapshotTable.pointLookup]] — the DRIVER selects the one
+  * tile whose token range covers the term before any task launches. At
+  * 100 TB the posting table is the big artifact (∝ corpus tokens) and a
+  * term query reads ~1/files of it; the alternative — a full corpus scan
+  * with `array_contains` — is exactly what the oracle runs, so hash
+  * equality proves index build + pruning return the scan's truth.
+  */
+object InvertedIndex {
+
+  private def root(sfDir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_invidx_" +
+      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  private val Files = 8
+
+  /** The posting table (token, doc_id, tf) of a (doc_id, text) frame. */
+  private[graft] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Publish the postings of `docs` under a fresh root; returns the root. */
+  private[graft] def publishIndex(docs: DataFrame, dir: String): String = {
+    SnapshotDiff.rmTree(dir)
+    SnapshotTable.publish(postings(docs), dir, "v1",
+      statsCols = Seq("token"), clusterFiles = Some(Files))
+    dir
+  }
+
+  /** Point-lookup the 3 RAREST terms (df-asc, token-asc — a probe set
+    * both engines derive identically, non-empty on any corpus) through
+    * the published index.
+    */
+  val lookup: GraftQuery = new GraftQuery {
+    val name = "inverted_index_lookup"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val dir = publishIndex(docs, root(sfDir))
+      val post = SnapshotTable.read(spark, dir).get
+      val probes = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("token")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      probes.map { term =>
+        SnapshotTable.pointLookup(spark, dir, "token", term).get
+      }.reduce(_ unionByName _)
+        .select(col("token"), col("doc_id"), col("tf"))
+        .orderBy("token", "doc_id")
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , pairs AS (
+        SELECT doc_id, t AS token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS t FROM toks) GROUP BY 1, 2),
+      probes AS (
+        SELECT token FROM (SELECT token, count(*) AS df FROM pairs GROUP BY 1)
+        ORDER BY df, token LIMIT 3)
+      SELECT token, doc_id, CAST(tf AS BIGINT) AS tf
+      FROM pairs JOIN probes USING (token)
+      ORDER BY token, doc_id
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(lookup)
+}

@@ -29,6 +29,8 @@ object SaltedJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       saltExpr: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not already carry a _salt column")
     val salted = fact.withColumn("_salt", saltExpr.cast("int"))
     val repl = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))

@@ -31,8 +31,10 @@ object SnapshotDiff {
     sys.props("java.io.tmpdir") + "/graft_snapdiff_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
 
-  /** Fresh-root helper: each query rebuilds its table state from sfDir. */
-  private def rmTree(dir: String): Unit = {
+  /** Fresh-root helper: each query rebuilds its table state from sfDir.
+    * Shared with every snapshot-backed query (diff/merge/ivm/inverted).
+    */
+  private[graft] def rmTree(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.InvertedIndex
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** The inverted-index composition: lookup truth equals the direct corpus
+  * scan, and the published posting table actually prunes files per term.
+  */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"invidx_$tag").toString + "/t"
+
+  test("term lookup equals the direct array_contains scan, tf exact") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha delta delta")).toDF("doc_id", "text")
+    val dir = InvertedIndex.publishIndex(docs, freshDir("eq"))
+    val viaIndex = SnapshotTable.pointLookup(spark, dir, "token", "alpha").get
+      .select("doc_id", "tf").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIndex === Map(1L -> 2L, 3L -> 1L))
+    // absent term: index returns empty, like the scan
+    assert(SnapshotTable.pointLookup(spark, dir, "token", "omega").get.count() === 0L)
+  }
+
+  test("a term lookup scans a strict subset of the posting files") {
+    // enough distinct tokens that the 8-way range clustering separates
+    // term ranges across files
+    val docs = (1L to 400L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+      .toDF("doc_id", "text")
+    val dir = InvertedIndex.publishIndex(docs, freshDir("prune"))
+    val all = SnapshotTable.read(spark, dir).get.inputFiles.length
+    val hit = SnapshotTable.pointLookup(spark, dir, "token", "tok0007").get
+    assert(hit.count() === 1L)
+    val scanned = hit.inputFiles.length
+    assert(scanned < all, s"lookup scanned $scanned of $all files — no pruning")
+    assert(scanned <= 2, s"expected ~1 tile, scanned $scanned of $all")
+  }
+}
