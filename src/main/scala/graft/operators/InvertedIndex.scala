@@ -75,5 +75,58 @@ object InvertedIndex {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(lookup)
+  /** [[postings]] with the synthetic unique key `token:doc_id` — the
+    * merge pk. Clustering by it orders token-first (string prefix), so a
+    * term's posting rows stay range-contiguous and a prefix range
+    * (`term:` ≤ k < `term;` — ':' is 58, digits 48-57, ';' 59) prunes
+    * files exactly like the equality lookup does.
+    */
+  private[graft] def keyedPostings(docs: DataFrame): DataFrame =
+    postings(docs).withColumn("tok_doc",
+      concat(col("token"), lit(":"), col("doc_id").cast("string")))
+
+  /** Term lookup through the PREFIX range of the composite key. */
+  private[graft] def termLookup(spark: SparkSession, dir: String,
+      term: String): DataFrame =
+    SnapshotTable.readPruned(spark, dir, "tok_doc", term + ":", term + ";")
+      .get.filter(col("token") === term)
+
+  /** The index maintained INCREMENTALLY: half the corpus publishes v1,
+    * the other half arrives as a posting batch applied with
+    * [[SnapshotTable.merge]] (pure inserts on the composite key — new
+    * docs can only add posting rows), lookups read the merged head. The
+    * oracle scans the FULL corpus relationally: hash equality proves
+    * merge-maintained index ≡ full rebuild ≡ scan truth. At 100 TB a doc
+    * batch rewrites only the tiles its batch VOCABULARY maps to — the
+    * Lucene-segment economics without a second storage format.
+    */
+  val incremental: GraftQuery = new GraftQuery {
+    val name = "inverted_index_incremental"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val dir = root(sfDir) + "_inc"
+      SnapshotDiff.rmTree(dir)
+      SnapshotTable.publish(
+        keyedPostings(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        dir, "v1", statsCols = Seq("tok_doc"), clusterFiles = Some(Files))
+      SnapshotTable.merge(
+        keyedPostings(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        dir, "tok_doc", "v2")
+      val post = SnapshotTable.read(spark, dir).get
+      val probes = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("token")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      probes.map(termLookup(spark, dir, _))
+        .reduce(_ unionByName _)
+        .select(col("token"), col("doc_id"), col("tf"))
+        .orderBy("token", "doc_id")
+    }
+
+    // identical truth to the one-shot lookup: the full corpus's postings
+    // for the same probe rule
+    def oracle: Option[String] = lookup.oracle
+  }
+
+  val all: Seq[GraftQuery] = Seq(lookup, incremental)
 }

@@ -27,6 +27,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(SnapshotTable.pointLookup(spark, dir, "token", "omega").get.count() === 0L)
   }
 
+  test("incrementally merged index equals the full rebuild, prefix-pruned") {
+    val docs = (1L to 400L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+      .toDF("doc_id", "text")
+    // full rebuild
+    val full = InvertedIndex.publishIndex(docs, freshDir("full"))
+    // incremental: evens publish, odds merge in
+    val inc = freshDir("inc")
+    SnapshotTable.publish(
+      InvertedIndex.keyedPostings(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      inc, "v1", statsCols = Seq("tok_doc"), clusterFiles = Some(8))
+    SnapshotTable.merge(
+      InvertedIndex.keyedPostings(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
+      inc, "tok_doc", "v2")
+    val f = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val i = SnapshotTable.read(spark, inc).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(i === f)
+    // the prefix-range term lookup prunes files on the merged index
+    val hit = InvertedIndex.termLookup(spark, inc, "tok0007")
+    assert(hit.count() === 1L)
+    val all = SnapshotTable.read(spark, inc).get.inputFiles.length
+    assert(hit.inputFiles.length < all,
+      s"prefix lookup scanned ${hit.inputFiles.length} of $all files")
+  }
+
   test("a term lookup scans a strict subset of the posting files") {
     // enough distinct tokens that the 8-way range clustering separates
     // term ranges across files
