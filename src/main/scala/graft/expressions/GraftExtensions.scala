@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         { val a = arity("word_bigrams", 1, exprs); WordBigrams(a(0)) }))
     ext.injectFunction((
+      FunctionIdentifier("word_bigram_list"),
+      new ExpressionInfo(classOf[WordBigramList].getName, "word_bigram_list"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        { val a = arity("word_bigram_list", 1, exprs); WordBigramList(a(0)) }))
+    ext.injectFunction((
       FunctionIdentifier("minhash9"),
       new ExpressionInfo(classOf[MinHash9].getName, "minhash9"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -52,6 +52,46 @@ object WordBigrams {
       "word_bigrams", exprs => WordBigrams(exprs(0)), "built-in")
 }
 
+/** `word_bigram_list(text)` — EVERY adjacent word-bigram occurrence of
+  * the lowercased alnum-run tokenization, in order, duplicates kept —
+  * the collocation-counting companion of [[WordBigrams]] (which
+  * de-duplicates for shingle SETS). One codegen'd JVM pass: no token
+  * array intermediate, no interpreted higher-order lambda (the
+  * PLANS.md round-6 lesson applied to the pair explode).
+  */
+case class WordBigramList(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramList.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.WordBigramList.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordBigramList {
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("[^a-z0-9]+", -1).filter(_.nonEmpty)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigram_list", exprs => WordBigramList(exprs(0)), "built-in")
+}
+
 /** `minhash9(shingles)` — the 9-hash min-signature of a shingle array in
   * ONE pass, no explode, no aggregation: for each shingle the two salted
   * digests `md5('a|'||s) || md5('b|'||s)` yield nine disjoint 7-hex-char

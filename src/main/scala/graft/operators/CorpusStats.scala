@@ -15,22 +15,23 @@ object CorpusStats {
 
   /** Collocation lift body over any (doc_id, text) frame — fixture-
     * testable: all pairs with n_xy ≥ minPair scored, unordered.
+    *
+    * Both token passes are codegen'd single scans (the native
+    * `word_bigram_list` expression for pair occurrences; `tokens` +
+    * explode for unigrams) — no cached token-array intermediate, no
+    * interpreted lambda; the pair string splits back into (x, y) only
+    * AFTER the min-count filter, on the tiny survivor set.
     */
   private[graft] def collocationsOf(docs: DataFrame, minPair: Int): DataFrame = {
-    val toks = graft.CacheRegistry.persist(
-      docs.select(col("doc_id"), tokens(col("text")).as("ws")))
-    val pr = toks
-      .select(explode(when(size(col("ws")) >= 2,
-          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
-            slice(col("ws"), lit(2), size(col("ws")) - 1),
-            (a, b) => struct(a.as("x"), b.as("y"))))
-        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("pr"))
-      .select(col("pr.x").as("x"), col("pr.y").as("y"))
-    val pairCt = pr.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
-    val uni = toks.select(explode(col("ws")).as("t"))
+    graft.expressions.WordBigramList.register(docs.sparkSession)
+    val pairCt = docs.select(explode(expr("word_bigram_list(text)")).as("pr"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
     val tot = broadcast(pairCt.agg(sum(col("n_xy")).as("t_pairs")))
     pairCt.filter(col("n_xy") >= minPair)
+      .withColumn("x", split(col("pr"), " ").getItem(0))
+      .withColumn("y", split(col("pr"), " ").getItem(1))
       .join(broadcast(uni.select(col("t").as("x"), col("n").as("n_x"))), "x")
       .join(broadcast(uni.select(col("t").as("y"), col("n").as("n_y"))), "y")
       .crossJoin(tot)

@@ -125,6 +125,7 @@ class FunctionsSpec extends SparkSpec {
     import graft.functions.TextFunctions._
     graft.expressions.NgramSketchHash.register(spark)
     graft.expressions.WordBigrams.register(spark)
+    graft.expressions.WordBigramList.register(spark)
     graft.expressions.MinHash9.register(spark)
     import spark.implicits._
     // real docs PLUS adversarial rows: multibyte chars (substring must be
@@ -140,9 +141,17 @@ class FunctionsSpec extends SparkSpec {
         transform(charShingles(col("text"), 5), s => hash24(lower(s))),
         h => h % 4 === 0))).as("hof_sk"),
       expr("word_bigrams(text)").as("native_bg"),
-      wordShingles(tokens(col("text")), 2).as("hof_bg"))
+      wordShingles(tokens(col("text")), 2).as("hof_bg"),
+      expr("word_bigram_list(text)").as("native_bl"),
+      // the occurrence-keeping HOF twin: neighbor pairs, order + dups kept
+      when(size(tokens(col("text"))) >= 2,
+        zip_with(slice(tokens(col("text")), lit(1), size(tokens(col("text"))) - 1),
+          slice(tokens(col("text")), lit(2), size(tokens(col("text"))) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")).as("hof_bl"))
     assert(both.filter(col("native_sk") =!= col("hof_sk")).count() == 0)
     assert(both.filter(col("native_bg") =!= col("hof_bg")).count() == 0)
+    assert(both.filter(col("native_bl") =!= col("hof_bl")).count() == 0)
     // minhash9 equals the explode + 9-way min aggregation
     val viaAgg = docs
       .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("s"))

@@ -90,4 +90,29 @@ class MultimodalAvSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(y4m)(0) == vexpect0,
       "video features must come from decoded planes, not container bytes")
   }
+
+  test("the media-ANN plane lever cuts candidates; planted duplicate stays top-1") {
+    val spark = GraftSession.getOrCreate("graft-test", "local[4]")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic diverse payloads; media 21 duplicates query 20 exactly
+    def payload(i: Long): String = {
+      val r = new scala.util.Random(i)
+      (1 to 24).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val media = (1L to 200L)
+      .map(i => (i, if (i == 21) payload(20) else payload(i)))
+      .toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("payload"),
+        struct(lit("txt").as("kind"),
+          length(col("txt")).cast("long").as("width")).as("meta"))
+    val r3 = Multimodal.mediaAnnOf(media, Multimodal.MediaPlanes).collect()
+    val r6 = Multimodal.mediaAnnOf(media, Multimodal.MediaPlanes6).collect()
+    assert(r6.length < r3.length,
+      s"6 planes must shrink the candidate set: ${r6.length} vs ${r3.length}")
+    def top1(rows: Array[org.apache.spark.sql.Row]): Long = rows
+      .filter(r => r.getLong(0) == 20L && r.getLong(2) == 1L).head.getLong(1)
+    assert(top1(r3) === 21L && top1(r6) === 21L,
+      "the exact duplicate must stay rank 1 under both plane sets")
+  }
 }
