@@ -128,5 +128,40 @@ object InvertedIndex {
     def oracle: Option[String] = lookup.oracle
   }
 
+  /** One doc micro-batch into the index: postings merge tile-locally
+    * under the batch-id version (batch 0 bootstraps the clustered
+    * layout). Idempotent per batch — merge short-circuits a committed
+    * version, so foreachBatch's at-least-once replay republishes
+    * nothing. Same stale-checkpoint guard as [[graft.streaming.IvmStream]]:
+    * a fresh checkpoint against an existing index re-numbers batches
+    * from 0 and must fail fast with the cause named.
+    */
+  private[graft] def applyDocBatch(batch: DataFrame, batchId: Long,
+      root: String, files: Int = Files): Unit = {
+    if (batch.isEmpty) return
+    val version = s"v$batchId"
+    SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId > lv || SnapshotTable.versions(root).contains(version),
+        s"index stream batch $batchId does not advance $root's published " +
+          s"v$lv and v$batchId is not a committed version: fresh checkpoint " +
+          "against an existing index — wipe both together or resume the " +
+          "original checkpoint.")
+    }
+    SnapshotTable.merge(keyedPostings(batch), root, "tok_doc", version,
+      clusterFiles = Some(files))
+  }
+
+  /** Streaming index maintenance: each micro-batch of (doc_id, text)
+    * rows merges its postings into the snapshot-format index.
+    */
+  def startIndexStream(docs: DataFrame, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDocBatch(batch, batchId, root)
+      }
+      .start()
+
   val all: Seq[GraftQuery] = Seq(lookup, incremental)
 }

@@ -305,7 +305,9 @@ object SnapshotTable {
     val current = readVersion(spark, root, vOld)
     require(updates.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       current.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      "merge updates must match the table schema (names and types)")
+      "merge updates must match the table schema (names and types); " +
+        s"updates=${updates.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")} " +
+        s"table=${current.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}")
     // three consumers read the update set (tile discovery, the matched-key
     // anti join, the insert union) — persist it for the merge's duration
     // rather than re-evaluating an arbitrary source frame three times
@@ -365,9 +367,14 @@ object SnapshotTable {
           // runtime when the batch's key set is actually small, and a
           // table-scale update set (SnapshotDiff.merged passes one)
           // stays a shuffle join instead of OOMing the driver
+          // USING-join semantics move the pk to column 0; restore the
+          // table's order or the NEXT merge's schema check rejects its
+          // own output (only visible on tables whose pk is not already
+          // the first column — every dim was, the inverted index isn't)
           val merged = oldChanged
             .join(updates.select(col(pk)), Seq(pk), "left_anti")
             .unionByName(inserts)
+            .select(current.columns.map(col).toIndexedSeq: _*)
           merged
             .withColumn("__pin", element_at(
               typedLit(partitionPins(chFiles.size)), tileToDense + 1))
@@ -395,9 +402,11 @@ object SnapshotTable {
         }
         finishCommit(root, version, retain)
       case _ =>
+        // same pk-to-front USING-join reorder as the tile path — restore
         val merged = current
           .join(updates.select(col(pk)), Seq(pk), "left_anti")
           .unionByName(inserts)
+          .select(current.columns.map(col).toIndexedSeq: _*)
         // full-rewrite fallback: carry the previous version's bloom
         // sidecar columns/sizing forward — a table published with a
         // `_BLOOM` must not silently lose its secondary-key pruning

@@ -55,6 +55,40 @@ class InvertedIndexSpec extends SparkSpec {
       s"prefix lookup scanned ${hit.inputFiles.length} of $all files")
   }
 
+  test("streaming doc batches maintain the index; final state equals rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 300L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    val full = InvertedIndex.publishIndex(
+      docs.toDF("doc_id", "text"), freshDir("sfull"))
+    val dir = freshDir("stream")
+    val mem = MemoryStream[(Long, String)]
+    val q = InvertedIndex.startIndexStream(
+      mem.toDS().toDF("doc_id", "text"), dir,
+      java.nio.file.Files.createTempDirectory("invidx_ckpt").toString)
+    try {
+      docs.grouped(100).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(root: String) = SnapshotTable.read(spark, root).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(dir) === rows(full))
+    // at-least-once replay of the LAST batch (the only batch foreachBatch
+    // ever replays) is a no-op, not a corruption
+    InvertedIndex.applyDocBatch(
+      docs.takeRight(100).toDF("doc_id", "text"), 2L, dir)
+    assert(rows(dir) === rows(full))
+    // a fresh checkpoint against the existing index (batch ids re-number
+    // from 0) fails fast, cause named
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.applyDocBatch(
+        Seq((999L, "restartedfresh")).toDF("doc_id", "text"), 0L, dir)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("a term lookup scans a strict subset of the posting files") {
     // enough distinct tokens that the 8-way range clustering separates
     // term ranges across files
