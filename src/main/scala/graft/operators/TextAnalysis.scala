@@ -566,7 +566,52 @@ object TextAnalysis {
     """)
   }
 
+  /** Tokenizer FERTILITY by language — subwords per word under the
+    * shipped BPE model, ×100 floor. The standard tokenizer-quality
+    * number a pretraining run reads per language (a merge table trained
+    * on one language segments others into more pieces — fertility is
+    * that inflation, and with token-budgeted packing/mixture it directly
+    * scales any language's effective cost). Rides the session-shared
+    * exact per-doc BPE counts; one small aggregate on top.
+    */
+  val bpeFertility: GraftQuery = new GraftQuery {
+    val name = "bpe_fertility"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("word_ct"))
+        .join(graft.functions.Bpe.docCountsShared(spark, sfDir),
+          Seq("doc_id"), "left")
+        .withColumn("sub_ct", coalesce(col("bpe_ct"), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_ct"),
+          sum(col("word_ct")).as("word_ct"),
+          sum(col("sub_ct")).as("subword_ct"))
+        .withColumn("fertility_x100",
+          when(col("word_ct") > 0,
+            expr("(subword_ct * 100) div word_ct")))
+        .select("lang", "doc_ct", "word_ct", "subword_ct", "fertility_x100")
+        .orderBy("lang")
+
+    def oracle: Option[String] = Some(
+      graft.functions.Bpe.duckToksRecursiveCte +
+        graft.functions.Bpe.duckBpeCtes + """
+      , wc AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS word_ct
+               FROM toks)
+      SELECT lang, count(*) AS doc_ct,
+             CAST(sum(word_ct) AS BIGINT) AS word_ct,
+             CAST(sum(COALESCE(bpe_ct, 0)) AS BIGINT) AS subword_ct,
+             CASE WHEN sum(word_ct) > 0 THEN
+               (CAST(sum(COALESCE(bpe_ct, 0)) AS BIGINT) * 100)
+                 // CAST(sum(word_ct) AS BIGINT)
+             END AS fertility_x100
+      FROM wc LEFT JOIN bpe USING (doc_id)
+      GROUP BY 1 ORDER BY 1
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, piiRedact, repetition, corpusCard,
-      bpeTokenize, blocklist, gopherRepetition)
+      bpeTokenize, blocklist, gopherRepetition, bpeFertility)
 }
