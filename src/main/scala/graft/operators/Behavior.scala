@@ -276,13 +276,22 @@ object Behavior {
     * gap ≤ 30 min, with floor-bp row probabilities per source type.
     * Exposed for the spec's gap-edge fixture.
     */
-  private[graft] def transitionGrid(ev: DataFrame): DataFrame = {
+  /** Consecutive (src, dst) value pairs of column `node` per user under
+    * (tsn, event_id) order within the [[GapNs]] session gap — the ONE
+    * sessionized-pair rule, shared by the transition grid (nodes =
+    * event types) and [[Graph.pageEdges]] (nodes = pages): a change to
+    * the gap/tie-break semantics must hit both or neither.
+    */
+  private[graft] def sessionPairs(ev: DataFrame, node: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
-    val pairs = ev
-      .withColumn("dst", lead(col("event_type"), 1).over(w))
+    ev.withColumn("dst", lead(col(node), 1).over(w))
       .withColumn("gap_ns", lead(col("tsn"), 1).over(w) - col("tsn"))
       .filter(col("dst").isNotNull && col("gap_ns") <= GapNs)
-      .select(col("event_type").as("src"), col("dst"))
+      .select(col(node).as("src"), col("dst"))
+  }
+
+  private[graft] def transitionGrid(ev: DataFrame): DataFrame = {
+    val pairs = sessionPairs(ev, "event_type")
     val grid = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
     val tw = Window.partitionBy(col("src"))
     grid

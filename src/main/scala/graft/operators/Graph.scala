@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics over the page-visit stream: PageRank in EXACT
@@ -37,19 +36,13 @@ object Graph {
   private val Mass = 1000000000000L // 10^12 — total rank mass, fixed-point
   private[graft] val Damp = 85 // damping factor, percent
 
-  /** Page-transition edges (src, dst, n) from a (user_id, event_id, tsn,
-    * page) frame: consecutive pages per user under (tsn, event_id) order
-    * within the 30-min session gap — the [[Behavior.transitionGrid]]
-    * construction with pages as nodes.
+  /** Page-transition edges (src, dst, n): [[Behavior.sessionPairs]] (the
+    * shared sessionized-pair rule) with pages as nodes, counted.
     */
-  private[graft] def pageEdges(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
-    ev.withColumn("dst", lead(col("page"), 1).over(w))
-      .withColumn("gap_ns", lead(col("tsn"), 1).over(w) - col("tsn"))
-      .filter(col("dst").isNotNull && col("gap_ns") <= Behavior.GapNs)
-      .groupBy(col("page").as("src"), col("dst"))
+  private[graft] def pageEdges(ev: DataFrame): DataFrame =
+    Behavior.sessionPairs(ev, "page")
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** `iters` exact power iterations over (node) nodes and (src, dst, n)
     * edges; returns (node, out_n, r) with r the final fixed-point rank.
@@ -59,8 +52,8 @@ object Graph {
     *   p_ppm(u,v) = (n(u,v) * 10^6) div out(u)
     *   contrib(v) = Σ_u (r(u) * p_ppm(u,v)) div 10^6
     *   dang       = Σ_{out(u)=0} r(u)
-    *   r'(v)      = (15·M) div (100·N)
-    *              + (85 · (contrib(v) + dang div N)) div 100
+    *   r'(v)      = ((100−d)·M) div (100·N)
+    *              + (d · (contrib(v) + dang div N)) div 100, d = Damp
     * }}}
     * Floors leak a little mass per iteration — deterministic and
     * identical on both engines, which is the point.
@@ -100,7 +93,7 @@ object Graph {
       nodeF.join(contrib, Seq("node"), "left")
         .crossJoin(nRow).crossJoin(dang)
         .select(col("node"),
-          expr(s"(15 * $Mass) div (100 * nn)" +
+          expr(s"(${100 - Damp} * $Mass) div (100 * nn)" +
             s" + ($Damp * (coalesce(c, 0) + (dang div nn))) div 100").as("r"))
     }
     nodeF.join(rFinal, "node")
@@ -141,7 +134,7 @@ object Graph {
                      CAST(sum((r * p_ppm) // 1000000) AS BIGINT) AS c
               FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1),
       r$i AS MATERIALIZED (SELECT nf.node, CAST(
-              (15 * $Mass) // (100 * (SELECT nn FROM nc))
+              (${100 - Damp} * $Mass) // (100 * (SELECT nn FROM nc))
             + ($Damp * (COALESCE(c.c, 0)
                         + ((SELECT dang FROM d$i) // (SELECT nn FROM nc)))) // 100
             AS BIGINT) AS r

@@ -55,9 +55,12 @@ object InvertedIndex {
       val probes = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .orderBy(col("df"), col("token")).limit(3)
         .collect().map(_.getString(0)).toSeq
+      // empty corpus → empty probe set → empty result (like the oracle),
+      // not an empty.reduce crash
       probes.map { term =>
         SnapshotTable.pointLookup(spark, dir, "token", term).get
-      }.reduce(_ unionByName _)
+      }.reduceOption(_ unionByName _)
+        .getOrElse(post.limit(0))
         .select(col("token"), col("doc_id"), col("tf"))
         .orderBy("token", "doc_id")
     }
@@ -118,7 +121,8 @@ object InvertedIndex {
         .orderBy(col("df"), col("token")).limit(3)
         .collect().map(_.getString(0)).toSeq
       probes.map(termLookup(spark, dir, _))
-        .reduce(_ unionByName _)
+        .reduceOption(_ unionByName _)
+        .getOrElse(post.limit(0))
         .select(col("token"), col("doc_id"), col("tf"))
         .orderBy("token", "doc_id")
     }
@@ -140,12 +144,15 @@ object InvertedIndex {
       root: String, files: Int = Files): Unit = {
     if (batch.isEmpty) return
     val version = s"v$batchId"
+    // only the HEAD can be a genuine foreachBatch replay (the checkpoint
+    // advances after the function returns); a lower id colliding with a
+    // retained committed version is a fresh-checkpoint restart whose new
+    // rows merge would silently swallow as a fake replay
     SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
-      require(batchId > lv || SnapshotTable.versions(root).contains(version),
-        s"index stream batch $batchId does not advance $root's published " +
-          s"v$lv and v$batchId is not a committed version: fresh checkpoint " +
-          "against an existing index — wipe both together or resume the " +
-          "original checkpoint.")
+      require(batchId >= lv,
+        s"index stream batch $batchId is behind $root's published v$lv: " +
+          "fresh checkpoint against an existing index — wipe both " +
+          "together or resume the original checkpoint.")
     }
     SnapshotTable.merge(keyedPostings(batch), root, "tok_doc", version,
       clusterFiles = Some(files))

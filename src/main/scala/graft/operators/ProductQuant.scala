@@ -144,7 +144,6 @@ object ProductQuant {
 
   private def pqChain(spark: SparkSession, sfDir: String,
       seedK: Int, mCount: Int): (DataFrame, DataFrame, DataFrame) = {
-    val e = Similarity.vecs(spark, sfDir)
     val ranked = sharedRanked(spark, sfDir)
     val pairs = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))

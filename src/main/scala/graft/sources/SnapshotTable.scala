@@ -1007,16 +1007,12 @@ object SnapshotTable {
               // wrong-domain hashing that skips everything is not.
               // A tagged "O" (other-typed) column bypasses outright —
               // no canonical probe domain exists. Sidecars written
-              // before the family tag fall back to the value's runtime
-              // class, widened the same way the build canonicalizes.
-              val family = bl.fams.get(pkCol).orElse {
-                value match {
-                  case _: Long | _: Int | _: Short | _: Byte => Some("L")
-                  case _: Double | _: Float => Some("D")
-                  case _: String => Some("S")
-                  case _ => None
-                }
-              }
+              // before the family tag bypass too: inferring the family
+              // from the PROBE's runtime class would reintroduce the
+              // wrong-domain skip for exactly the cross-class probes the
+              // tag exists to catch (the build's family is unknowable
+              // from a legacy sidecar, and bypass only ever KEEPS files).
+              val family = bl.fams.get(pkCol)
               family.flatMap(bloomProbe(_, value)) match {
                 case Some(p) => ranged.filter(f => bl.mayContain(pkCol, f, p))
                 case None => ranged

@@ -54,17 +54,22 @@ object IvmStream {
     // against an existing dimRoot re-numbers batches from 0, and the
     // merge's monotonicity require would then fail every batch forever
     // with a message naming only the version arithmetic. Detect it here:
-    // a batch id at or below the published version is fine ONLY when it
-    // IS a committed version (at-least-once replay — merge then
-    // short-circuits and the view recomputes idempotently).
+    // a batch id below the published HEAD can never be genuine — a
+    // foreachBatch replay is always the LAST applied batch (the
+    // checkpoint only advances after the function returns), so only
+    // batchId == head qualifies as a replay (merge then short-circuits
+    // and the view recomputes idempotently). Accepting any RETAINED
+    // committed version here would let a fresh-checkpoint restart whose
+    // renumbered id collides with one silently DROP its new data as a
+    // fake replay.
     SnapshotTable.latestVersion(dimRoot).map(_.drop(1).toLong).foreach { lv =>
-      require(batchId > lv || SnapshotTable.versions(dimRoot).contains(version),
-        s"IvmStream batch $batchId does not advance $dimRoot's published " +
-          s"v$lv and v$batchId is not a committed version: the stream was " +
-          "restarted on a fresh checkpoint against an existing dim table " +
-          "(micro-batch ids re-number from 0). dimRoot, viewRoot and the " +
-          "checkpoint share the batch-id sequence and must be wiped " +
-          "together — or resume from the original checkpoint.")
+      require(batchId >= lv,
+        s"IvmStream batch $batchId is behind $dimRoot's published v$lv: " +
+          "the stream was restarted on a fresh checkpoint against an " +
+          "existing dim table (micro-batch ids re-number from 0). " +
+          "dimRoot, viewRoot and the checkpoint share the batch-id " +
+          "sequence and must be wiped together — or resume from the " +
+          "original checkpoint.")
     }
     def before(root: String): Option[String] =
       SnapshotTable.versions(root).filter(_.drop(1).toLong < batchId).lastOption

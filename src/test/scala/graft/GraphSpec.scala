@@ -25,9 +25,10 @@ class GraphSpec extends SparkSpec {
       val contrib = nodes.map { v =>
         v -> p.collect { case ((u, d), ppm) if d == v => (r(u) * ppm) / 1000000L }.sum
       }.toMap
+      val d = Graph.Damp
       r = nodes.map { v =>
-        v -> ((15 * Mass) / (100L * nn) +
-          (85 * (contrib(v) + dang / nn)) / 100)
+        v -> (((100 - d) * Mass) / (100L * nn) +
+          (d * (contrib(v) + dang / nn)) / 100)
       }.toMap
     }
     r

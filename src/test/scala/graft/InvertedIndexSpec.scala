@@ -87,6 +87,15 @@ class InvertedIndexSpec extends SparkSpec {
         Seq((999L, "restartedfresh")).toDF("doc_id", "text"), 0L, dir)
     }
     assert(e.getMessage.contains("fresh checkpoint"))
+    // ...including when the renumbered id collides with a RETAINED
+    // committed version (v1 here) — only the head can be a replay;
+    // treating this as one would silently drop the batch's new rows
+    val e1 = intercept[IllegalArgumentException] {
+      InvertedIndex.applyDocBatch(
+        Seq((999L, "restartedfresh")).toDF("doc_id", "text"), 1L, dir)
+    }
+    assert(e1.getMessage.contains("fresh checkpoint"))
+    assert(rows(dir) === rows(full))
   }
 
   test("a term lookup scans a strict subset of the posting files") {
