@@ -62,6 +62,16 @@ class GraphSpec extends SparkSpec {
     CacheRegistry.clear()
   }
 
+  test("an edge-free graph (all dangling) converges to uniform ranks") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "n")
+    val got = Graph.pagerank(nodes, edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.toSet.size === 1, s"ranks must be uniform: $got")
+    assert(got === reference(Seq(1L, 2L, 3L, 4L), Map.empty, 5))
+    CacheRegistry.clear()
+  }
+
   test("pageEdges honors the session gap and event-id tiebreak") {
     val base = 1700000000000000000L
     val gap = 31L * 60 * 1000 * 1000 * 1000 // > 30 min → severed
