@@ -98,6 +98,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(dir) === rows(full))
   }
 
+  test("the index stream survives a kill-and-resume on its checkpoint") {
+    val work = java.nio.file.Files.createTempDirectory("invidx_restart").toString
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"; val dir = s"$work/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val docs1 = (1L to 150L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    val docs2 = (151L to 300L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    val schema = docs1.toDF("doc_id", "text").schema
+    def start() = InvertedIndex.startIndexStream(
+      spark.readStream.schema(schema).parquet(in), dir, ckpt)
+    docs1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val full = InvertedIndex.publishIndex(
+      (docs1 ++ docs2).toDF("doc_id", "text"), s"$work/full")
+    def rows(root: String) = SnapshotTable.read(spark, root).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(dir) === rows(full),
+      "the resumed stream must continue the index, not restart or corrupt it")
+  }
+
   test("a term lookup scans a strict subset of the posting files") {
     // enough distinct tokens that the 8-way range clustering separates
     // term ranges across files
