@@ -45,21 +45,27 @@ object Graph {
       .agg(count(lit(1)).as("n"))
 
   /** `iters` exact power iterations over (node) nodes and (src, dst, n)
-    * edges; returns (node, out_n, r) with r the final fixed-point rank.
+    * edges; returns (node, out_n, is_seed, r) with r the final
+    * fixed-point rank. `seeds` personalizes the teleport (topic-
+    * sensitive PageRank, Haveliwala 2002 — public algorithm): the
+    * (100−d)% restart mass AND the dangling mass redistribute over the
+    * SEED set instead of all nodes. `None` = every node is a seed, which
+    * reduces the update to classic uniform PageRank term for term.
     *
-    * Update (all integer ops, everything nonnegative):
+    * Update (all integer ops, everything nonnegative; s(v) ∈ {0,1},
+    * S = Σ s, d = Damp):
     * {{{
     *   p_ppm(u,v) = (n(u,v) * 10^6) div out(u)
     *   contrib(v) = Σ_u (r(u) * p_ppm(u,v)) div 10^6
     *   dang       = Σ_{out(u)=0} r(u)
-    *   r'(v)      = ((100−d)·M) div (100·N)
-    *              + (d · (contrib(v) + dang div N)) div 100, d = Damp
+    *   r'(v)      = s(v) · ((100−d)·M) div (100·S)
+    *              + (d · (contrib(v) + s(v) · (dang div S))) div 100
     * }}}
     * Floors leak a little mass per iteration — deterministic and
     * identical on both engines, which is the point.
     */
   private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, seeds: Option[DataFrame] = None): DataFrame = {
     // edges feed two derivations (p and the out-degree side of nodeF) —
     // cache so the sessionized-window pass runs once; p and nodeF become
     // lineage LEAVES (each iteration's plan references them 2^k times
@@ -70,10 +76,17 @@ object Graph {
       ed.join(outDeg, "src")
         .withColumn("p_ppm", expr("(n * 1000000) div out_n"))
         .select("src", "dst", "p_ppm"))
-    val nodeF = graft.CacheRegistry.materialize(
+    val seedFlag = seeds match {
+      case None => (df: DataFrame) => df.withColumn("is_seed", lit(1L))
+      case Some(s) => (df: DataFrame) =>
+        df.join(s.select(col("node"), lit(1L).as("is_seed")), Seq("node"), "left")
+          .withColumn("is_seed", coalesce(col("is_seed"), lit(0L)))
+    }
+    val nodeF = graft.CacheRegistry.materialize(seedFlag(
       nodes.join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("out_n"), lit(0L)).as("out_n")))
-    val nRow = broadcast(nodeF.agg(count(lit(1)).as("nn")))
+        .select(col("node"), coalesce(col("out_n"), lit(0L)).as("out_n"))))
+    val nRow = broadcast(nodeF.agg(count(lit(1)).as("nn"),
+      sum(col("is_seed")).as("ns")))
     val r0 =
       nodeF.crossJoin(nRow).select(col("node"), expr(s"$Mass div nn").as("r"))
     // iterations chain LAZY persists: the single downstream action
@@ -92,9 +105,11 @@ object Graph {
           .agg(coalesce(sum(col("r")), lit(0L)).as("dang")))
       nodeF.join(contrib, Seq("node"), "left")
         .crossJoin(nRow).crossJoin(dang)
-        .select(col("node"),
-          expr(s"(${100 - Damp} * $Mass) div (100 * nn)" +
-            s" + ($Damp * (coalesce(c, 0) + (dang div nn))) div 100").as("r"))
+        .select(col("node"), col("is_seed"),
+          expr(s"is_seed * ((${100 - Damp} * $Mass) div (100 * ns))" +
+            s" + ($Damp * (coalesce(c, 0) + is_seed * (dang div ns))) div 100")
+            .as("r"))
+        .drop("is_seed")
     }
     nodeF.join(rFinal, "node")
   }
@@ -169,5 +184,82 @@ object Graph {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(pageRank)
+  /** PERSONALIZED PageRank: restart + dangling mass teleport to the seed
+    * pages (k < 10) only — authority RELATIVE to a topic set, the form a
+    * source-weighting pipeline actually runs (seed = trusted domains).
+    * Same fixed-point machinery; the oracle mirrors the seed flag
+    * through the identical unrolled CTEs.
+    */
+  val pageRankSeeded: GraftQuery = new GraftQuery {
+    val name = "pagerank_seeded"
+    private val SeedBelow = 10L
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
+        .withColumn("page",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))("k"))
+        .filter(col("page").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+          col("page")))
+      val edges = pageEdges(ev)
+      val nodes = ev.select(col("page").as("node")).distinct()
+      val seeds = nodes.filter(col("node") < SeedBelow)
+      pagerank(nodes, edges, Iterations, Some(seeds))
+        .select(col("node").as("page"), col("is_seed"),
+          col("r").as("rank_fp"))
+        .orderBy("page")
+    }
+
+    def oracle: Option[String] = {
+      val iter = (1 to Iterations).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""
+      d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang
+              FROM $prev JOIN nf USING (node) WHERE nf.out_n = 0),
+      c$i AS (SELECT dst AS node,
+                     CAST(sum((r * p_ppm) // 1000000) AS BIGINT) AS c
+              FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1),
+      r$i AS MATERIALIZED (SELECT nf.node, CAST(
+              nf.is_seed * ((${100 - Damp} * $Mass) // (100 * (SELECT ns FROM nc)))
+            + ($Damp * (COALESCE(c.c, 0)
+                        + nf.is_seed * ((SELECT dang FROM d$i)
+                                        // (SELECT ns FROM nc)))) // 100
+            AS BIGINT) AS r
+            FROM nf LEFT JOIN c$i c USING (node))"""
+      }.mkString(",")
+      Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS page
+        FROM events
+        WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
+      pairs AS (SELECT page AS src, lead(page) OVER w AS dst,
+                       lead(tsn) OVER w - tsn AS gap_ns
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      ed AS (SELECT src, dst, count(*) AS n FROM pairs
+             WHERE dst IS NOT NULL AND gap_ns <= ${Behavior.GapNs}
+             GROUP BY 1, 2),
+      outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM ed GROUP BY 1),
+      nodes AS (SELECT DISTINCT page AS node FROM ev),
+      nf AS MATERIALIZED (
+        SELECT node, COALESCE(out_n, 0) AS out_n,
+               CASE WHEN node < $SeedBelow THEN 1 ELSE 0 END AS is_seed
+        FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src),
+      p AS MATERIALIZED (
+        SELECT src, dst, (n * 1000000) // out_n AS p_ppm
+        FROM ed JOIN outdeg USING (src)),
+      nc AS (SELECT count(*) AS nn, CAST(sum(is_seed) AS BIGINT) AS ns FROM nf),
+      r0 AS (SELECT node, $Mass // (SELECT nn FROM nc) AS r FROM nf),$iter
+      SELECT nf.node AS page, CAST(nf.is_seed AS BIGINT) AS is_seed,
+             r$Iterations.r AS rank_fp
+      FROM nf JOIN r$Iterations USING (node) ORDER BY page
+      """)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded)
 }

@@ -15,7 +15,9 @@ class GraphSpec extends SparkSpec {
     * maps — an independent twin of both the Spark plan and the oracle.
     */
   private def reference(nodes: Seq[Long], edges: Map[(Long, Long), Long],
-      iters: Int): Map[Long, Long] = {
+      iters: Int, seeds: Set[Long] = Set.empty): Map[Long, Long] = {
+    val seedSet = if (seeds.isEmpty) nodes.toSet else seeds
+    val ns = seedSet.size
     val out = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     val p = edges.map { case ((u, v), n) => (u, v) -> (n * 1000000L) / out(u) }
     val nn = nodes.size
@@ -27,8 +29,9 @@ class GraphSpec extends SparkSpec {
       }.toMap
       val d = Graph.Damp
       r = nodes.map { v =>
-        v -> (((100 - d) * Mass) / (100L * nn) +
-          (d * (contrib(v) + dang / nn)) / 100)
+        val s = if (seedSet(v)) 1L else 0L
+        v -> (s * (((100 - d) * Mass) / (100L * ns)) +
+          (d * (contrib(v) + s * (dang / ns))) / 100)
       }.toMap
     }
     r
@@ -39,7 +42,7 @@ class GraphSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L)).toDF("src", "dst", "n")
     val got = Graph.pagerank(nodes, edges, 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     val want = reference(Seq(1L, 2L, 3L),
       Map((1L, 2L) -> 2L, (2L, 1L) -> 1L), 5)
     assert(got === want)
@@ -55,10 +58,25 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
       .toDF("src", "dst", "n")
     val got = Graph.pagerank(nodes, edges, 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got(2L) > got(3L))
     assert(got === reference(Seq(1L, 2L, 3L),
       Map((1L, 2L) -> 9L, (1L, 3L) -> 1L, (2L, 1L) -> 1L, (3L, 1L) -> 1L), 5))
+    CacheRegistry.clear()
+  }
+
+  test("personalized teleport concentrates mass near the seed") {
+    // symmetric 3-cycle; seeding node 1 must rank it above 2 and 3, and
+    // the exact trajectory must match the seeded reference recurrence
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "n")
+    val got = Graph.pagerank(nodes, edges, 5, Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === reference(Seq(1L, 2L, 3L),
+      Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (3L, 1L) -> 1L), 5, Set(1L)))
+    assert(got(1L) > got(2L) && got(1L) > got(3L),
+      s"seed must outrank the symmetric peers: $got")
     CacheRegistry.clear()
   }
 
@@ -66,7 +84,7 @@ class GraphSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
     val edges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "n")
     val got = Graph.pagerank(nodes, edges, 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.values.toSet.size === 1, s"ranks must be uniform: $got")
     assert(got === reference(Seq(1L, 2L, 3L, 4L), Map.empty, 5))
     CacheRegistry.clear()
