@@ -79,12 +79,23 @@ object Graph {
     val seedFlag = seeds match {
       case None => (df: DataFrame) => df.withColumn("is_seed", lit(1L))
       case Some(s) => (df: DataFrame) =>
-        df.join(s.select(col("node"), lit(1L).as("is_seed")), Seq("node"), "left")
+        // distinct: a duplicated seed row would fan nodeF out and corrupt
+        // both counts and the per-node output
+        df.join(s.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
+            Seq("node"), "left")
           .withColumn("is_seed", coalesce(col("is_seed"), lit(0L)))
     }
     val nodeF = graft.CacheRegistry.materialize(seedFlag(
       nodes.join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("out_n"), lit(0L)).as("out_n"))))
+    // an empty effective seed set (empty frame, or disjoint from the
+    // nodes) has no stationary distribution: ns=0 would NULL every rank
+    // through `div 0` — fail loudly instead (one tiny agg on the
+    // already-materialized node frame)
+    if (seeds.isDefined)
+      require(nodeF.agg(coalesce(sum(col("is_seed")), lit(0L)))
+          .first().getLong(0) > 0,
+        "pagerank seeds must intersect the node set (empty teleport set)")
     val nRow = broadcast(nodeF.agg(count(lit(1)).as("nn"),
       sum(col("is_seed")).as("ns")))
     val r0 =
@@ -114,109 +125,32 @@ object Graph {
     nodeF.join(rFinal, "node")
   }
 
-  /** PageRank over the page graph (page = the `props.k` payload —
-    * the [[Behavior.propsStats]] extraction), 5 exact iterations.
+  /** The parsed (user_id, event_id, tsn, page) projection, cached: it
+    * feeds both the edge window and the node set — one events scan + one
+    * JSON parse, shared by BOTH rank queries (one extraction rule, not
+    * two copies that can drift).
     */
-  val pageRank: GraftQuery = new GraftQuery {
-    val name = "pagerank_pages"
+  private def pageEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
+      .withColumn("page",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))("k"))
+      .filter(col("page").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
+        col("page")))
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // cached: the parsed projection feeds both the edge window and the
-      // node set — one events scan + one JSON parse
-      val ev = graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
-        .withColumn("page",
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.LongType))))("k"))
-        .filter(col("page").isNotNull)
-        .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
-          col("page")))
-      val edges = pageEdges(ev)
-      val nodes = ev.select(col("page").as("node")).distinct()
-      pagerank(nodes, edges, Iterations)
-        .select(col("node").as("page"), col("out_n"), col("r").as("rank_fp"))
-        .orderBy("page")
-    }
-
-    def oracle: Option[String] = {
-      val iter = (1 to Iterations).map { i =>
-        val prev = if (i == 1) "r0" else s"r${i - 1}"
-        s"""
-      d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang
-              FROM $prev JOIN nf USING (node) WHERE nf.out_n = 0),
-      c$i AS (SELECT dst AS node,
-                     CAST(sum((r * p_ppm) // 1000000) AS BIGINT) AS c
-              FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1),
-      r$i AS MATERIALIZED (SELECT nf.node, CAST(
-              (${100 - Damp} * $Mass) // (100 * (SELECT nn FROM nc))
-            + ($Damp * (COALESCE(c.c, 0)
-                        + ((SELECT dang FROM d$i) // (SELECT nn FROM nc)))) // 100
-            AS BIGINT) AS r
-            FROM nf LEFT JOIN c$i c USING (node))"""
-      }.mkString(",")
-      Some(s"""
-      WITH ev AS (
-        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
-               TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS page
-        FROM events
-        WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
-      pairs AS (SELECT page AS src, lead(page) OVER w AS dst,
-                       lead(tsn) OVER w - tsn AS gap_ns
-                FROM ev
-                WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
-      ed AS (SELECT src, dst, count(*) AS n FROM pairs
-             WHERE dst IS NOT NULL AND gap_ns <= ${Behavior.GapNs}
-             GROUP BY 1, 2),
-      outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM ed GROUP BY 1),
-      nodes AS (SELECT DISTINCT page AS node FROM ev),
-      nf AS MATERIALIZED (
-        SELECT node, COALESCE(out_n, 0) AS out_n
-        FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src),
-      p AS MATERIALIZED (
-        SELECT src, dst, (n * 1000000) // out_n AS p_ppm
-        FROM ed JOIN outdeg USING (src)),
-      nc AS (SELECT count(*) AS nn FROM nf),
-      r0 AS (SELECT node, $Mass // (SELECT nn FROM nc) AS r FROM nf),$iter
-      SELECT nf.node AS page, nf.out_n, r$Iterations.r AS rank_fp
-      FROM nf JOIN r$Iterations USING (node) ORDER BY page
-      """)
-    }
-  }
-
-  /** PERSONALIZED PageRank: restart + dangling mass teleport to the seed
-    * pages (k < 10) only — authority RELATIVE to a topic set, the form a
-    * source-weighting pipeline actually runs (seed = trusted domains).
-    * Same fixed-point machinery; the oracle mirrors the seed flag
-    * through the identical unrolled CTEs.
+  /** Shared oracle: graph CTEs + the unrolled seeded-form iteration,
+    * parameterized by the is_seed SQL expression — uniform PageRank is
+    * `seedExpr = "1"` (then ns = nn and the update reduces term for term
+    * to the classic form). Ends after r$Iterations; the caller appends
+    * its final SELECT.
     */
-  val pageRankSeeded: GraftQuery = new GraftQuery {
-    val name = "pagerank_seeded"
-    private val SeedBelow = 10L
-
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ev = graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
-        .withColumn("page",
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.LongType))))("k"))
-        .filter(col("page").isNotNull)
-        .select(col("user_id"), col("event_id"), col("ts_ns").as("tsn"),
-          col("page")))
-      val edges = pageEdges(ev)
-      val nodes = ev.select(col("page").as("node")).distinct()
-      val seeds = nodes.filter(col("node") < SeedBelow)
-      pagerank(nodes, edges, Iterations, Some(seeds))
-        .select(col("node").as("page"), col("is_seed"),
-          col("r").as("rank_fp"))
-        .orderBy("page")
-    }
-
-    def oracle: Option[String] = {
-      val iter = (1 to Iterations).map { i =>
-        val prev = if (i == 1) "r0" else s"r${i - 1}"
-        s"""
+  private def duckRankCtes(seedExpr: String): String = {
+    val iter = (1 to Iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""
       d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang
               FROM $prev JOIN nf USING (node) WHERE nf.out_n = 0),
       c$i AS (SELECT dst AS node,
@@ -229,8 +163,8 @@ object Graph {
                                         // (SELECT ns FROM nc)))) // 100
             AS BIGINT) AS r
             FROM nf LEFT JOIN c$i c USING (node))"""
-      }.mkString(",")
-      Some(s"""
+    }.mkString(",")
+    s"""
       WITH ev AS (
         SELECT user_id, event_id, epoch_ns(ts) AS tsn,
                TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS page
@@ -246,19 +180,63 @@ object Graph {
       outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM ed GROUP BY 1),
       nodes AS (SELECT DISTINCT page AS node FROM ev),
       nf AS MATERIALIZED (
-        SELECT node, COALESCE(out_n, 0) AS out_n,
-               CASE WHEN node < $SeedBelow THEN 1 ELSE 0 END AS is_seed
+        SELECT node, COALESCE(out_n, 0) AS out_n, $seedExpr AS is_seed
         FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src),
       p AS MATERIALIZED (
         SELECT src, dst, (n * 1000000) // out_n AS p_ppm
         FROM ed JOIN outdeg USING (src)),
       nc AS (SELECT count(*) AS nn, CAST(sum(is_seed) AS BIGINT) AS ns FROM nf),
-      r0 AS (SELECT node, $Mass // (SELECT nn FROM nc) AS r FROM nf),$iter
+      r0 AS (SELECT node, $Mass // (SELECT nn FROM nc) AS r FROM nf),$iter"""
+  }
+
+  /** PageRank over the page graph (page = the `props.k` payload —
+    * the [[Behavior.propsStats]] extraction), 5 exact iterations.
+    */
+  val pageRank: GraftQuery = new GraftQuery {
+    val name = "pagerank_pages"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = pageEvents(spark, sfDir)
+      val edges = pageEdges(ev)
+      val nodes = ev.select(col("page").as("node")).distinct()
+      pagerank(nodes, edges, Iterations)
+        .select(col("node").as("page"), col("out_n"), col("r").as("rank_fp"))
+        .orderBy("page")
+    }
+
+    def oracle: Option[String] = Some(duckRankCtes("1") + s"""
+      SELECT nf.node AS page, nf.out_n, r$Iterations.r AS rank_fp
+      FROM nf JOIN r$Iterations USING (node) ORDER BY page
+      """)
+  }
+
+  /** PERSONALIZED PageRank: restart + dangling mass teleport to the seed
+    * pages (k < 10) only — authority RELATIVE to a topic set, the form a
+    * source-weighting pipeline actually runs (seed = trusted domains).
+    * Same fixed-point machinery; the oracle is the SAME CTE builder with
+    * the seed expression swapped in.
+    */
+  val pageRankSeeded: GraftQuery = new GraftQuery {
+    val name = "pagerank_seeded"
+    private val SeedBelow = 10L
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = pageEvents(spark, sfDir)
+      val edges = pageEdges(ev)
+      val nodes = ev.select(col("page").as("node")).distinct()
+      val seeds = nodes.filter(col("node") < SeedBelow)
+      pagerank(nodes, edges, Iterations, Some(seeds))
+        .select(col("node").as("page"), col("is_seed"),
+          col("r").as("rank_fp"))
+        .orderBy("page")
+    }
+
+    def oracle: Option[String] = Some(
+      duckRankCtes(s"CASE WHEN node < $SeedBelow THEN 1 ELSE 0 END") + s"""
       SELECT nf.node AS page, CAST(nf.is_seed AS BIGINT) AS is_seed,
              r$Iterations.r AS rank_fp
       FROM nf JOIN r$Iterations USING (node) ORDER BY page
       """)
-    }
   }
 
   val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded)

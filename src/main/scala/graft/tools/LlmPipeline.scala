@@ -83,14 +83,19 @@ object LlmPipeline {
     val packed = Packing.withPackedOffsets(assigned, Seq("split"))
 
     packed.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
+    // everything downstream reads the PUBLISHED corpus back (the staged()
+    // discipline): the packed lineage spans sampling, mixture, redaction,
+    // split and the two packing windows — recomputing it per consumer
+    // would triple the tail of the pipeline
+    val shipped = spark.read.parquet(s"$outDir/corpus")
     // corpus report: the per-(split, lang) tokenizer telemetry a training
     // run reads off every shipped corpus — word tokens (the manifest's
     // n_tokens definition), EXACT BPE subwords over the final redacted
     // text, and fertility (the bpe_fertility metric over the SHIPPED
     // corpus instead of the raw one). Read-only: the oracled survivor
     // chain is untouched.
-    packed
-      .join(graft.functions.Bpe.docCounts(packed), Seq("doc_id"), "left")
+    shipped
+      .join(graft.functions.Bpe.docCounts(shipped), Seq("doc_id"), "left")
       .withColumn("sub_ct", coalesce(col("bpe_ct"), lit(0L)))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("docs"),
@@ -100,7 +105,7 @@ object LlmPipeline {
         when(col("words") > 0, expr("(bpe_tokens * 100) div words")))
       .orderBy("split", "lang")
       .write.mode("overwrite").parquet(s"$outDir/corpus_report")
-    val splitCts = packed.groupBy("split").agg(
+    val splitCts = shipped.groupBy("split").agg(
         count(lit(1)).as("ct"), sum("n_tokens").as("tok"))
       .collect().map(r => s""""${r.getString(0)}":{"docs":${r.getLong(1)},"tokens":${r.getLong(2)}}""")
       .sorted.mkString(",")
