@@ -29,11 +29,17 @@ object CorpusStats {
     val uni = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
     val tot = broadcast(pairCt.agg(sum(col("n_xy")).as("t_pairs")))
+    // no broadcast hint on the unigram sides: a corpus-wide distinct-token
+    // table is usually vocabulary-sized but is NOT bounded the way the
+    // 1-row total is — at 100 TB a web-crawl token table (typos, ids,
+    // hashes) can exceed driver/broadcast limits, so AQE decides at
+    // runtime from the measured size (same overflow-honesty as the
+    // documented lift_bp int64 bound)
     pairCt.filter(col("n_xy") >= minPair)
       .withColumn("x", split(col("pr"), " ").getItem(0))
       .withColumn("y", split(col("pr"), " ").getItem(1))
-      .join(broadcast(uni.select(col("t").as("x"), col("n").as("n_x"))), "x")
-      .join(broadcast(uni.select(col("t").as("y"), col("n").as("n_y"))), "y")
+      .join(uni.select(col("t").as("x"), col("n").as("n_x")), "x")
+      .join(uni.select(col("t").as("y"), col("n").as("n_y")), "y")
       .crossJoin(tot)
       .withColumn("lift_bp", expr("(n_xy * t_pairs * 10000) div (n_x * n_y)"))
       .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),

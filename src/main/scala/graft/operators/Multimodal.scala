@@ -353,16 +353,32 @@ object Multimodal {
     */
   /** [[mediaAnn]]'s body over any (media_id, payload, meta) frame with a
     * caller-chosen plane set — the bucket-count LEVER made explicit
-    * (the ann_lsh convention): the full-suite 10x capture measured 18.6x
-    * cost for 10x media under the registered 3 planes / 8 buckets,
-    * because same-bucket pairs grow as n²/buckets — at scale the plane
-    * count grows with log(n) so buckets track the corpus, and
-    * `MultimodalAvSpec` proves the lever cuts the candidate set while
-    * preserving the planted near-duplicate's top rank.
+    * (the ann_lsh convention): the round-9 full-suite 10x capture
+    * measured 18.6x cost for 10x media under a FIXED 3 planes / 8
+    * buckets, because same-bucket pairs grow as n²/buckets.
+    *
+    * `targetBucket = Some(t)` makes the plane count ADAPTIVE IN-PLAN
+    * (the [[Dedup.planesFor]] / dedup_semantic k=⌈√n⌉ convention): an
+    * in-plan count of the eligible media rows drives
+    * np = max(3, min(planes.size, ⌈log₂(n/t)⌉)), and the full plane-set
+    * bucket is MASKED to its low np bits — buckets track the corpus
+    * (expected bucket occupancy ≈ t), so candidate pairs grow ~linearly
+    * with n instead of n²/2^planes. The mask gives the plane ladder a
+    * prefix property: more data only ever SPLITS existing buckets.
+    * `targetBucket = None` pins np = planes.size (the fixed form the
+    * lever specs exercise). `MultimodalAvSpec` proves the lever cuts
+    * the candidate set while preserving the planted near-duplicate's
+    * top rank, fixed and adaptive.
     */
-  private[graft] def mediaAnnOf(media: DataFrame,
-      planes: Seq[Seq[Int]]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The CANDIDATE half of [[mediaAnnOf]] — the scored same-bucket pair
+    * frame before the top-k window. Split out so the scale spec can
+    * measure candidate-set size directly (the final result is top-3
+    * capped, which hides the quadratic growth the adaptive mask exists
+    * to remove).
+    */
+  private[graft] def mediaAnnScored(media: DataFrame,
+      planes: Seq[Seq[Int]],
+      targetBucket: Option[Long]): DataFrame = {
     val spark = media.sparkSession
     graft.expressions.DotProductDouble.register(spark)
     val feats = extractFeatures(spark, media)
@@ -371,20 +387,42 @@ object Multimodal {
     def planeDot(p: Seq[Int]) = p.zipWithIndex.map { case (c, i) =>
       element_at(col("v"), i + 1) * lit(c)
     }.reduce(_ + _)
-    val bucketed = feats.withColumn("bucket",
+    val full = feats.withColumn("bucket_full",
       planes.zipWithIndex.map { case (p, i) =>
         when(planeDot(p) > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _))
+    val bucketed = targetBucket match {
+      case None =>
+        full.withColumnRenamed("bucket_full", "bucket")
+      case Some(t) =>
+        // 1-row broadcast scalar (the crossJoin-scalar convention):
+        // decode runs once extra for the count — cheap relative to the
+        // quadratic candidate growth the adaptive mask removes
+        val np = broadcast(full.agg(
+          greatest(lit(3), least(lit(planes.size),
+            ceil(log2(count(lit(1)).cast("double") / lit(t.toDouble)))
+              .cast("int"))).as("np")))
+        full.crossJoin(np)
+          .withColumn("bucket",
+            expr("bucket_full & (shiftleft(1L, np) - 1L)"))
+          .drop("bucket_full", "np")
+    }
     val q = bucketed.filter(pmod(col("media_id"), lit(20)) === 0)
-    val scored = q.as("q")
+    q.as("q")
       .join(bucketed.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.media_id") =!= col("c.media_id"))
       .withColumn("cos_bp",
         floor(expr("dot_double(q.v, c.v)") * lit(10000.0) /
           (col("q.nrm") * col("c.nrm"))).cast("long"))
+  }
+
+  private[graft] def mediaAnnOf(media: DataFrame,
+      planes: Seq[Seq[Int]],
+      targetBucket: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q.media_id"))
       .orderBy(col("cos_bp").desc, col("c.media_id"))
-    scored
+    mediaAnnScored(media, planes, targetBucket)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q.media_id").as("query_id"), col("c.media_id").as("neighbor_id"),
@@ -400,6 +438,12 @@ object Multimodal {
     Seq(1, -1, 1, -1, -1, 1, -1, 1),
     Seq(1, -1, -1, 1, 1, -1, -1, 1))
 
+  /** Expected bucket occupancy the adaptive plane count aims for:
+    * np = ⌈log₂(n/64)⌉ keeps ~64 media per bucket, so per-query
+    * candidate work stays O(target) as the corpus grows.
+    */
+  private[graft] val MediaTargetBucket = 64L
+
   val mediaAnn: GraftQuery = new GraftQuery {
     val name = "media_ann"
 
@@ -414,7 +458,7 @@ object Multimodal {
           (length(col("payload")) === char_length(col("txt")) &&
             length(col("payload")) > 0))
         .drop("txt")
-      mediaAnnOf(media, MediaPlanes)
+      mediaAnnOf(media, MediaPlanes6, Some(MediaTargetBucket))
     }
 
     def oracle: Option[String] = {
@@ -424,7 +468,7 @@ object Multimodal {
       def planeSql(p: Seq[Int]) = p.zipWithIndex.map { case (c, i) =>
         (if (c > 0) "+ " else "- ") + s"v[${i + 1}]"
       }.mkString(" ").stripPrefix("+ ")
-      val bucketSql = MediaPlanes.zipWithIndex.map { case (p, i) =>
+      val bucketSql = MediaPlanes6.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${planeSql(p)} > 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       Some(s"""
@@ -457,9 +501,16 @@ object Multimodal {
                            / (least((i + 1) * stripe, len) - i * stripe) END) AS v
         FROM png),
       f AS (SELECT * FROM f_text UNION ALL SELECT * FROM f_png),
+      -- adaptive plane count, mirrored from the engine: np =
+      -- max(3, min(${MediaPlanes6.size}, ceil(log2(n / $MediaTargetBucket)))),
+      -- full ${MediaPlanes6.size}-plane bucket masked to the low np bits
+      cnt AS (
+        SELECT greatest(3, least(${MediaPlanes6.size},
+                 CAST(ceil(log2(count(*) / ${MediaTargetBucket}.0)) AS INTEGER))) AS np
+        FROM f),
       n AS (
         SELECT media_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-               $bucketSql AS bucket
+               ($bucketSql) & ((CAST(1 AS BIGINT) << (SELECT np FROM cnt)) - 1) AS bucket
         FROM f),
       scored AS (
         SELECT q.media_id AS query_id, c.media_id AS neighbor_id,

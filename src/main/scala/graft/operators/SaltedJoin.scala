@@ -19,19 +19,26 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /** `fact ⋈ dim` on `key`, salted `salts` ways. `saltExpr` must be
-    * deterministic per fact row with values in [0, salts) — any such
-    * expression yields the identical (unsalted) result; pick one that
-    * spreads the HOT key's rows (a line number, a hash of non-key
-    * columns), never the join key itself (that would put each key's rows
-    * back in one bucket). Build-side cost: `salts`× replication — size
-    * the salt count to the skew, not the cluster.
+    * deterministic per fact row — any such expression yields the
+    * identical (unsalted) result; pick one that spreads the HOT key's
+    * rows (a line number, a hash of non-key columns), never the join key
+    * itself (that would put each key's rows back in one bucket).
+    * Build-side cost: `salts`× replication — size the salt count to the
+    * skew, not the cluster.
+    *
+    * The salt is normalized defensively — `pmod(saltExpr, salts)` with
+    * nulls mapped to 0 — because a raw value outside [0, salts) or a
+    * null would find no dim replica in the inner (key, salt) join and
+    * silently DROP fact rows: a contract slip must skew one bucket, not
+    * corrupt the result.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       saltExpr: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "inputs must not already carry a _salt column")
-    val salted = fact.withColumn("_salt", saltExpr.cast("int"))
+    val salted = fact.withColumn("_salt",
+      coalesce(pmod(saltExpr.cast("int"), lit(salts)), lit(0)))
     val repl = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(repl, Seq(key, "_salt")).drop("_salt")

@@ -122,16 +122,56 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("a term lookup scans a strict subset of the posting files") {
-    // enough distinct tokens that the 8-way range clustering separates
-    // term ranges across files
-    val docs = (1L to 400L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    // enough posting rows (2 per doc) that the corpus-proportional tile
+    // count lands above 1, so range clustering separates term ranges
+    val docs = (1L to 4000L).map(i => (i, s"tok${"%05d".format(i)} filler"))
       .toDF("doc_id", "text")
     val dir = InvertedIndex.publishIndex(docs, freshDir("prune"))
     val all = SnapshotTable.read(spark, dir).get.inputFiles.length
-    val hit = SnapshotTable.pointLookup(spark, dir, "token", "tok0007").get
+    assert(all === InvertedIndex.tileCountFor(8000L),
+      s"publish must lay out the corpus-proportional tile count, got $all")
+    val hit = SnapshotTable.pointLookup(spark, dir, "token", "tok00007").get
     assert(hit.count() === 1L)
     val scanned = hit.inputFiles.length
     assert(scanned < all, s"lookup scanned $scanned of $all files — no pruning")
     assert(scanned <= 2, s"expected ~1 tile, scanned $scanned of $all")
+  }
+
+  test("tileCountFor: corpus-proportional power-of-2 ladder") {
+    import InvertedIndex.{tileCountFor, TileRows}
+    assert(tileCountFor(0L) === 1)
+    assert(tileCountFor(1L) === 1)
+    assert(tileCountFor(TileRows) === 1)
+    assert(tileCountFor(TileRows + 1) === 2)
+    assert(tileCountFor(5 * TileRows) === 8)   // ideal 5 rounds up to pow2
+    assert(tileCountFor(100 * TileRows) === 128)
+    assert(tileCountFor(Long.MaxValue / 4) === (1 << 12), "cap holds")
+  }
+
+  test("drift compaction re-tiles a mislaid index; lookups unchanged") {
+    import graft.operators.SnapshotDiff
+    // a SMALL corpus bootstrapped at 16 tiles (e.g. the first streaming
+    // micro-batch arrived big, later batches did not): 16 >= 2*ideal(1)
+    val docs = (1L to 200L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+      .toDF("doc_id", "text")
+    val dir = freshDir("drift")
+    SnapshotDiff.rmTree(dir)
+    SnapshotTable.publish(InvertedIndex.keyedPostings(docs), dir, "v1",
+      statsCols = Seq("tok_doc"), clusterFiles = Some(16))
+    val before = InvertedIndex.termLookup(spark, dir, "tok0007")
+      .select("token", "doc_id", "tf").collect().map(_.toString).sorted.toSeq
+    assert(SnapshotTable.read(spark, dir).get.inputFiles.length === 16)
+
+    val compacted = InvertedIndex.compactIfDrifted(spark, dir, "v2")
+    assert(compacted === Some("v2"), "16 tiles for a 1-tile corpus must re-tile")
+    assert(SnapshotTable.read(spark, dir).get.inputFiles.length ===
+      InvertedIndex.tileCountFor(400L))
+    val after = InvertedIndex.termLookup(spark, dir, "tok0007")
+      .select("token", "doc_id", "tf").collect().map(_.toString).sorted.toSeq
+    assert(after === before, "compaction must not change lookup truth")
+
+    // now within 2× of ideal → policy declines (no rewrite churn)
+    assert(InvertedIndex.compactIfDrifted(spark, dir, "v3") === None)
+    assert(SnapshotTable.latestVersion(dir) === Some("v2"))
   }
 }

@@ -114,5 +114,48 @@ class MultimodalAvSpec extends AnyFunSuite {
       .filter(r => r.getLong(0) == 20L && r.getLong(2) == 1L).head.getLong(1)
     assert(top1(r3) === 21L && top1(r6) === 21L,
       "the exact duplicate must stay rank 1 under both plane sets")
+
+    // adaptive floor: 200 media / target 64 → np = max(3, ⌈log₂(3.1)⌉) = 3,
+    // so the adaptive plan must REPRODUCE the fixed-3 result bit-for-bit
+    val ra = Multimodal.mediaAnnOf(media, Multimodal.MediaPlanes6,
+      Some(64L)).collect()
+    assert(ra.map(_.toString).sorted.toSeq ===
+      r3.map(_.toString).sorted.toSeq,
+      "under the floor the adaptive mask must equal the fixed 3-plane plan")
+  }
+
+  test("adaptive media-ANN planes grow with the corpus; duplicate stays top-1") {
+    val spark = GraftSession.getOrCreate("graft-test", "local[4]")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def payload(i: Long): String = {
+      val r = new scala.util.Random(i)
+      (1 to 24).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // 1000 media → np = ⌈log₂(1000/64)⌉ = 4 > the 3-plane floor
+    val media = (1L to 1000L)
+      .map(i => (i, if (i == 21) payload(20) else payload(i)))
+      .toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("payload"),
+        struct(lit("txt").as("kind"),
+          length(col("txt")).cast("long").as("width")).as("meta"))
+    // candidate (pre-top-k) pairs — the quantity that grows n²/buckets
+    // under a fixed plane count
+    val fixed3Cands =
+      Multimodal.mediaAnnScored(media, Multimodal.MediaPlanes, None).count()
+    val adaptiveCands = Multimodal.mediaAnnScored(media,
+      Multimodal.MediaPlanes6, Some(64L)).count()
+    // np = 4 is one plane past the floor → candidates ≈ halve (a
+    // balanced plane splits every bucket in two); 2/3 leaves room for
+    // imbalance while still proving a structural cut
+    assert(adaptiveCands * 3 < fixed3Cands * 2,
+      s"the adaptive count must shrink candidates past the floor: " +
+        s"$adaptiveCands vs $fixed3Cands")
+    val adaptive = Multimodal.mediaAnnOf(media, Multimodal.MediaPlanes6,
+      Some(64L)).collect()
+    def top1(rows: Array[org.apache.spark.sql.Row]): Long = rows
+      .filter(r => r.getLong(0) == 20L && r.getLong(2) == 1L).head.getLong(1)
+    assert(top1(adaptive) === 21L,
+      "the exact duplicate must stay rank 1 under the adaptive count")
   }
 }
