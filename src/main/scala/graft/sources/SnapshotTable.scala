@@ -40,15 +40,64 @@ import org.apache.spark.sql.functions._
   * integral, floating and string columns; other types mark the file
   * non-prunable on that column (kept, never wrongly skipped).
   *
-  * Not implemented (documented gap vs real Delta): multi-writer commit
-  * arbitration (this format assumes one publisher per table root, which
-  * is exactly the streaming dim-sink topology).
+  * MULTI-WRITER CONCURRENCY (optimistic, Delta-style): every write path
+  * captures the head version its content DERIVED from (the published
+  * `_LATEST` at read time — `None` for an empty table) and commits with
+  * a compare-and-swap: under a per-root lock (JVM monitor + an OS file
+  * lock on `._COMMITLOCK`, so two processes on a shared filesystem
+  * arbitrate too), the marker moves only if the head still equals that
+  * base. A writer that lost the race gets a [[SnapshotConflictException]]
+  * — never a lost update: the winner's committed version stays readable
+  * and the loser's data directory stays invisible (the marker never
+  * moved onto it). The loser retries by re-reading the new head and
+  * re-deriving with a version id past it (see `SnapshotTableSpec`'s
+  * two-writer case). Replay is still idempotent: committing the version
+  * that IS already the head passes the CAS by definition.
+  *
+  * Caller contract the CAS cannot enforce: concurrent writers must use
+  * writer-unique version ids (e.g. a streaming merge keyed by batch id
+  * and a compactor keyed past it). Two writers racing to write the SAME
+  * `v<n>` directory stomp each other's files before either commits —
+  * the CAS fails the stale marker move, but id allocation is the
+  * caller's, exactly as Delta assumes unique commit-file numbers.
   *
   * Reference semantic anchor: the Phoenix dim upsert
   * (`RT/app/function/DimSinkFunction.java:22-76`) — [[upsert]] is its
   * keep-latest merge, published as a snapshot version.
   */
 object SnapshotTable {
+
+  /** Roots already warned about a legacy (pre-family-tag) `_BLOOM`
+    * sidecar — the bypass is logged once per table, not per lookup.
+    */
+  private val legacyBloomWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-root commit monitors — same-JVM writers serialize here; the
+    * `._COMMITLOCK` file lock inside extends the exclusion to writers in
+    * other processes on a shared filesystem.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Test seam: runs before a commit takes the per-root lock, with
+    * (root, version). The two-writer spec uses it to interleave a full
+    * competing write at the exact moment the CAS must catch — production
+    * code never sets it.
+    */
+  private[graft] var onBeforeCommit: (String, String) => Unit = (_, _) => ()
+
+  private def withCommitLock[T](root: String)(f: => T): T = {
+    val monitor = commitLocks.computeIfAbsent(root, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root, "._COMMITLOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
+  }
 
   /** Write `df` as version `version` (must be `v<digits>`) under `root`
     * and atomically publish it as latest; prune beyond `retain`.
@@ -63,6 +112,20 @@ object SnapshotTable {
     * [[pointLookup]] prune on a column the table is NOT clustered by.
     */
   def publish(df: DataFrame, root: String, version: String, retain: Int = 2,
+      statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit =
+    publishFrom(df, root, version, latestVersion(root), retain, statsCols,
+      clusterFiles, bloomCols, bloomBits)
+
+  /** [[publish]] with an explicit CAS base: the head version this write's
+    * content derived from (`None` = derived from an empty table). The
+    * public overload captures the head at entry; internal callers that
+    * READ the table earlier (merge, compact, upsert) pass the head they
+    * actually read, so a competing commit in between conflicts instead of
+    * being silently overwritten.
+    */
+  private[sources] def publishFrom(df: DataFrame, root: String,
+      version: String, base: Option[String], retain: Int,
       statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
@@ -82,7 +145,7 @@ object SnapshotTable {
     }
     out.write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain, statsCols,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, base)
   }
 
   /** Z-ORDER clustered publish: multi-column data skipping. Linear
@@ -119,7 +182,15 @@ object SnapshotTable {
   def publishZOrdered(df: DataFrame, root: String, version: String,
       pk: String, zCols: Seq[String], nFiles: Int, retain: Int = 2,
       bits: Int = 8, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17): Unit = {
+      bloomBits: Int = 1 << 17): Unit =
+    publishZOrderedFrom(df, root, version, latestVersion(root), pk, zCols,
+      nFiles, retain, bits, bloomCols, bloomBits)
+
+  /** [[publishZOrdered]] with an explicit CAS base — see [[publishFrom]]. */
+  private[sources] def publishZOrderedFrom(df: DataFrame, root: String,
+      version: String, base: Option[String], pk: String, zCols: Seq[String],
+      nFiles: Int, retain: Int = 2, bits: Int = 8,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(zCols.size >= 2, "z-ordering needs >= 2 columns (use clusterFiles for 1)")
     require(zCols.size * bits <= 62, s"${zCols.size} cols x $bits bits overflows a long")
@@ -155,7 +226,7 @@ object SnapshotTable {
       .drop("__z", "__file", "__pin")
       .write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain, zCols,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, base)
   }
 
   /** For each target partition p < n, the smallest non-negative int whose
@@ -200,6 +271,7 @@ object SnapshotTable {
       bloomBits: Int = 1 << 17): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(boundaries.nonEmpty, "publishAligned needs at least one cutpoint")
+    val base = latestVersion(root)
     val n = boundaries.size + 1
     val fileId = boundaries
       .map(b => when(col(key) >= lit(b), 1).otherwise(0))
@@ -211,7 +283,8 @@ object SnapshotTable {
       .drop("__pin")
       .write.mode("overwrite").parquet(s"$root/$version")
     commitVersion(df.sparkSession, root, version, retain,
-      if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits)
+      if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits,
+      base)
   }
 
   /** The interior cutpoints of a published version's file layout on
@@ -283,11 +356,12 @@ object SnapshotTable {
     val spark = updates.sparkSession
     val vOld = latestVersion(root) match {
       case None =>
-        // first publish: nothing to match, inserts only
-        return publish(
+        // first publish: nothing to match, inserts only; CAS base None =
+        // the empty table this merge derived from
+        return publishFrom(
           deleteWhen.foldLeft(updates)((u, d) =>
             u.filter(!coalesce(d, lit(false)))),
-          root, version, retain, Seq(pk), clusterFiles)
+          root, version, None, retain, Seq(pk), clusterFiles)
       // REPLAYED batch (foreachBatch at-least-once): the marker moves
       // LAST, so a committed `version` means the batch fully applied —
       // re-applying a merge to its own output would overwrite the very
@@ -400,7 +474,7 @@ object SnapshotTable {
                 kept ++ computeBloomLines(spark, dir, newFiles, bcols, bits))
           }
         }
-        finishCommit(root, version, retain)
+        finishCommit(root, version, retain, Some(vOld))
       case _ =>
         // same pk-to-front USING-join reorder as the tile path — restore
         val merged = current
@@ -414,8 +488,8 @@ object SnapshotTable {
         val (bcols, bbits) = readBlooms(root, vOld)
           .map(bl => (bl.cols.toSeq.sorted, bl.bits))
           .getOrElse((Nil, 1 << 17))
-        publish(merged, root, version, retain, Seq(pk), clusterFiles,
-          bcols, bbits)
+        publishFrom(merged, root, version, Some(vOld), retain, Seq(pk),
+          clusterFiles, bcols, bbits)
     }
   }
 
@@ -743,16 +817,17 @@ object SnapshotTable {
       zOrderPk match {
         case Some(pk) =>
           require(statsCols.size >= 2, "z-order compaction needs >= 2 statsCols")
-          publishZOrdered(df, root, version, pk, statsCols, targetFiles,
-            retain, bloomCols = bcols, bloomBits = bbits)
+          publishZOrderedFrom(df, root, version, Some(v), pk, statsCols,
+            targetFiles, retain, bloomCols = bcols, bloomBits = bbits)
         case None if statsCols.nonEmpty =>
-          publish(df, root, version, retain, statsCols, Some(targetFiles),
-            bcols, bbits)
+          publishFrom(df, root, version, Some(v), retain, statsCols,
+            Some(targetFiles), bcols, bbits)
         case None =>
           require(bcols.isEmpty,
             "compacting away stats would orphan the bloom sidecar " +
               "(pointLookup prunes by range first) — pass statsCols")
-          publish(df.repartition(targetFiles), root, version, retain)
+          publishFrom(df.repartition(targetFiles), root, version, Some(v),
+            retain)
       }
       version
     }
@@ -789,22 +864,37 @@ object SnapshotTable {
     */
   private def commitVersion(spark: SparkSession, root: String,
       version: String, retain: Int, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
+      bloomCols: Seq[String], bloomBits: Int,
+      base: Option[String]): Unit = {
     if (statsCols.nonEmpty) writeStats(spark, s"$root/$version", statsCols)
     if (bloomCols.nonEmpty) writeBlooms(spark, s"$root/$version", bloomCols, bloomBits)
-    finishCommit(root, version, retain)
+    finishCommit(root, version, retain, base)
   }
 
   /** The marker move + retention half of a commit (stats, if any, must
     * already be in place — a published version never lacks its stats).
+    *
+    * The CAS: under the per-root lock, the marker moves only if the
+    * committed head still equals `base` — the head this write derived
+    * from — or already IS `version` (an idempotent replay republishing
+    * itself). Anything else means a competing writer committed since the
+    * derivation read: throw [[SnapshotConflictException]] and leave the
+    * winner's head untouched (this write's directory stays invisible).
     */
-  private def finishCommit(root: String, version: String, retain: Int): Unit = {
-    val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
-    java.nio.file.Files.writeString(tmp, version)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    prune(root, retain)
+  private def finishCommit(root: String, version: String, retain: Int,
+      base: Option[String]): Unit = {
+    onBeforeCommit(root, version)
+    withCommitLock(root) {
+      val head = latestVersion(root)
+      if (head != base && !head.contains(version))
+        throw new SnapshotConflictException(root, base, head)
+      val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
+      java.nio.file.Files.writeString(tmp, version)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      prune(root, retain)
+    }
   }
 
   /** The currently published version id, if any. */
@@ -1012,7 +1102,15 @@ object SnapshotTable {
               // wrong-domain skip for exactly the cross-class probes the
               // tag exists to catch (the build's family is unknowable
               // from a legacy sidecar, and bypass only ever KEEPS files).
+              // The legacy bypass is correctness-safe but a silent
+              // pruning regression for pre-tag tables — surface it once
+              // per root so the operator knows a republish restores it.
               val family = bl.fams.get(pkCol)
+              if (family.isEmpty && legacyBloomWarned.add(root))
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"$root: _BLOOM sidecar predates the type-family tag; " +
+                    "bloom pruning is bypassed (range pruning still " +
+                    "applies). Republish the table to regain it.")
               family.flatMap(bloomProbe(_, value)) match {
                 case Some(p) => ranged.filter(f => bl.mayContain(pkCol, f, p))
                 case None => ranged
@@ -1124,7 +1222,8 @@ object SnapshotTable {
   def upsert(updates: DataFrame, root: String, pk: String, version: String,
       retain: Int = 2, statsCols: Seq[String] = Nil,
       clusterFiles: Option[Int] = None): Unit = {
-    val merged = read(updates.sparkSession, root) match {
+    val base = latestVersion(root)
+    val merged = base.map(readVersion(updates.sparkSession, root, _)) match {
       case Some(existing) =>
         val w = Window.partitionBy(col(pk)).orderBy(col("_prio").desc)
         updates.withColumn("_prio", lit(1))
@@ -1134,7 +1233,7 @@ object SnapshotTable {
           .drop("_prio", "_rn")
       case None => updates
     }
-    publish(merged, root, version, retain, statsCols, clusterFiles)
+    publishFrom(merged, root, version, base, retain, statsCols, clusterFiles)
   }
 
   /** Delete retained-window stragglers: keep the newest `retain` version
@@ -1156,3 +1255,18 @@ object SnapshotTable {
     }
   }
 }
+
+/** A commit lost its optimistic-concurrency race: the table head moved
+  * past the snapshot this write derived from (see the MULTI-WRITER
+  * CONCURRENCY section of [[SnapshotTable]]'s scaladoc). The winner's
+  * version is intact; the loser's data directory never became visible.
+  * Recovery: re-read the head, re-derive the write, retry with a version
+  * id past the new head.
+  */
+final class SnapshotConflictException(val root: String,
+    val expected: Option[String], val found: Option[String])
+  extends RuntimeException(
+    s"concurrent publish on $root: this write derived from head " +
+      s"${expected.getOrElse("<empty table>")} but the committed head is " +
+      s"now ${found.getOrElse("<empty table>")} — re-read the head and " +
+      "retry with a version id past it")

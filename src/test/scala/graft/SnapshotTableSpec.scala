@@ -435,4 +435,59 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == Set(2L -> "b2", 3L -> "c", 4L -> "d"),
       s"null-predicate rows must apply as updates/inserts, got $got")
   }
+
+  test("two interleaved writers: the stale one conflicts; no committed version is lost") {
+    import graft.sources.SnapshotConflictException
+    val root = freshRoot("race")
+    SnapshotTable.publish(df(Seq(1L -> "a", 2L -> "b")), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(2))
+
+    // Writer A (a streaming merge) reads head v1 and derives v2. The
+    // onBeforeCommit seam fires at the instant A is about to commit —
+    // there, writer B (a compactor) runs its ENTIRE read-derive-commit
+    // against the same v1 head and wins the race with v3. A's CAS must
+    // then see head v3 ≠ its base v1 and throw, leaving v3 intact.
+    var bRan = false
+    graft.sources.SnapshotTable.onBeforeCommit = (r, v) =>
+      if (r == root && v == "v2" && !bRan) {
+        bRan = true // one-shot: B's own commit re-enters this hook
+        SnapshotTable.merge(df(Seq(3L -> "fromB")), root, "id", "v3")
+      }
+    val lost =
+      try { SnapshotTable.merge(df(Seq(2L -> "fromA")), root, "id", "v2"); None }
+      catch { case e: SnapshotConflictException => Some(e) }
+      finally graft.sources.SnapshotTable.onBeforeCommit = (_, _) => ()
+    assert(bRan, "the interleave seam must have run writer B")
+    val e = lost.getOrElse(fail("the stale writer must raise a conflict"))
+    assert(e.expected.contains("v1") && e.found.contains("v3"))
+    assert(SnapshotTable.latestVersion(root).contains("v3"),
+      "the winner's committed head must survive the loser's attempt")
+    val afterRace = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRace == Set(1L -> "a", 2L -> "b", 3L -> "fromB"),
+      s"B's committed version must be intact, got $afterRace")
+
+    // A's recovery per the documented contract: re-read the head, re-derive,
+    // retry past it — both writers' rows are then present; nothing was lost.
+    SnapshotTable.merge(df(Seq(2L -> "fromA")), root, "id", "v4")
+    val got = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "a", 2L -> "fromA", 3L -> "fromB"),
+      s"retry against the new head must merge both writers' rows, got $got")
+    assert(SnapshotTable.latestVersion(root).contains("v4"))
+  }
+
+  test("replay republish of the committed head passes the CAS (idempotence kept)") {
+    val root = freshRoot("replaycas")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
+    SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
+    // a foreachBatch replay re-publishes v2 identically: head == version,
+    // so the CAS must let it through even though head != the replayer's
+    // original v1 base
+    SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
+    assert(SnapshotTable.latestVersion(root).contains("v2"))
+    val got = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "b"))
+  }
 }
