@@ -348,6 +348,29 @@ object SnapshotTable {
     * back to a full rewrite published with pk stats, clustered when
     * `clusterFiles` is set (which is also how the first publish and the
     * fallback BOOTSTRAP the tile regime for later batches).
+    *
+    * DIVERGENCE vs Delta `MERGE INTO` (the interop checklist for a user
+    * arriving from Delta — semantic deltas, not missing plumbing):
+    *   - MATCHED UPDATE is whole-row replacement: Delta's
+    *     `UPDATE SET col = expr` (partial column updates referencing
+    *     both source and target) is expressed here by pre-joining the
+    *     update frame against [[read]] to build full rows first.
+    *   - One update clause + one optional delete predicate, and
+    *     `deleteWhen` sees the UPDATE row's columns only; Delta allows
+    *     N ordered `WHEN MATCHED [AND cond]` clauses whose conditions
+    *     reference source AND target. NULL-condition behavior matches
+    *     (unknown does not fire the clause — both follow SQL MERGE).
+    *   - DUPLICATE source keys are NOT detected: Delta throws
+    *     `MERGE_CARDINALITY_VIOLATION` when two source rows match one
+    *     target row; here both rows land (the matched row is removed
+    *     once, both updates insert) and the table ends with a duplicate
+    *     pk. Dedup first ([[upsert]] is the keep-latest form).
+    *   - No `WHEN NOT MATCHED BY SOURCE` clause (Delta can delete target
+    *     rows absent from the source); full-table deletes go through a
+    *     filtered [[publish]].
+    *   - No automatic schema evolution on merge (Delta merges with
+    *     `mergeSchema`); [[merge]] requires the exact table schema,
+    *     [[upsert]] widens.
     */
   def merge(updates: DataFrame, root: String, pk: String, version: String,
       deleteWhen: Option[Column] = None, retain: Int = 2,
@@ -831,6 +854,89 @@ object SnapshotTable {
       }
       version
     }
+
+  /** Export the latest published version as a PLAIN parquet directory
+    * plus a `_MANIFEST.json` — the open-format interop boundary: a
+    * 100 TB user arrives with Delta/Iceberg, and this is the neutral
+    * exchange surface both sides read. `dir` is immediately readable by
+    * ANY parquet engine (`spark.read.parquet`, DuckDB `read_parquet`,
+    * Delta `CONVERT TO DELTA parquet.`dir``, Iceberg's `add_files`) —
+    * the manifest and `_`-prefixed sidecars are ignored by parquet
+    * readers per the Hadoop hidden-file convention. Data files and the
+    * `_STATS`/`_BLOOM` skipping sidecars are copied BYTE-IDENTICAL; the
+    * manifest records provenance (source root, version, schema as Spark
+    * schema-JSON, file list) so [[importTable]] restores the snapshot —
+    * files, stats, blooms — bit-for-bit without a rewrite or a scan.
+    * Returns the exported version id (None on an unpublished root).
+    */
+  def exportTable(spark: SparkSession, root: String,
+      dir: String): Option[String] =
+    latestVersion(root).map { v =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.createDirectories(Paths.get(dir))
+      val names = Option(new java.io.File(s"$root/$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".parquet") || f.getName == "_STATS" ||
+            f.getName == "_BLOOM"))
+        .map(_.getName).sorted.toSeq
+      names.foreach { n =>
+        Files.copy(Paths.get(s"$root/$v/$n"), Paths.get(s"$dir/$n"),
+          StandardCopyOption.REPLACE_EXISTING); ()
+      }
+      val schemaJson = readVersion(spark, root, v).schema.json
+      val fileList = names.filter(_.endsWith(".parquet"))
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$dir/_MANIFEST.json"),
+        s"""{"format":"graft-snapshot-export","version":"$v",""" +
+          s""""files":$fileList,"schema":$schemaJson}""")
+      v
+    }
+
+  /** Import a parquet directory as `root`'s next published version.
+    *
+    * Two regimes, detected from the directory:
+    *   - a [[exportTable]] directory (`_MANIFEST.json` present): the
+    *     manifest's data files and any `_STATS`/`_BLOOM` sidecars are
+    *     copied back byte-identical and committed — a full round trip
+    *     (publish → export → import) reproduces the original version's
+    *     files, skipping metadata included, with no rewrite and no scan;
+    *   - a FOREIGN plain-parquet table (what a Delta/Iceberg user hands
+    *     over after their own export): the data is read and published
+    *     through the normal path, clustered by `statsCols`/`clusterFiles`
+    *     so the imported table starts life tile-mergeable rather than
+    *     inheriting a foreign layout that would force full-rewrite
+    *     merges.
+    *
+    * Commits under the same CAS as every writer — importing into a root
+    * a concurrent writer advanced raises [[SnapshotConflictException]].
+    */
+  def importTable(spark: SparkSession, dir: String, root: String,
+      version: String, retain: Int = 2, statsCols: Seq[String] = Nil,
+      clusterFiles: Option[Int] = None): Unit = {
+    require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
+    val base = latestVersion(root)
+    val manifest = new java.io.File(s"$dir/_MANIFEST.json")
+    if (manifest.isFile) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val names = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".parquet") || f.getName == "_STATS" ||
+            f.getName == "_BLOOM"))
+        .map(_.getName).sorted
+      require(names.exists(_.endsWith(".parquet")),
+        s"$dir: manifest present but no parquet data files")
+      Files.createDirectories(Paths.get(s"$root/$version"))
+      names.foreach { n =>
+        Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$root/$version/$n"),
+          StandardCopyOption.REPLACE_EXISTING); ()
+      }
+      finishCommit(root, version, retain, base)
+    } else
+      publishFrom(spark.read.parquet(dir), root, version, base, retain,
+        statsCols, clusterFiles)
+  }
 
   /** Long-castable monotonic projection for rank bucketing. Strings map
     * to 7 bytes as a big-endian unsigned integer (zero-padded hex so

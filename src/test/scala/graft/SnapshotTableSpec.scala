@@ -477,6 +477,54 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(root).contains("v4"))
   }
 
+  test("export/import round trip: plain-parquet boundary, byte-identical restore") {
+    val root = freshRoot("exp")
+    val rows = (1L to 200L).map(i => i -> s"val_$i")
+    SnapshotTable.publish(df(rows), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(4), bloomCols = Seq("val"))
+    val exp = freshRoot("expdir")
+    assert(SnapshotTable.exportTable(spark, root, exp).contains("v1"))
+
+    // the export is a PLAIN parquet table: any engine reads it directly
+    val plain = spark.read.parquet(exp)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plain == rows.toSet, "export dir must read as plain parquet")
+
+    // byte-identical restore into a fresh root, no rewrite, no scan
+    val root2 = freshRoot("imp")
+    SnapshotTable.importTable(spark, exp, root2, "v1")
+    val got = SnapshotTable.read(spark, root2).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == rows.toSet)
+    def filesOf(r: String) = Option(new java.io.File(s"$r/v1").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    assert(filesOf(root2) == filesOf(root),
+      "imported data files must be byte-identical (names and sizes)")
+    // skipping sidecars survive the round trip: point lookups still prune
+    val all = SnapshotTable.read(spark, root2).get.inputFiles.length
+    val hit = SnapshotTable.pointLookup(spark, root2, "id", 7L).get
+    assert(hit.count() == 1L && hit.inputFiles.length < all,
+      "carried _STATS must keep pruning after import")
+    val byVal = SnapshotTable.pointLookup(spark, root2, "val", "val_7").get
+    assert(byVal.count() == 1L && byVal.inputFiles.length < all,
+      "carried _BLOOM must keep secondary-key pruning after import")
+  }
+
+  test("foreign plain-parquet import publishes clustered and tile-mergeable") {
+    val root = freshRoot("foreign")
+    val exp = freshRoot("foreigndir")
+    val rows = (1L to 100L).map(i => i -> s"v$i")
+    df(rows).write.mode("overwrite").parquet(exp) // no manifest: foreign
+    SnapshotTable.importTable(spark, exp, root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(4))
+    val got = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == rows.toSet)
+    assert(SnapshotTable.tileMergeable(root, "v1", "id"),
+      "a foreign import must start life tile-mergeable, not inherit layout")
+  }
+
   test("replay republish of the committed head passes the CAS (idempotence kept)") {
     val root = freshRoot("replaycas")
     SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
