@@ -23,11 +23,30 @@ object CorpusStats {
     * AFTER the min-count filter, on the tiny survivor set.
     */
   private[graft] def collocationsOf(docs: DataFrame, minPair: Int): DataFrame = {
+    val (pairCt, uni) = tokenCounts(docs)
+    liftOf(pairCt, uni, minPair)
+  }
+
+  /** The two corpus count tables the lift score reads — (pr, n_xy)
+    * bigram counts and (t, n) unigram counts. Split out so the streaming
+    * twin ([[graft.streaming.CollocStream]]) can maintain exactly these
+    * tables incrementally and reuse [[liftOf]] verbatim on them.
+    */
+  private[graft] def tokenCounts(docs: DataFrame): (DataFrame, DataFrame) = {
     graft.expressions.WordBigramList.register(docs.sparkSession)
     val pairCt = docs.select(explode(expr("word_bigram_list(text)")).as("pr"))
       .groupBy(col("pr")).agg(count(lit(1)).as("n_xy"))
     val uni = docs.select(explode(tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    (pairCt, uni)
+  }
+
+  /** Lift derivation over the count tables — pure function of
+    * (pr, n_xy) and (t, n), shared by the batch query and the
+    * incrementally-maintained streaming twin.
+    */
+  private[graft] def liftOf(pairCt: DataFrame, uni: DataFrame,
+      minPair: Int): DataFrame = {
     val tot = broadcast(pairCt.agg(sum(col("n_xy")).as("t_pairs")))
     // no broadcast hint on the unigram sides: a corpus-wide distinct-token
     // table is usually vocabulary-sized but is NOT bounded the way the

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of collocation mining
+  * ([[graft.operators.CorpusStats.collocations]]): documents arrive as
+  * micro-batches and the two corpus count tables the lift score reads —
+  * (pr, n_xy) bigram counts and (t, n) unigram counts — are maintained
+  * INCREMENTALLY: each batch tokenizes only its own documents and
+  * additively merges per-key deltas (tile-local, cost ∝ batch
+  * vocabulary). The report is then the SAME pure derivation the batch
+  * query runs ([[graft.operators.CorpusStats.liftOf]]) over the
+  * maintained tables, so streamed docs ≡ batch rebuild after every
+  * batch, by construction on the counts and by shared code on the score.
+  *
+  * Counts are fully additive, so unlike [[RankStream]] nothing is
+  * recomputed corpus-wide — this is the clean IVM case. Exactly-once:
+  * both count tables version by batch id; a replayed batch
+  * short-circuits both merges; a crash between the two merges replays
+  * into the same recovery (the pair merge skips, the unigram merge
+  * completes). Fresh-checkpoint guard as in [[IvmStream]].
+  */
+object CollocStream {
+
+  def start(docs: DataFrame, pairRoot: String, uniRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, pairRoot, uniRoot)
+      }
+      .start()
+
+  /** One micro-batch of (doc_id, text) rows: fold its bigram and unigram
+    * counts into the maintained tables. Idempotent per batchId.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, pairRoot: String,
+      uniRoot: String, clusterFiles: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val version = s"v$batchId"
+    SnapshotTable.latestVersion(pairRoot).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId >= lv,
+        s"CollocStream batch $batchId is behind $pairRoot's published " +
+          s"v$lv: fresh checkpoint against existing tables — wipe " +
+          "pairRoot, uniRoot and the checkpoint together, or resume the " +
+          "original.")
+    }
+    val (pairD, uniD) = graft.operators.CorpusStats.tokenCounts(batch)
+    addInto(spark, pairD, pairRoot, "pr", "n_xy", version, clusterFiles)
+    addInto(spark, uniD, uniRoot, "t", "n", version, clusterFiles)
+    graft.CacheRegistry.clear()
+  }
+
+  /** Additive merge: `deltas(key, cnt)` plus the previous version's
+    * count for the same keys, merged tile-locally under `version`.
+    */
+  private def addInto(spark: SparkSession, deltas: DataFrame, root: String,
+      key: String, cnt: String, version: String, clusterFiles: Int): Unit = {
+    val prev = SnapshotTable.versions(root)
+      .filter(_.drop(1).toLong < version.drop(1).toLong).lastOption
+    val updated = prev match {
+      case None => deltas
+      case Some(p) => deltas
+        .join(SnapshotTable.readVersion(spark, root, p)
+            .select(col(key), col(cnt).as("__old")),
+          Seq(key), "left")
+        .select(col(key),
+          (coalesce(col("__old"), lit(0L)) + col(cnt)).as(cnt))
+    }
+    SnapshotTable.merge(updated, root, key, version,
+      clusterFiles = Some(clusterFiles))
+  }
+
+  /** The collocation report over the maintained tables at their last
+    * committed versions — [[graft.operators.CorpusStats.liftOf]]
+    * verbatim, which is what makes the twin equality structural.
+    */
+  def liveReport(spark: SparkSession, pairRoot: String, uniRoot: String,
+      minPair: Int): Option[DataFrame] =
+    for {
+      pairs <- SnapshotTable.read(spark, pairRoot)
+      uni <- SnapshotTable.read(spark, uniRoot)
+    } yield graft.operators.CorpusStats.liftOf(pairs, uni, minPair)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the PageRank family ([[graft.operators.Graph]]):
+  * page-transition edges arrive as micro-batches, the EDGE-COUNT table is
+  * maintained incrementally (cost ∝ batch — the IvmStream discipline:
+  * additive tile-local merges keyed by batch id), and the published rank
+  * vector after every batch is EXACTLY the batch rebuild over all edges
+  * seen so far.
+  *
+  * Why the rank RECOMPUTES from uniform each batch instead of
+  * warm-starting from the previous vector: the engine's rank contract is
+  * "`iters` exact fixed-point iterations from uniform r0" — that is what
+  * the DuckDB oracle pins hash-exact. A warm start (previous vector as
+  * r0, the standard incremental-PageRank accelerator) computes a
+  * DIFFERENT function of the edge set under a fixed iteration count, and
+  * under a run-to-stabilization rule exact integer flooring gives no
+  * guarantee that different starting vectors land on the identical
+  * integer fixed point — so warm-starting would silently break the
+  * streamed ≡ batch-rebuild equality this twin exists to prove. What IS
+  * incremental is the expensive part at 100 TB: the edge aggregation
+  * (one sessionized scan per batch, merged tile-locally) — the
+  * power iteration itself is `iters` joins over the maintained table
+  * regardless of how the table was built.
+  *
+  * Exactly-once: both roots version by batch id. A replayed batch
+  * short-circuits the edge merge (already committed) and republishes the
+  * rank version byte-identically; a crash between the edge commit and
+  * the rank commit replays into the same recovery path. The
+  * fresh-checkpoint guard matches [[IvmStream]]'s.
+  */
+object RankStream {
+
+  def start(pairs: DataFrame, edgeRoot: String, rankRoot: String,
+      checkpointDir: String, iters: Int): StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, edgeRoot, rankRoot, iters)
+      }
+      .start()
+
+  /** One micro-batch of (src, dst) transition rows: fold their counts
+    * into the edge table, recompute + publish the rank vector.
+    * Idempotent per batchId.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, edgeRoot: String,
+      rankRoot: String, iters: Int, clusterFiles: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val version = s"v$batchId"
+    SnapshotTable.latestVersion(edgeRoot).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId >= lv,
+        s"RankStream batch $batchId is behind $edgeRoot's published v$lv: " +
+          "fresh checkpoint against existing tables — wipe edgeRoot, " +
+          "rankRoot and the checkpoint together, or resume the original.")
+    }
+    val prev = SnapshotTable.versions(edgeRoot)
+      .filter(_.drop(1).toLong < batchId).lastOption
+    // additive fold: this batch's per-edge counts plus the previous
+    // version's count for the SAME keys (left join against the current
+    // table — AQE broadcasts the batch's key set; the merge below then
+    // rewrites only the tiles those keys land in)
+    val deltas = batch.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_d"))
+    val updated = prev match {
+      case None => deltas
+        .select(concat_ws(" ", col("src"), col("dst")).as("edge_key"),
+          col("src"), col("dst"), col("n_d").as("n"))
+      case Some(p) => deltas
+        .join(SnapshotTable.readVersion(spark, edgeRoot, p)
+            .select(col("src"), col("dst"), col("n").as("n_old")),
+          Seq("src", "dst"), "left")
+        .select(concat_ws(" ", col("src"), col("dst")).as("edge_key"),
+          col("src"), col("dst"),
+          (coalesce(col("n_old"), lit(0L)) + col("n_d")).as("n"))
+    }
+    SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
+      clusterFiles = Some(clusterFiles))
+    val edges = SnapshotTable.readVersion(spark, edgeRoot, version)
+      .select(col("src"), col("dst"), col("n"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val rank = graft.operators.Graph.pagerank(nodes, edges, iters)
+      .select(col("node"), col("out_n"), col("r"))
+    SnapshotTable.publish(rank, rankRoot, version)
+    // pagerank registers its lineage leaves in the per-query cache
+    // registry; the rank publish is the last consumer (the IvmStream
+    // precedent: release per batch, or a long stream pins frames forever)
+    graft.CacheRegistry.clear()
+  }
+
+  /** The rank vector at its last committed version. */
+  def liveRanks(spark: org.apache.spark.sql.SparkSession,
+      rankRoot: String): Option[DataFrame] =
+    SnapshotTable.read(spark, rankRoot)
+}
