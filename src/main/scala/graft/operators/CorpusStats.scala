@@ -160,5 +160,41 @@ object CorpusStats {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(collocations, vocabCoverage)
+  /** The streaming twin ([[graft.streaming.CollocStream]]) under the
+    * CORRECTNESS gate, not just its spec: documents arrive as two
+    * batches (doc-id parity), the bigram/unigram count tables maintain
+    * incrementally (additive tile-local merges), and the report over the
+    * MAINTAINED tables must hash-match the very same oracle as the batch
+    * [[collocations]] query — the streamed ≡ batch law, checked by
+    * DuckDB. The inverted_index_incremental precedent.
+    */
+  val collocationsStream: GraftQuery = new GraftQuery {
+    val name = "colloc_stream_maintained"
+    private val MinPair = 5
+    private val TopK = 50
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_colloc_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val (pairRoot, uniRoot) = (root(sfDir) + "_pairs", root(sfDir) + "_uni")
+      SnapshotDiff.rmTree(pairRoot); SnapshotDiff.rmTree(uniRoot)
+      graft.streaming.CollocStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, pairRoot, uniRoot)
+      graft.streaming.CollocStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, pairRoot, uniRoot)
+      graft.streaming.CollocStream
+        .liveReport(spark, pairRoot, uniRoot, MinPair).get
+        .orderBy(col("lift_bp").desc, col("x"), col("y"))
+        .limit(TopK)
+    }
+
+    // the BATCH query's oracle verbatim — that equality is the point
+    def oracle: Option[String] = collocations.oracle
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(collocations, vocabCoverage, collocationsStream)
 }

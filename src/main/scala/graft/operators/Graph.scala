@@ -147,7 +147,12 @@ object Graph {
     * to the classic form). Ends after r$Iterations; the caller appends
     * its final SELECT.
     */
-  private def duckRankCtes(seedExpr: String): String = {
+  private def duckRankCtes(seedExpr: String,
+      nodesFromEdges: Boolean = false): String = {
+    val nodesCte =
+      if (nodesFromEdges)
+        "nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)"
+      else "nodes AS (SELECT DISTINCT page AS node FROM ev)"
     val iter = (1 to Iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""
@@ -178,7 +183,7 @@ object Graph {
              WHERE dst IS NOT NULL AND gap_ns <= ${Behavior.GapNs}
              GROUP BY 1, 2),
       outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM ed GROUP BY 1),
-      nodes AS (SELECT DISTINCT page AS node FROM ev),
+      $nodesCte,
       nf AS MATERIALIZED (
         SELECT node, COALESCE(out_n, 0) AS out_n, $seedExpr AS is_seed
         FROM nodes LEFT JOIN outdeg ON nodes.node = outdeg.src),
@@ -239,5 +244,45 @@ object Graph {
       """)
   }
 
-  val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded)
+  /** The streaming twin ([[graft.streaming.RankStream]]) under the
+    * CORRECTNESS gate: page-transition pairs arrive as two micro-batches
+    * (split by src+dst parity — deterministic, overlapping edge keys
+    * across batches so the additive count fold is exercised), the edge
+    * table maintains incrementally, and the published rank vector after
+    * the last batch must hash-match the DuckDB power iteration over ALL
+    * edges. Node set is src ∪ dst of the edge table (the streamed form
+    * never sees isolated pages — mirrored in the oracle CTE), which is
+    * the one semantic delta vs [[pageRank]].
+    */
+  val pageRankStream: GraftQuery = new GraftQuery {
+    val name = "pagerank_stream_maintained"
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_rankstream_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = pageEvents(spark, sfDir)
+      val pairs = Behavior.sessionPairs(ev, "page").select("src", "dst")
+      val (edgeRoot, rankRoot) = (root(sfDir) + "_edges", root(sfDir) + "_ranks")
+      SnapshotDiff.rmTree(edgeRoot); SnapshotDiff.rmTree(rankRoot)
+      graft.streaming.RankStream.applyBatch(
+        pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 0),
+        1L, edgeRoot, rankRoot, Iterations)
+      graft.streaming.RankStream.applyBatch(
+        pairs.filter(pmod(col("src") + col("dst"), lit(2)) === 1),
+        2L, edgeRoot, rankRoot, Iterations)
+      graft.streaming.RankStream.liveRanks(spark, rankRoot).get
+        .select(col("node").as("page"), col("out_n"), col("r").as("rank_fp"))
+        .orderBy("page")
+    }
+
+    def oracle: Option[String] = Some(
+      duckRankCtes("1", nodesFromEdges = true) + s"""
+      SELECT nf.node AS page, nf.out_n, r$Iterations.r AS rank_fp
+      FROM nf JOIN r$Iterations USING (node) ORDER BY page
+      """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded, pageRankStream)
 }

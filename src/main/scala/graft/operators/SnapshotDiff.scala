@@ -220,5 +220,35 @@ object SnapshotDiff {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(changes, merged, maintained)
+  /** The open-format interop boundary under the CORRECTNESS gate:
+    * publish a clustered rollup, EXPORT it as a plain-parquet-plus-
+    * manifest directory, IMPORT that into a fresh root (byte-identical
+    * file restore), and read the imported table back. The oracle is the
+    * direct SQL over the source table — equality proves the exchange
+    * surface loses nothing in either direction. The foreign-table import
+    * half (no manifest) is spec-covered in `SnapshotTableSpec`.
+    */
+  val exported: GraftQuery = new GraftQuery {
+    val name = "snapshot_export_roundtrip"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = root(sfDir) + "_exp"
+      val (expDir, impDir) = (dir + "_out", dir + "_back")
+      rmTree(dir); rmTree(expDir); rmTree(impDir)
+      val orders = Tables.load(spark, sfDir, "orders")
+      SnapshotTable.publish(rollup(orders, None, None), dir, "v1",
+        retain = 2, statsCols = Seq("o_custkey"), clusterFiles = Some(8))
+      SnapshotTable.exportTable(spark, dir, expDir)
+      SnapshotTable.importTable(spark, expDir, impDir, "v1")
+      SnapshotTable.read(spark, impDir).get.orderBy("o_custkey")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_ct,
+             ${Money.sumCentsSql("o_totalprice")} AS total_cents
+      FROM orders GROUP BY 1 ORDER BY o_custkey
+    """)
+  }
+
+  val all: Seq[GraftQuery] = Seq(changes, merged, maintained, exported)
 }
