@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         { val a = arity("dot_double", 2, exprs); DotProductDouble(a(0), a(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("search_sorted"),
+      new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        { val a = arity("search_sorted", 2, exprs); SearchSorted(a(0), a(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_int_intersect_size"),
       new ExpressionInfo(classOf[SortedIntIntersectSize].getName, "sorted_int_intersect_size"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

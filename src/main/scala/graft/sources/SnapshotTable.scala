@@ -273,9 +273,7 @@ object SnapshotTable {
     require(boundaries.nonEmpty, "publishAligned needs at least one cutpoint")
     val base = latestVersion(root)
     val n = boundaries.size + 1
-    val fileId = boundaries
-      .map(b => when(col(key) >= lit(b), 1).otherwise(0))
-      .reduce(_ + _)
+    val fileId = tileId(df.sparkSession, col(key), boundaries)
     df.withColumn("__pin",
         element_at(typedLit(partitionPins(n)), fileId + 1))
       .repartition(n, col("__pin"))
@@ -285,6 +283,40 @@ object SnapshotTable {
     commitVersion(df.sparkSession, root, version, retain,
       if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits,
       base)
+  }
+
+  /** File/tile id of `key` against value cutpoints — the count of
+    * boundaries at or below the key, as one codegen'd binary-search
+    * kernel ([[graft.expressions.SearchSorted]]): O(log files) per row
+    * with a constant-depth plan. The per-boundary `when(...)` fold this
+    * replaces was O(files) per row and overflowed the analyzer's stack
+    * at the 4096-tile layouts a 100x corpus publishes.
+    */
+  private def tileId(spark: SparkSession, key: Column,
+      boundaries: Seq[Any]): Column = {
+    graft.expressions.SearchSorted.register(spark)
+    val longs = boundaries.collect {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    val arr =
+      if (longs.size == boundaries.size && boundaries.nonEmpty)
+        typedLit(longs.toArray)
+      else boundaries.headOption match {
+        case Some(_: Double) | Some(_: Float) => typedLit(boundaries.map {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case b => throw new IllegalArgumentException(
+            s"mixed boundary types: $b among fractional cutpoints")
+        }.toArray)
+        case Some(_: String) =>
+          typedLit(boundaries.map(_.asInstanceOf[String]).toArray)
+        case other => throw new IllegalArgumentException(
+          s"unsupported boundary type: $other")
+      }
+    call_function("search_sorted", key, arr)
   }
 
   /** The interior cutpoints of a published version's file layout on
@@ -428,8 +460,7 @@ object SnapshotTable {
     (stats, bounds) match {
       case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
         // tile id of each update row against the broadcast cutpoints
-        val tile = bs.map(b => when(col(pk) >= lit(b), 1).otherwise(0))
-          .reduce(_ + _)
+        val tile = tileId(spark, col(pk), bs)
         val changed = updates.select(tile.as("__tile")).distinct()
           .collect().map(_.getInt(0)).toSet
         // file order by min(pk) IS tile order (how keyBoundaries derives)

@@ -31,6 +31,9 @@ class ExtensionsSpec extends SparkSpec {
       val inter = s2.sql(
         "SELECT sorted_int_intersect_size(array(1, 3, 5), array(3, 4, 5)) AS n").head.getInt(0)
       assert(inter == 2)
+      val ss = s2.sql(
+        "SELECT search_sorted(5L, array(1L, 4L, 9L)) AS t").head.getInt(0)
+      assert(ss == 2)
       val bigrams = s2.sql(
         "SELECT word_bigrams('one two three') AS b").head.getSeq[String](0)
       assert(bigrams == Seq("one two", "two three"))
