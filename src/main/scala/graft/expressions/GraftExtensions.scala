@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         { val a = arity("sorted_int_intersect_size", 2, exprs); SortedIntIntersectSize(a(0), a(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("sorted_int_intersect_atleast"),
+      new ExpressionInfo(classOf[SortedIntIntersectAtLeast].getName, "sorted_int_intersect_atleast"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        { val a = arity("sorted_int_intersect_atleast", 3, exprs)
+          SortedIntIntersectAtLeast(a(0), a(1), a(2)) }))
+    ext.injectFunction((
       FunctionIdentifier("ngram_sketch_hash"),
       new ExpressionInfo(classOf[NgramSketchHash].getName, "ngram_sketch_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -272,6 +272,77 @@ object Dedup {
     }
   }
 
+  /** [[ngramJaccard]]'s oversized-band guard bound: a length band holding
+    * more docs than this sub-divides BY CONTENT (first minhash of the
+    * sketch) before pairing. Above every test scale's occupancy (sf0.1
+    * max 141, the 10x blowup max 930), so the oracle-exact semantics are
+    * provably untouched where they are hash-checked; the 100x blowup
+    * (max band 8784 → 1.6B enumerated pairs, 563 s) is what it exists
+    * for.
+    */
+  private[graft] val MaxNgramBucket = 2048L
+
+  /** [[ngramJaccard]]'s body over any (doc_id, n_chars, sg, sz) sketch
+    * frame. The sketch arrays RIDE the band join (both sides), so pairs
+    * passing the length/ratio prefilter are verified IN-STAGE —
+    * pair-with-arrays rows exist only inside the join's iterator and
+    * never shuffle; shuffle volume is 4x the corpus sketch bytes,
+    * CONSTANT in the duplication factor. (The round-9 alternative —
+    * shuffle meta only, re-attach arrays per surviving pair — moves
+    * O(pairs x sketch) bytes instead: at the 100x blowup's ~100x
+    * duplication the attach joins spilled >75 GB before dying.
+    * docs-x-arrays is the bound that survives 100 TB, pairs-x-arrays is
+    * not.)
+    *
+    * Length bands beyond `maxBucket` docs additionally key on the
+    * sketch's FIRST (minimum) element — a minhash, so a true pair at
+    * Jaccard j shares it with probability j (≥ the 0.6 threshold;
+    * ≈ 1 for near-identical copies), while the ~0.19-mean-Jaccard
+    * non-dup bulk splits ~5x — the [[embeddingCosine]] oversized-block
+    * convention: exact everywhere the bound is not hit, documented
+    * recall floor where it is, never an unguarded O(band²). The verify
+    * itself uses the threshold-aware early-exit kernel
+    * ([[graft.expressions.SortedIntIntersectAtLeast]]): exact for every
+    * pair at or above the threshold, abort-at-the-bound for the bulk
+    * below it.
+    */
+  private[graft] def ngramJaccardOf(gp: DataFrame,
+      maxBucket: Long): DataFrame = {
+    val spark = gp.sparkSession
+    graft.expressions.SortedIntIntersectAtLeast.register(spark)
+    // band census: one tiny frame (≤ distinct-lengths/11 rows), broadcast
+    val sizes = gp.groupBy(floor(col("n_chars") / 11).as("bucket"))
+      .agg(count(lit(1)).as("bs"))
+    def guarded(df: DataFrame) = df
+      .join(broadcast(sizes), Seq("bucket"), "left")
+      .withColumn("sub",
+        when(coalesce(col("bs"), lit(0L)) > maxBucket,
+          element_at(col("sg"), 1)).otherwise(lit(0)))
+      .drop("bs")
+    val a = guarded(gp.withColumn("bucket", floor(col("n_chars") / 11)))
+    val b = guarded(gp.withColumn("bucket",
+      explode(array(floor(col("n_chars") / 11) - 1, floor(col("n_chars") / 11),
+        floor(col("n_chars") / 11) + 1))))
+    // exact integer threshold: jac_bp >= 6000 <=> inter*16000 >= 6000*(sza+szb)
+    // <=> inter >= ceil(3*(sza+szb)/8) — the early-exit kernel's bound
+    a.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
+          least(col("a.sz"), col("b.sz")) * lit(10.0) >=
+            greatest(col("a.sz"), col("b.sz")) * lit(6.0))
+      .withColumn("inter", expr(
+        "sorted_int_intersect_atleast(a.sg, b.sg, " +
+          "CAST(((a.sz + b.sz) * 3 + 7) DIV 8 AS INT))"))
+      .withColumn("uni", col("a.sz") + col("b.sz") - col("inter"))
+      .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
+      .filter(col("jac_bp") >= 6000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("jac_bp"))
+  }
+
   /** Char-5-gram Jaccard near-dup with length-band blocking: near-dups at
     * Jaccard ≥ 0.6 have near-identical length, so candidates are generated
     * by an EQUI-join on floor(n_chars/11) (one side exploded to its three
@@ -280,8 +351,11 @@ object Dedup {
     * (Jaccard ≤ min/max of the distinct-shingle counts) BEFORE the
     * expensive intersection. Cross-language duplicates are caught (language
     * is deliberately NOT a block key — translated/copied docs keep length).
-    * At 100 TB the band join shuffles on a fine key, never enumerating a
-    * quadratic pair space.
+    * At 100 TB the band join shuffles on a fine key; within-band pair
+    * enumeration is Σ C(band, 2), bounded by the [[MaxNgramBucket]]
+    * content guard ([[ngramJaccardOf]]). For heavy-duplication corpora
+    * where even guarded exact-verify is too hot, [[minhashLsh]] is the
+    * banded scale path.
     */
   val ngramJaccard: GraftQuery = new GraftQuery {
     val name = "dedup_ngram_jaccard"
@@ -294,36 +368,7 @@ object Dedup {
       // pairwise verify stage. The whole sketch is one codegen'd
       // expression (NgramSketchHash) — the equivalent HOF chain walked an
       // interpreted expression tree per character position.
-      graft.expressions.SortedIntIntersectSize.register(spark)
-      val gp = ngramSketches(spark, sfDir) // candidate meta + array lookup
-      // LIGHT candidate join: only (doc_id, n_chars, sz) rides the band
-      // shuffle (the b side is tripled by the neighbor-band explode — with
-      // the sketch arrays attached that tripled the dominant shuffle); the
-      // arrays are re-attached from the persisted frame for the pairs that
-      // survive the length/ratio prefilter, which is orders of magnitude
-      // smaller than the banded row set.
-      val meta = gp.select(col("doc_id"), col("n_chars"), col("sz"))
-      val a = meta.withColumn("bucket", floor(col("n_chars") / 11))
-      val b = meta.withColumn("bucket",
-        explode(array(floor(col("n_chars") / 11) - 1, floor(col("n_chars") / 11),
-          floor(col("n_chars") / 11) + 1)))
-      val cand = a.as("a")
-        .join(b.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
-            least(col("a.sz"), col("b.sz")) * lit(10.0) >=
-              greatest(col("a.sz"), col("b.sz")) * lit(6.0))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      cand
-        .join(gp.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
-        .join(gp.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
-        .withColumn("inter", expr("sorted_int_intersect_size(sg_a, sg_b)"))
-        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-        .withColumn("jac_bp", floor(col("inter") * lit(10000.0) / col("uni")).cast("long"))
-        .filter(col("jac_bp") >= 6000)
-        .select(col("doc_a"), col("doc_b"), col("jac_bp"))
+      ngramJaccardOf(ngramSketches(spark, sfDir), MaxNgramBucket)
         .orderBy("doc_a", "doc_b")
     }
 
@@ -416,6 +461,16 @@ object Dedup {
     * corpus whose single hottest label exceeds that passes a larger cap.
     */
   private[graft] val MaxPlanes = 16
+
+  /** [[embeddingLsh]]'s adaptive-plane-count knobs: floor keeps the
+    * measured 6-plane plan at test scales, the cap bounds bucket
+    * cardinality (2^12), the target is the expected bucket occupancy the
+    * plane count aims for (≈64 vectors/bucket keeps within-bucket pairs
+    * ~64n regardless of corpus size).
+    */
+  private[graft] val LshFloorPlanes = 6
+  private[graft] val LshMaxPlanes = 12
+  private[graft] val LshTargetBucket = 64L
 
   /** Sub-division depth for a block of `bs` rows: the fewest sign planes
     * whose EXPECTED sub-block (bs / 2^np, planes are balanced on centered
@@ -638,13 +693,30 @@ object Dedup {
     * candidate pairs above the 0.30 threshold here vs 111 under exact
     * label blocking — LSH trades recall for unblocked scale; raise planes
     * + hamming-1 probing to recover recall at size.
+    *
+    * The plane count is ADAPTIVE IN-PLAN (the media_ann / dedup_semantic
+    * convention): np = max(6, min(12, ⌈log₂(n/64)⌉)) from a 1-row
+    * broadcast count, full 12-plane bucket masked to the low np bits —
+    * the round-10 100x sweep measured 16.9x cost for 10x data under the
+    * previous FIXED 6 planes (same-bucket pairs grow n²/64 when buckets
+    * don't track the corpus). The mask's prefix property means more data
+    * only ever SPLITS existing buckets; the floor reproduces the old
+    * 6-plane plan exactly at the scales where it was measured.
     */
   val embeddingLsh: GraftQuery = new GraftQuery {
     val name = "dedup_embedding_lsh"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val e = Similarity.vecs(spark, sfDir)
-        .withColumn("bucket", Similarity.bucketCol(6))
+      val base = Similarity.vecs(spark, sfDir)
+        .withColumn("bucket_full", Similarity.bucketCol(LshMaxPlanes))
+      // 1-row broadcast scalar (the crossJoin-scalar convention)
+      val np = broadcast(base.agg(
+        greatest(lit(LshFloorPlanes), least(lit(LshMaxPlanes),
+          ceil(log2(count(lit(1)).cast("double") / lit(LshTargetBucket.toDouble)))
+            .cast("int"))).as("np")))
+      val e = base.crossJoin(np)
+        .withColumn("bucket", expr("bucket_full & (shiftleft(1L, np) - 1L)"))
+        .drop("bucket_full", "np")
       e.as("a")
         .join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -662,7 +734,7 @@ object Dedup {
         FROM embeddings),
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      ${Similarity.duckBucketsCte(6)},
+      ${Similarity.duckBucketsCteAdaptive(LshMaxPlanes, LshFloorPlanes, LshTargetBucket)},
       nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
       p AS (
         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,

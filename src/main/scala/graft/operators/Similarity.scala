@@ -74,6 +74,29 @@ object Similarity {
     s"buckets AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM e)"
   }
 
+  /** [[duckBucketsCte]] with the ADAPTIVE plane count mirrored from the
+    * engine (the media_ann convention): np = max(floor, min(maxPlanes,
+    * ⌈log₂(n/target)⌉)) from a count over CTE `e`, and the full
+    * `maxPlanes`-plane bucket masked to the low np bits. Emits `cnt` and
+    * `buckets` CTE bodies (expects `e(vec_id, v)` in scope).
+    */
+  private[operators] def duckBucketsCteAdaptive(maxPlanes: Int, floor: Int,
+      target: Long): String = {
+    val w = planeWeights(maxPlanes)
+    val terms = (0 until maxPlanes).map { p =>
+      val arr = w(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dims), i -> v[i] * ($arr)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""cnt AS (
+        SELECT greatest($floor, least($maxPlanes,
+                 CAST(ceil(log2(count(*) / $target.0)) AS INTEGER))) AS np
+        FROM e),
+      buckets AS (
+        SELECT vec_id, CAST($terms AS BIGINT)
+                 & ((CAST(1 AS BIGINT) << (SELECT np FROM cnt)) - 1) AS bucket
+        FROM e)"""
+  }
+
   /** DuckDB multi-probe list: own bucket + all hamming-1 neighbors. */
   private def duckProbeList(planes: Int): String =
     "[bucket" + (0 until planes).map(p => s", xor(bucket, ${1L << p})").mkString + "]"

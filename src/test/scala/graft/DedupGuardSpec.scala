@@ -95,4 +95,77 @@ class DedupGuardSpec extends SparkSpec {
         "coarser depth must be the masked fine bucket (prefix property)")
     } finally CacheRegistry.clear()
   }
+
+  // --- the ngram_jaccard oversized-BAND guard (minhash sub-key) ---
+
+  private def sketchFrame(rows: Seq[(Long, Int, Seq[Int])]) = {
+    import spark.implicits._
+    rows.map { case (id, n, sg) => (id, n, sg.distinct.sorted, sg.distinct.size) }
+      .toDF("doc_id", "n_chars", "sg", "sz")
+  }
+
+  private def jacPairs(gp: org.apache.spark.sql.DataFrame, maxBucket: Long) =
+    operators.Dedup.ngramJaccardOf(gp, maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("oversized length band sub-divides by minhash; under-bound bands stay exact") {
+    val base = (1 to 20).map(_ * 10)
+    val hot =
+      // near-identical pair SHARING the minimum sketch element — the
+      // guard must keep it (minhash agreement prob ≈ jaccard ≈ 0.9)
+      Seq((100L, 100, base),
+        (101L, 100, base.dropRight(1) :+ 999),
+        // true pair at jac ≈ 0.9 whose minima DIFFER (11 vs 10): found
+        // exact, dropped under the guard — the documented recall floor,
+        // and the proof the sub-division actually engaged
+        (102L, 100, 11 +: base.tail)) ++
+        // filler to push the band over the bound, mutually disjoint
+        (103L to 140L).map(i => (i, 100, (1 to 20).map(k => i.toInt * 1000 + k)))
+    val cold = Seq(
+      (200L, 500, base.map(_ + 5)),
+      (201L, 500, base.map(_ + 5).dropRight(1) :+ 777),
+      (202L, 500, (1 to 20).map(_ * 7 + 3000)))
+    val gp = sketchFrame(hot ++ cold)
+    try {
+      val exact = jacPairs(gp, Long.MaxValue)
+      val guarded = jacPairs(gp, 16)
+      assert(guarded.subsetOf(exact), "guarded result must be a subset of exact")
+      assert(guarded.contains((100L, 101L)),
+        "near-identical pair sharing the minhash survives the guard")
+      assert(exact.contains((100L, 102L)) && !guarded.contains((100L, 102L)),
+        "a split-minima pair proves the oversized band actually sub-divided")
+      val coldPairs = Set((200L, 201L))
+      assert(exact.filter(_._1 >= 200L) == coldPairs &&
+        guarded.filter(_._1 >= 200L) == coldPairs,
+        "under-bound bands are untouched by the guard")
+    } finally CacheRegistry.clear()
+  }
+
+  test("early-exit intersect classifies exactly like the full kernel") {
+    import spark.implicits._
+    graft.expressions.SortedIntIntersectSize.register(spark)
+    graft.expressions.SortedIntIntersectAtLeast.register(spark)
+    val rnd = new scala.util.Random(7)
+    def arr() = (0 until 60).map(_ => rnd.nextInt(250)).distinct.sorted.toArray
+    val rows = (0 until 300).map(_ => (arr(), arr()))
+    val checked = rows.toDF("a", "b")
+      .withColumn("need",
+        expr("CAST(((size(a) + size(b)) * 3 + 7) DIV 8 AS INT)"))
+      .withColumn("full", expr("sorted_int_intersect_size(a, b)"))
+      .withColumn("fast", expr("sorted_int_intersect_atleast(a, b, need)"))
+      .withColumn("ok",
+        (col("full") >= col("need") && col("fast") === col("full")) ||
+          (col("full") < col("need") && col("fast") <= col("full") &&
+            col("fast") < col("need")))
+    assert(checked.filter(!col("ok")).count() == 0)
+    // both regimes must actually occur in the sample
+    assert(checked.filter(col("full") >= col("need")).count() > 0 ||
+      { // same-array pairs guarantee the at-or-above regime
+        val eq = Seq((arr(), 0)).map { case (a, _) => (a, a) }.toDF("a", "b")
+          .withColumn("need", expr("CAST(((size(a) + size(b)) * 3 + 7) DIV 8 AS INT)"))
+          .withColumn("full", expr("sorted_int_intersect_size(a, b)"))
+          .withColumn("fast", expr("sorted_int_intersect_atleast(a, b, need)"))
+        eq.filter(col("fast") === col("full")).count() == 1
+      })
+  }
 }
