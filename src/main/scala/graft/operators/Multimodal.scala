@@ -438,6 +438,27 @@ object Multimodal {
     Seq(1, -1, 1, -1, -1, 1, -1, 1),
     Seq(1, -1, -1, 1, 1, -1, -1, 1))
 
+  /** The 12-plane ladder the adaptive count climbs: the 6 Hadamard rows,
+    * the one remaining non-constant Hadamard row, then 5 more BALANCED
+    * (four +1 / four -1) ±1 rows — balance matters because the stub
+    * features are all-positive byte means, so an unbalanced row's dot has
+    * a fixed sign and the bit is constant (a wasted plane). 12 distinct
+    * directions over 8 dims give up to ~3.8k populated sign regions —
+    * the prefix mask keeps every shorter count's buckets intact, so
+    * extending the ladder only ever adds SPLITS past np = 6. The round-10
+    * 100x capture is why the ladder grew: a 500k-row media corpus pinned
+    * the old 6-plane cap (64 buckets, pairs back to n²/64, 16x cost for
+    * 10x data); at 12 planes the cap binds at ~260k rows per 64-target —
+    * raise the ladder again past that, it is just more rows here.
+    */
+  private[graft] val MediaPlanes12: Seq[Seq[Int]] = MediaPlanes6 ++ Seq(
+    Seq(1, -1, -1, 1, -1, 1, 1, -1),
+    Seq(1, 1, 1, -1, 1, -1, -1, -1),
+    Seq(1, 1, 1, -1, -1, 1, -1, -1),
+    Seq(1, 1, 1, -1, -1, -1, 1, -1),
+    Seq(1, 1, -1, 1, 1, -1, -1, -1),
+    Seq(1, 1, -1, 1, -1, 1, -1, -1))
+
   /** Expected bucket occupancy the adaptive plane count aims for:
     * np = ⌈log₂(n/64)⌉ keeps ~64 media per bucket, so per-query
     * candidate work stays O(target) as the corpus grows.
@@ -458,7 +479,7 @@ object Multimodal {
           (length(col("payload")) === char_length(col("txt")) &&
             length(col("payload")) > 0))
         .drop("txt")
-      mediaAnnOf(media, MediaPlanes6, Some(MediaTargetBucket))
+      mediaAnnOf(media, MediaPlanes12, Some(MediaTargetBucket))
     }
 
     def oracle: Option[String] = {
@@ -468,7 +489,7 @@ object Multimodal {
       def planeSql(p: Seq[Int]) = p.zipWithIndex.map { case (c, i) =>
         (if (c > 0) "+ " else "- ") + s"v[${i + 1}]"
       }.mkString(" ").stripPrefix("+ ")
-      val bucketSql = MediaPlanes6.zipWithIndex.map { case (p, i) =>
+      val bucketSql = MediaPlanes12.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${planeSql(p)} > 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       Some(s"""
@@ -502,10 +523,10 @@ object Multimodal {
         FROM png),
       f AS (SELECT * FROM f_text UNION ALL SELECT * FROM f_png),
       -- adaptive plane count, mirrored from the engine: np =
-      -- max(3, min(${MediaPlanes6.size}, ceil(log2(n / $MediaTargetBucket)))),
-      -- full ${MediaPlanes6.size}-plane bucket masked to the low np bits
+      -- max(3, min(${MediaPlanes12.size}, ceil(log2(n / $MediaTargetBucket)))),
+      -- full ${MediaPlanes12.size}-plane bucket masked to the low np bits
       cnt AS (
-        SELECT greatest(3, least(${MediaPlanes6.size},
+        SELECT greatest(3, least(${MediaPlanes12.size},
                  CAST(ceil(log2(count(*) / ${MediaTargetBucket}.0)) AS INTEGER))) AS np
         FROM f),
       n AS (
