@@ -187,9 +187,18 @@ object InvertedIndex {
     }
     val post = keyedPostings(batch).persist()
     // the cluster count only shapes a BOOTSTRAP or full-rewrite fallback
-    // (tile-local merges keep the table's layout) — size it to the batch
+    // (tile-local merges keep the table's layout) — compute it ONLY on
+    // those paths: sizing it eagerly would pay a count action on every
+    // steady-state micro-batch for a value merge ignores (the recorded
+    // action-count lesson — on small batches the action IS the cost)
+    val head = SnapshotTable.latestVersion(root)
+    val cluster = files.orElse {
+      if (head.forall(v => !SnapshotTable.tileMergeable(root, v, "tok_doc")))
+        Some(tileCountFor(post.count()))
+      else None
+    }
     try SnapshotTable.merge(post, root, "tok_doc", version,
-      clusterFiles = Some(files.getOrElse(tileCountFor(post.count()))))
+      clusterFiles = cluster)
     finally { post.unpersist(blocking = false); () }
   }
 

@@ -51,15 +51,18 @@ import org.apache.spark.sql.functions._
   * and the loser's data directory stays invisible (the marker never
   * moved onto it). The loser retries by re-reading the new head and
   * re-deriving with a version id past it (see `SnapshotTableSpec`'s
-  * two-writer case). Replay is still idempotent: committing the version
-  * that IS already the head passes the CAS by definition.
+  * two-writer case). Replay is still idempotent: a replay re-captures
+  * `base` at call entry, so it commits with base == head and passes.
   *
   * Caller contract the CAS cannot enforce: concurrent writers must use
   * writer-unique version ids (e.g. a streaming merge keyed by batch id
   * and a compactor keyed past it). Two writers racing to write the SAME
-  * `v<n>` directory stomp each other's files before either commits —
-  * the CAS fails the stale marker move, but id allocation is the
-  * caller's, exactly as Delta assumes unique commit-file numbers.
+  * `v<n>` directory stomp each other's DATA files before either commits
+  * — the CAS fails the stale writer's marker move loudly (there is no
+  * replay exemption to mistake it for), but the winner's files may
+  * already be overwritten and its committed version must be re-derived;
+  * id allocation is the caller's, exactly as Delta assumes unique
+  * commit-file numbers.
   *
   * Reference semantic anchor: the Phoenix dim upsert
   * (`RT/app/function/DimSinkFunction.java:22-76`) — [[upsert]] is its
@@ -294,7 +297,7 @@ object SnapshotTable {
     */
   private def tileId(spark: SparkSession, key: Column,
       boundaries: Seq[Any]): Column = {
-    graft.expressions.SearchSorted.register(spark)
+    if (boundaries.isEmpty) return lit(0)
     val longs = boundaries.collect {
       case b: Byte => b.toLong
       case s: Short => s.toLong
@@ -302,21 +305,30 @@ object SnapshotTable {
       case l: Long => l
     }
     val arr =
-      if (longs.size == boundaries.size && boundaries.nonEmpty)
-        typedLit(longs.toArray)
-      else boundaries.headOption match {
-        case Some(_: Double) | Some(_: Float) => typedLit(boundaries.map {
+      if (longs.size == boundaries.size) Some(typedLit(longs.toArray))
+      else if (boundaries.forall(b =>
+        b.isInstanceOf[Double] || b.isInstanceOf[Float]))
+        Some(typedLit(boundaries.map {
           case d: Double => d
           case f: Float => f.toDouble
-          case b => throw new IllegalArgumentException(
-            s"mixed boundary types: $b among fractional cutpoints")
-        }.toArray)
-        case Some(_: String) =>
-          typedLit(boundaries.map(_.asInstanceOf[String]).toArray)
-        case other => throw new IllegalArgumentException(
-          s"unsupported boundary type: $other")
-      }
-    call_function("search_sorted", key, arr)
+        }.toArray))
+      else if (boundaries.forall(_.isInstanceOf[String]))
+        Some(typedLit(boundaries.map(_.asInstanceOf[String]).toArray))
+      else None
+    arr match {
+      case Some(a) =>
+        graft.expressions.SearchSorted.register(spark)
+        call_function("search_sorted", key, a)
+      case None =>
+        // types outside the kernel's families (date/timestamp/decimal
+        // cutpoints, mixed numerics — publishAligned's public Seq[Any]
+        // contract) keep the legacy per-boundary fold: correct via
+        // lit() coercion, O(boundaries) per row with the documented
+        // ~2-4k depth ceiling — every layout THIS library derives
+        // (keyBoundaries decodes long/double/string) takes the kernel
+        boundaries.map(b => when(key >= lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+    }
   }
 
   /** The interior cutpoints of a published version's file layout on
@@ -464,14 +476,7 @@ object SnapshotTable {
         val changed = updates.select(tile.as("__tile")).distinct()
           .collect().map(_.getInt(0)).toSet
         // file order by min(pk) IS tile order (how keyBoundaries derives)
-        val filesByTile = st
-          .sortBy(fs => fs.mins.get(pk).flatMap(decode) match {
-            case Some(l: Long) => (0, l, 0.0, "")
-            case Some(d: Double) => (1, 0L, d, "")
-            case Some(s: String) => (2, 0L, 0.0, s)
-            case _ => (3, 0L, 0.0, "")
-          })
-          .map(_.file).toIndexedSeq
+        val filesByTile = filesInTileOrder(st, pk)
         val (chFiles, keepFiles) = filesByTile.zipWithIndex
           .partition { case (_, i) => changed(i) }
         val dir = s"$root/$version"
@@ -544,6 +549,47 @@ object SnapshotTable {
           .getOrElse((Nil, 1 << 17))
         publishFrom(merged, root, version, Some(vOld), retain, Seq(pk),
           clusterFiles, bcols, bbits)
+    }
+  }
+
+  /** Data files of a version in TILE order — ascending min(pk) from the
+    * stats, the order [[keyBoundaries]]' cutpoints index into (shared by
+    * merge's changed-tile rewrite and [[readMatchingTiles]]).
+    */
+  private def filesInTileOrder(st: Seq[FileStats], pk: String): IndexedSeq[String] =
+    st.sortBy(fs => fs.mins.get(pk).flatMap(decode) match {
+      case Some(l: Long) => (0, l, 0.0, "")
+      case Some(d: Double) => (1, 0L, d, "")
+      case Some(s: String) => (2, 0L, 0.0, s)
+      case _ => (3, 0L, 0.0, "")
+    }).map(_.file).toIndexedSeq
+
+  /** The rows of `version` living in files whose `pk` range could hold a
+    * value of `keys`' `pk` column — the READ-side twin of merge's
+    * changed-tile discovery, for consumers that need the current rows of
+    * a batch-sized key set without scanning the table (e.g. the additive
+    * streaming folds: old count + delta for the batch's keys only). Any
+    * row of `version` whose `pk` appears in `keys` is guaranteed
+    * included (same cutpoint math as the merge that placed it); rows in
+    * untouched tiles are pruned. Falls back to the full version read
+    * when stats are absent or the layout is not range-disjoint on `pk`.
+    * The key→tile assignment is one metadata-scale action over `keys`
+    * (assumed batch-sized — the same contract as merge's update set).
+    */
+  def readMatchingTiles(spark: SparkSession, root: String, version: String,
+      pk: String, keys: DataFrame): DataFrame = {
+    val stats = readStatsVersion(root, version)
+    val bounds = keyBoundaries(root, version, pk)
+    (stats, bounds) match {
+      case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
+        val hit = keys.select(tileId(spark, col(pk), bs).as("__tile"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val files = filesInTileOrder(st, pk).zipWithIndex
+          .collect { case (f, i) if hit(i) => s"$root/$version/$f" }
+        val full = readVersion(spark, root, version)
+        if (files.isEmpty) full.limit(0)
+        else spark.read.schema(full.schema).parquet(files.toSeq: _*)
+      case _ => readVersion(spark, root, version)
     }
   }
 
@@ -905,6 +951,16 @@ object SnapshotTable {
     latestVersion(root).map { v =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       Files.createDirectories(Paths.get(dir))
+      // the target is an export directory this boundary OWNS: stale
+      // managed files (a previous export's differently-named parts)
+      // are removed first, or a re-export would leave the old version's
+      // files beside the new ones and the advertised plain
+      // `spark.read.parquet(dir)` surface would return doubled rows
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".parquet") || f.getName == "_STATS" ||
+            f.getName == "_BLOOM" || f.getName == "_MANIFEST.json"))
+        .foreach(f => Files.delete(f.toPath))
       val names = Option(new java.io.File(s"$root/$v").listFiles())
         .getOrElse(Array.empty)
         .filter(f => f.isFile &&
@@ -950,16 +1006,22 @@ object SnapshotTable {
     val manifest = new java.io.File(s"$dir/_MANIFEST.json")
     if (manifest.isFile) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val names = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile &&
-          (f.getName.endsWith(".parquet") || f.getName == "_STATS" ||
-            f.getName == "_BLOOM"))
-        .map(_.getName).sorted
-      require(names.exists(_.endsWith(".parquet")),
-        s"$dir: manifest present but no parquet data files")
+      // copy ONLY the manifest's data-file list (not whatever .parquet
+      // happens to sit in the directory — a foreign or stale stray file
+      // must not ride into the committed version uncovered by _STATS)
+      val mf = Files.readString(manifest.toPath)
+      val listed = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(mf)
+        .map(_.group(1).split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Seq.empty)
+      require(listed.nonEmpty,
+        s"$dir/_MANIFEST.json: no data files listed")
+      listed.foreach(n => require(new java.io.File(s"$dir/$n").isFile,
+        s"$dir: manifest lists $n but the file is missing"))
+      val sidecars = Seq("_STATS", "_BLOOM")
+        .filter(n => new java.io.File(s"$dir/$n").isFile)
       Files.createDirectories(Paths.get(s"$root/$version"))
-      names.foreach { n =>
+      (listed ++ sidecars).foreach { n =>
         Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$root/$version/$n"),
           StandardCopyOption.REPLACE_EXISTING); ()
       }
@@ -1013,17 +1075,23 @@ object SnapshotTable {
     *
     * The CAS: under the per-root lock, the marker moves only if the
     * committed head still equals `base` — the head this write derived
-    * from — or already IS `version` (an idempotent replay republishing
-    * itself). Anything else means a competing writer committed since the
+    * from. Anything else means a competing writer committed since the
     * derivation read: throw [[SnapshotConflictException]] and leave the
     * winner's head untouched (this write's directory stays invisible).
+    * Replays need no exemption: a genuine replay re-captures `base` at
+    * call entry, so it commits with base == head and passes — while a
+    * SECOND writer that raced to the same version id (base behind the
+    * head) conflicts here instead of silently "passing" as a fake
+    * replay, which would have blessed the very lost-update the CAS
+    * exists to prevent (its overwrite already stomped the winner's
+    * directory; the loud failure is what makes the stomp recoverable).
     */
   private def finishCommit(root: String, version: String, retain: Int,
       base: Option[String]): Unit = {
     onBeforeCommit(root, version)
     withCommitLock(root) {
       val head = latestVersion(root)
-      if (head != base && !head.contains(version))
+      if (head != base)
         throw new SnapshotConflictException(root, base, head)
       val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
       java.nio.file.Files.writeString(tmp, version)

@@ -60,12 +60,19 @@ object CollocStream {
     */
   private def addInto(spark: SparkSession, deltas: DataFrame, root: String,
       key: String, cnt: String, version: String, clusterFiles: Int): Unit = {
-    val prev = SnapshotTable.versions(root)
-      .filter(_.drop(1).toLong < version.drop(1).toLong).lastOption
+    // fold base = the COMMITTED head (what merge's CAS checks), never
+    // the directory listing (which includes in-flight/orphaned dirs);
+    // a replay (head == version) computes a throwaway fold that merge
+    // then short-circuits, so the < filter keeps it from self-reading
+    val prev = SnapshotTable.latestVersion(root)
+      .filter(_.drop(1).toLong < version.drop(1).toLong)
     val updated = prev match {
       case None => deltas
       case Some(p) => deltas
-        .join(SnapshotTable.readVersion(spark, root, p)
+        // previous-table side tile-pruned to the batch's keys — both
+        // join sides stay batch-sized at any corpus (see RankStream)
+        .join(SnapshotTable.readMatchingTiles(spark, root, p, key,
+            deltas.select(col(key)))
             .select(col(key), col(cnt).as("__old")),
           Seq(key), "left")
         .select(col(key),
@@ -75,14 +82,28 @@ object CollocStream {
       clusterFiles = Some(clusterFiles))
   }
 
-  /** The collocation report over the maintained tables at their last
-    * committed versions — [[graft.operators.CorpusStats.liftOf]]
-    * verbatim, which is what makes the twin equality structural.
+  /** The collocation report over the maintained tables — at the LOWEST
+    * common committed batch version, not each table's own head: in the
+    * crash window between the pair merge and the unigram merge the two
+    * heads straddle a batch, and joining them would score bigram counts
+    * that include the batch against unigram counts that do not.
+    * [[graft.operators.CorpusStats.liftOf]] verbatim over the aligned
+    * reads, which is what makes the twin equality structural. (If the
+    * lower common version has already been retention-pruned on the
+    * other table, the per-root head is the documented best effort.)
     */
   def liveReport(spark: SparkSession, pairRoot: String, uniRoot: String,
       minPair: Int): Option[DataFrame] =
     for {
-      pairs <- SnapshotTable.read(spark, pairRoot)
-      uni <- SnapshotTable.read(spark, uniRoot)
-    } yield graft.operators.CorpusStats.liftOf(pairs, uni, minPair)
+      vp <- SnapshotTable.latestVersion(pairRoot)
+      vu <- SnapshotTable.latestVersion(uniRoot)
+    } yield {
+      val v = if (vp.drop(1).toLong <= vu.drop(1).toLong) vp else vu
+      def at(root: String, own: String) =
+        if (SnapshotTable.versions(root).contains(v))
+          SnapshotTable.readVersion(spark, root, v)
+        else SnapshotTable.readVersion(spark, root, own)
+      graft.operators.CorpusStats.liftOf(at(pairRoot, vp), at(uniRoot, vu),
+        minPair)
+    }
 }

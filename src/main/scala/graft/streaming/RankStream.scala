@@ -28,10 +28,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * regardless of how the table was built.
   *
   * Exactly-once: both roots version by batch id. A replayed batch
-  * short-circuits the edge merge (already committed) and republishes the
-  * rank version byte-identically; a crash between the edge commit and
-  * the rank commit replays into the same recovery path. The
-  * fresh-checkpoint guard matches [[IvmStream]]'s.
+  * short-circuits BOTH the edge merge (already committed) and the rank
+  * recompute/publish (already the rank head — re-publishing would
+  * overwrite the live directory under concurrent readers for a no-op);
+  * a crash between the edge commit and the rank commit replays into the
+  * rank recompute with the edge merge skipping. The fresh-checkpoint
+  * guard matches [[IvmStream]]'s.
   */
 object RankStream {
 
@@ -59,35 +61,47 @@ object RankStream {
           "fresh checkpoint against existing tables — wipe edgeRoot, " +
           "rankRoot and the checkpoint together, or resume the original.")
     }
-    val prev = SnapshotTable.versions(edgeRoot)
-      .filter(_.drop(1).toLong < batchId).lastOption
+    // the fold base is the COMMITTED head (what merge's CAS will check
+    // against) — never the raw directory listing, which includes
+    // in-flight or orphaned version directories a crashed writer left
+    val prev = SnapshotTable.latestVersion(edgeRoot)
     // additive fold: this batch's per-edge counts plus the previous
-    // version's count for the SAME keys (left join against the current
-    // table — AQE broadcasts the batch's key set; the merge below then
-    // rewrites only the tiles those keys land in)
+    // version's count for the SAME keys. The previous-table side is
+    // tile-pruned to the batch's keys (readMatchingTiles — the
+    // changed-tile discovery merge itself runs), so the fold's join is
+    // batch-sized on BOTH sides: per-batch cost stays ∝ batch at any
+    // table size, which a plain left join against the full table would
+    // not (the preserved side of a left-outer cannot broadcast, so the
+    // full table would shuffle every batch)
     val deltas = batch.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_d"))
+      .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
     val updated = prev match {
       case None => deltas
-        .select(concat_ws(" ", col("src"), col("dst")).as("edge_key"),
-          col("src"), col("dst"), col("n_d").as("n"))
+        .select(col("edge_key"), col("src"), col("dst"), col("n_d").as("n"))
       case Some(p) => deltas
-        .join(SnapshotTable.readVersion(spark, edgeRoot, p)
-            .select(col("src"), col("dst"), col("n").as("n_old")),
-          Seq("src", "dst"), "left")
-        .select(concat_ws(" ", col("src"), col("dst")).as("edge_key"),
-          col("src"), col("dst"),
+        .join(SnapshotTable.readMatchingTiles(spark, edgeRoot, p,
+            "edge_key", deltas.select(col("edge_key")))
+            .select(col("edge_key"), col("n").as("n_old")),
+          Seq("edge_key"), "left")
+        .select(col("edge_key"), col("src"), col("dst"),
           (coalesce(col("n_old"), lit(0L)) + col("n_d")).as("n"))
     }
     SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
       clusterFiles = Some(clusterFiles))
-    val edges = SnapshotTable.readVersion(spark, edgeRoot, version)
-      .select(col("src"), col("dst"), col("n"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val rank = graft.operators.Graph.pagerank(nodes, edges, iters)
-      .select(col("node"), col("out_n"), col("r"))
-    SnapshotTable.publish(rank, rankRoot, version)
+    // a replayed batch already has its rank version committed: skip the
+    // recompute AND the re-publish — Spark's mode-overwrite would
+    // delete the published head's files mid-air under concurrent
+    // liveRanks readers before rewriting them
+    if (!SnapshotTable.latestVersion(rankRoot).contains(version)) {
+      val edges = SnapshotTable.readVersion(spark, edgeRoot, version)
+        .select(col("src"), col("dst"), col("n"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val rank = graft.operators.Graph.pagerank(nodes, edges, iters)
+        .select(col("node"), col("out_n"), col("r"))
+      SnapshotTable.publish(rank, rankRoot, version)
+    }
     // pagerank registers its lineage leaves in the per-query cache
     // registry; the rank publish is the last consumer (the IvmStream
     // precedent: release per batch, or a long stream pins frames forever)

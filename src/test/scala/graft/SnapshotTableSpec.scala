@@ -529,13 +529,80 @@ class SnapshotTableSpec extends SparkSpec {
     val root = freshRoot("replaycas")
     SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
     SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
-    // a foreachBatch replay re-publishes v2 identically: head == version,
-    // so the CAS must let it through even though head != the replayer's
-    // original v1 base
+    // a foreachBatch replay re-publishes v2 identically: the replay
+    // re-captures its base at call entry (= the committed v2 head), so
+    // it commits with base == head and passes — no same-id exemption
+    // involved (that exemption would also bless a racing second writer)
     SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
     assert(SnapshotTable.latestVersion(root).contains("v2"))
     val got = SnapshotTable.read(spark, root).get
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set(1L -> "b"))
+  }
+
+  test("two writers racing to the SAME version id: the stale one conflicts") {
+    import graft.sources.SnapshotConflictException
+    val root = freshRoot("sameid")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(2))
+    // Writer A derives v2 from head v1; at the instant it is about to
+    // commit, writer B runs a FULL read-derive-commit also targeting v2
+    // (the id-collision the retry recipe makes likely). B wins; A's CAS
+    // must throw — before the fix the head==version exemption let A
+    // "pass" as a fake replay even though B's files had been stomped.
+    var bRan = false
+    graft.sources.SnapshotTable.onBeforeCommit = (r, v) =>
+      if (r == root && v == "v2" && !bRan) {
+        bRan = true
+        SnapshotTable.merge(df(Seq(3L -> "fromB")), root, "id", "v2")
+      }
+    val lost =
+      try { SnapshotTable.merge(df(Seq(2L -> "fromA")), root, "id", "v2"); None }
+      catch { case e: SnapshotConflictException => Some(e) }
+      finally graft.sources.SnapshotTable.onBeforeCommit = (_, _) => ()
+    assert(bRan)
+    assert(lost.isDefined,
+      "a second writer committing the same id must conflict, not pass as a replay")
+    assert(SnapshotTable.latestVersion(root).contains("v2"))
+  }
+
+  test("re-export into the same directory leaves no stale data files") {
+    val root = freshRoot("reexp")
+    val exp = freshRoot("reexpdir")
+    SnapshotTable.publish(df((1L to 50L).map(i => i -> s"a$i")), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(3))
+    SnapshotTable.exportTable(spark, root, exp)
+    SnapshotTable.merge(df((51L to 90L).map(i => i -> s"b$i")), root, "id", "v2")
+    SnapshotTable.exportTable(spark, root, exp)
+    // the advertised plain-parquet surface: any engine reads the dir raw.
+    // A stale v1 part file left behind would double rows here.
+    val plain = spark.read.parquet(exp)
+    assert(plain.count() == 90,
+      s"re-export must replace the previous export's files, got ${plain.count()} rows")
+    // and the manifest-driven import restores exactly the head
+    val back = freshRoot("reexpback")
+    SnapshotTable.importTable(spark, exp, back, "v1")
+    assert(SnapshotTable.read(spark, back).get.count() == 90)
+  }
+
+  test("readMatchingTiles: batch keys' rows included, untouched tiles pruned") {
+    val root = freshRoot("rmt")
+    val rows = (1L to 400L).map(i => i -> s"v$i")
+    SnapshotTable.publish(df(rows), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(8))
+    import spark.implicits._
+    val keys = Seq(7L, 8L, 399L).toDF("id")
+    val got = SnapshotTable.readMatchingTiles(spark, root, "v1", "id", keys)
+    val scanned = got.inputFiles.length
+    assert(scanned < 8 && scanned >= 1,
+      s"a 3-key probe must read a strict subset of the 8 tiles, read $scanned")
+    val hit = got.filter(col("id").isin(7L, 8L, 399L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hit == Set(7L -> "v7", 8L -> "v8", 399L -> "v399"),
+      "every probed key's current row must be present in the pruned read")
+    // absent keys: the read still covers their WOULD-BE tiles (no more)
+    val none = SnapshotTable.readMatchingTiles(spark, root, "v1", "id",
+      Seq(1000L).toDF("id"))
+    assert(none.inputFiles.length <= 1)
   }
 }
