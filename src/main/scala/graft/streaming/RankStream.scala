@@ -73,22 +73,27 @@ object RankStream {
     // table size, which a plain left join against the full table would
     // not (the preserved side of a left-outer cannot broadcast, so the
     // full table would shuffle every batch)
+    // persisted: the tile discovery, the fold join and merge's own
+    // passes all root this batch aggregation
     val deltas = batch.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_d"))
       .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
-    val updated = prev match {
-      case None => deltas
-        .select(col("edge_key"), col("src"), col("dst"), col("n_d").as("n"))
-      case Some(p) => deltas
-        .join(SnapshotTable.readMatchingTiles(spark, edgeRoot, p,
-            "edge_key", deltas.select(col("edge_key")))
-            .select(col("edge_key"), col("n").as("n_old")),
-          Seq("edge_key"), "left")
-        .select(col("edge_key"), col("src"), col("dst"),
-          (coalesce(col("n_old"), lit(0L)) + col("n_d")).as("n"))
-    }
-    SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
-      clusterFiles = Some(clusterFiles))
+      .persist()
+    try {
+      val updated = prev match {
+        case None => deltas
+          .select(col("edge_key"), col("src"), col("dst"), col("n_d").as("n"))
+        case Some(p) => deltas
+          .join(SnapshotTable.readMatchingTiles(spark, edgeRoot, p,
+              "edge_key", deltas.select(col("edge_key")))
+              .select(col("edge_key"), col("n").as("n_old")),
+            Seq("edge_key"), "left")
+          .select(col("edge_key"), col("src"), col("dst"),
+            (coalesce(col("n_old"), lit(0L)) + col("n_d")).as("n"))
+      }
+      SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
+        clusterFiles = Some(clusterFiles))
+    } finally { deltas.unpersist(blocking = false); () }
     // a replayed batch already has its rank version committed: skip the
     // recompute AND the re-publish — Spark's mode-overwrite would
     // delete the published head's files mid-air under concurrent
