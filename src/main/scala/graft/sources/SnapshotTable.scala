@@ -116,9 +116,19 @@ object SnapshotTable {
     */
   def publish(df: DataFrame, root: String, version: String, retain: Int = 2,
       statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit =
-    publishFrom(df, root, version, latestVersion(root), retain, statsCols,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
+    val head = latestVersion(root)
+    // replay short-circuit (merge's discipline, generalized to every
+    // public publish entry): re-publishing the committed head would
+    // mode-overwrite the LIVE directory — deleting its files under
+    // concurrent readers mid-air — to reproduce content the at-least-once
+    // replay contract already guarantees is there. Versions are immutable
+    // once committed; a caller wanting DIFFERENT content under the head's
+    // id is violating the version discipline, not replaying.
+    if (head.contains(version)) return
+    publishFrom(df, root, version, head, retain, statsCols,
       clusterFiles, bloomCols, bloomBits)
+  }
 
   /** [[publish]] with an explicit CAS base: the head version this write's
     * content derived from (`None` = derived from an empty table). The
@@ -185,9 +195,12 @@ object SnapshotTable {
   def publishZOrdered(df: DataFrame, root: String, version: String,
       pk: String, zCols: Seq[String], nFiles: Int, retain: Int = 2,
       bits: Int = 8, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17): Unit =
-    publishZOrderedFrom(df, root, version, latestVersion(root), pk, zCols,
+      bloomBits: Int = 1 << 17): Unit = {
+    val head = latestVersion(root)
+    if (head.contains(version)) return // committed-head replay (see publish)
+    publishZOrderedFrom(df, root, version, head, pk, zCols,
       nFiles, retain, bits, bloomCols, bloomBits)
+  }
 
   /** [[publishZOrdered]] with an explicit CAS base — see [[publishFrom]]. */
   private[sources] def publishZOrderedFrom(df: DataFrame, root: String,
@@ -275,6 +288,7 @@ object SnapshotTable {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(boundaries.nonEmpty, "publishAligned needs at least one cutpoint")
     val base = latestVersion(root)
+    if (base.contains(version)) return // committed-head replay (see publish)
     val n = boundaries.size + 1
     val fileId = tileId(df.sparkSession, col(key), boundaries)
     df.withColumn("__pin",
@@ -951,16 +965,18 @@ object SnapshotTable {
     latestVersion(root).map { v =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       Files.createDirectories(Paths.get(dir))
-      // the target is an export directory this boundary OWNS: stale
-      // managed files (a previous export's differently-named parts)
-      // are removed first, or a re-export would leave the old version's
-      // files beside the new ones and the advertised plain
-      // `spark.read.parquet(dir)` surface would return doubled rows
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile &&
-          (f.getName.endsWith(".parquet") || f.getName == "_STATS" ||
-            f.getName == "_BLOOM" || f.getName == "_MANIFEST.json"))
-        .foreach(f => Files.delete(f.toPath))
+      // CRASH-SAFE re-export ordering: copy the new version's files in
+      // (part names are UUID-fresh, never colliding with a previous
+      // export's), swap the manifest to the new list ATOMICALLY, and
+      // only then delete the previous export's stale parts. A crash at
+      // any point leaves an IMPORTABLE directory: before the manifest
+      // swap the old manifest still lists the old parts (all present —
+      // nothing was deleted yet, and importTable skips sidecars that
+      // disagree with the manifest's list); after it, the new export is
+      // complete and only stale extras remain. The raw
+      // `spark.read.parquet(dir)` surface is consistent except inside
+      // this window — the manifest is the consistency boundary, exactly
+      // as in any manifest-based table format.
       val names = Option(new java.io.File(s"$root/$v").listFiles())
         .getOrElse(Array.empty)
         .filter(f => f.isFile &&
@@ -972,13 +988,37 @@ object SnapshotTable {
           StandardCopyOption.REPLACE_EXISTING); ()
       }
       val schemaJson = readVersion(spark, root, v).schema.json
-      val fileList = names.filter(_.endsWith(".parquet"))
-        .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-      Files.writeString(Paths.get(s"$dir/_MANIFEST.json"),
+      val listed = names.filter(_.endsWith(".parquet"))
+      val fileList = listed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      val tmp = Paths.get(s"$dir/._MANIFEST.json.tmp")
+      Files.writeString(tmp,
         s"""{"format":"graft-snapshot-export","version":"$v",""" +
           s""""files":$fileList,"schema":$schemaJson}""")
+      Files.move(tmp, Paths.get(s"$dir/_MANIFEST.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // post-swap cleanup: every managed data file the NEW manifest does
+      // not list is stale (a previous export's parts, including ones a
+      // crashed export orphaned without any manifest)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !listed.contains(f.getName))
+        .foreach(f => Files.delete(f.toPath))
       v
     }
+
+  /** The data-file list of an export directory's `_MANIFEST.json`, if
+    * present and parseable. Whitespace-tolerant around the key and
+    * array — the manifest is the open-interop boundary and may have
+    * been regenerated by an external JSON tool.
+    */
+  private def manifestFiles(dir: String): Option[Seq[String]] = {
+    val f = new java.io.File(s"$dir/_MANIFEST.json")
+    if (!f.isFile) None
+    else "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(java.nio.file.Files.readString(f.toPath))
+      .map(_.group(1).split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")))
+  }
 
   /** Import a parquet directory as `root`'s next published version.
     *
@@ -1003,23 +1043,32 @@ object SnapshotTable {
       clusterFiles: Option[Int] = None): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     val base = latestVersion(root)
+    if (base.contains(version)) return // committed-head replay (see publish)
     val manifest = new java.io.File(s"$dir/_MANIFEST.json")
     if (manifest.isFile) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       // copy ONLY the manifest's data-file list (not whatever .parquet
       // happens to sit in the directory — a foreign or stale stray file
       // must not ride into the committed version uncovered by _STATS)
-      val mf = Files.readString(manifest.toPath)
-      val listed = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(mf)
-        .map(_.group(1).split(",").toSeq.map(_.trim)
-          .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")))
-        .getOrElse(Seq.empty)
+      val listed = manifestFiles(dir).getOrElse(Seq.empty)
       require(listed.nonEmpty,
         s"$dir/_MANIFEST.json: no data files listed")
       listed.foreach(n => require(new java.io.File(s"$dir/$n").isFile,
         s"$dir: manifest lists $n but the file is missing"))
-      val sidecars = Seq("_STATS", "_BLOOM")
-        .filter(n => new java.io.File(s"$dir/$n").isFile)
+      // sidecars carry over only when they AGREE with the manifest's
+      // file list — a crashed re-export can leave newer sidecars beside
+      // an older manifest, and stats naming files the version does not
+      // contain would corrupt pruning; skipping them degrades safely to
+      // an unpruned (still correct) table
+      val sidecars = Seq("_STATS", "_BLOOM").filter { n =>
+        val f = new java.io.File(s"$dir/$n")
+        f.isFile && {
+          val body = Files.readString(f.toPath)
+          val mentioned = "[A-Za-z0-9._-]+\\.parquet".r
+            .findAllIn(body).toSet
+          mentioned.nonEmpty && mentioned.subsetOf(listed.toSet)
+        }
+      }
       Files.createDirectories(Paths.get(s"$root/$version"))
       (listed ++ sidecars).foreach { n =>
         Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$root/$version/$n"),

@@ -63,8 +63,12 @@ object RankStream {
     }
     // the fold base is the COMMITTED head (what merge's CAS will check
     // against) — never the raw directory listing, which includes
-    // in-flight or orphaned version directories a crashed writer left
+    // in-flight or orphaned version directories a crashed writer left.
+    // The < filter keeps a REPLAYED batch (head == this version) from
+    // self-reading its own committed output into a double-counted fold
+    // that merge would then discard anyway
     val prev = SnapshotTable.latestVersion(edgeRoot)
+      .filter(_.drop(1).toLong < batchId)
     // additive fold: this batch's per-edge counts plus the previous
     // version's count for the SAME keys. The previous-table side is
     // tile-pruned to the batch's keys (readMatchingTiles — the
