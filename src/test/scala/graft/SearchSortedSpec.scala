@@ -59,6 +59,36 @@ class SearchSortedSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("generated code compiles — no silent interpreted fallback") {
+    // CODEGEN_ONLY + fallback=false turn a janino failure in the
+    // hand-written doGenCode into a test failure instead of a WARN +
+    // interpreted fallback that hides a 10x slowdown in the merge path
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      registered()
+      graft.expressions.SortedIntIntersectAtLeast.register(spark)
+      val r = spark.range(0, 100)
+        .select(
+          call_function("search_sorted", col("id"),
+            typedLit(Array(10L, 50L))).as("t"),
+          expr("sorted_int_intersect_atleast(array(1,2,3), array(2,3,4), 2)")
+            .as("n"))
+        .agg(sum("t"), max("n")).head
+      assert(r.getLong(0) == 40L * 1 + 50L * 2) // 0-9→0, 10-49→1, 50-99→2
+      assert(r.getInt(1) == 2)
+    } finally {
+      def restore(k: String, v: Option[String]) = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
+
   test("double keys: NaN routes to the last tile, consistently") {
     registered()
     val bs = Array(1.0, 2.0)
