@@ -19,7 +19,7 @@ object SparkEntry {
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
       HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all ++
       SnapshotDiff.all ++ Graph.all ++ CorpusStats.all ++ SaltedJoin.all ++
-      InvertedIndex.all
+      InvertedIndex.all ++ LsmIndex.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.operators.{InvertedIndex, SnapshotDiff}
+import graft.operators.{InvertedIndex, LsmIndex, SnapshotDiff}
 import graft.sources.SnapshotTable
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,44 @@ object IndexMergeProbe {
           f""""merge_sec":$secs%.2f}""")
         lo += bs
       }
+    }
+    // the LSM-segment arm: every batch writes ONLY its own segment —
+    // bytes written ∝ batch by construction; measured anyway so the
+    // three layouts share one protocol and one table
+    val lsmDir = sys.props("java.io.tmpdir") + "/graft_idxprobe_lsm"
+    SnapshotDiff.rmTree(lsmDir)
+    LsmIndex.applyDocBatch(docs.filter(col("doc_id") < cut), 0L, lsmDir)
+    def lsmBytes(): Map[String, Long] =
+      LsmIndex.liveSegments(lsmDir).flatMap { s =>
+        Option(new java.io.File(s"$lsmDir/$s").listFiles())
+          .getOrElse(Array.empty).filter(_.isDirectory).flatMap(v =>
+            Option(v.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(f => s"$s/${v.getName}/${f.getName}" -> f.length()))
+      }.toMap
+    var lsmLo = cut
+    var lsmBatch = 0L
+    for (bs <- batchSizes) {
+      val batch = docs.filter(
+        col("doc_id") >= lsmLo && col("doc_id") < lsmLo + bs)
+      val vocab = InvertedIndex.postings(batch)
+        .select(col("token")).distinct().count()
+      val before = lsmBytes()
+      lsmBatch += 1
+      val t0 = System.nanoTime()
+      LsmIndex.applyDocBatch(batch, lsmBatch, lsmDir)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val after = lsmBytes()
+      val written = after.filter { case (n, _) => !before.contains(n) }
+      val carried = after.filter { case (n, _) => before.contains(n) }
+      println(s"""{"probe":"index_merge","layout":"lsm",""" +
+        s""""batch_docs":$bs,"batch_vocab":$vocab,""" +
+        s""""tiles_total":${after.size},"tiles_rewritten":${written.size},""" +
+        s""""bytes_total":${after.values.sum},""" +
+        s""""bytes_rewritten":${written.values.sum},""" +
+        s""""bytes_carried":${carried.values.sum},""" +
+        f""""merge_sec":$secs%.2f}""")
+      lsmLo += bs
     }
     docs.unpersist(blocking = false)
     spark.stop()

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{InvertedIndex, LsmIndex}
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** LSM-segment index maintenance: bytes written per batch ∝ the batch
+  * unconditionally (a fresh immutable segment, never a tile rewrite),
+  * size-tiered compaction touching only the smallest segments, replay
+  * idempotence, the fresh-checkpoint guard, and a kill-and-resume proof.
+  */
+class LsmIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"lsm_$tag").toString
+    operators.SnapshotDiff.rmTree(d); d
+  }
+
+  private def docsDf(ids: Seq[Long]) =
+    ids.map(i => (i, s"tok${"%04d".format(i)} filler")).toDF("doc_id", "text")
+
+  private def postingRows(root: String) =
+    LsmIndex.readAll(spark, root)
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+  test("segments ≡ one-shot rebuild; a batch writes only its own postings") {
+    val dir = freshDir("eq")
+    val batches = Seq((1L to 80L), (81L to 160L), (161L to 240L))
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      LsmIndex.applyDocBatch(docsDf(ids), b.toLong, dir)
+    }
+    val full = InvertedIndex.publishIndex(
+      docsDf(1L to 240L), freshDir("eqfull"))
+    val fullRows = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(postingRows(dir) === fullRows)
+    // the batch-∝-bytes law, structurally: each live segment holds
+    // exactly its own batch's postings, no rewritten carry-over
+    val segs = LsmIndex.liveSegments(dir)
+    assert(segs.size === 3)
+    segs.foreach { s =>
+      val rows = SnapshotTable.read(spark, s"$dir/$s").get.count()
+      assert(rows === 160L, // 80 docs x 2 tokens each
+        s"segment $s must hold exactly its batch's postings, got $rows")
+    }
+  }
+
+  test("replay of the last batch is a no-op (segments and manifest stable)") {
+    val dir = freshDir("replay")
+    LsmIndex.applyDocBatch(docsDf(1L to 50L), 0L, dir)
+    LsmIndex.applyDocBatch(docsDf(51L to 100L), 1L, dir)
+    val before = postingRows(dir)
+    val manifestBefore = LsmIndex.liveSegments(dir)
+    LsmIndex.applyDocBatch(docsDf(51L to 100L), 1L, dir) // foreachBatch replay
+    assert(LsmIndex.liveSegments(dir) === manifestBefore)
+    assert(postingRows(dir) === before)
+  }
+
+  test("size-tiered compaction merges ONLY the smallest segments") {
+    val dir = freshDir("tier")
+    // batch 0 is BIG; batches 1..4 small; cap 3 → compactions must fold
+    // small segments together and never rewrite the big one
+    LsmIndex.applyDocBatch(docsDf(1L to 400L), 0L, dir, maxSegments = 3)
+    (1 to 4).foreach { b =>
+      LsmIndex.applyDocBatch(
+        docsDf((400L + 10 * (b - 1) + 1) to (400L + 10 * b)),
+        b.toLong, dir, maxSegments = 3)
+    }
+    val segs = LsmIndex.liveSegments(dir)
+    assert(segs.size <= 3, s"cap must hold, got $segs")
+    assert(segs.contains("seg_0"),
+      s"the big segment must never be rewritten by small-tier merges: $segs")
+    // content is still the full corpus truth
+    val full = InvertedIndex.publishIndex(
+      docsDf(1L to 440L), freshDir("tierfull"))
+    val fullRows = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(postingRows(dir) === fullRows)
+    // term lookups prune inside every segment and return the scan truth
+    val hit = LsmIndex.termLookup(spark, dir, "tok0405")
+    assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(405L))
+  }
+
+  test("fresh checkpoint against an existing index fails loudly") {
+    val dir = freshDir("guard")
+    LsmIndex.applyDocBatch(docsDf(1L to 30L), 5L, dir)
+    val e = intercept[IllegalArgumentException] {
+      LsmIndex.applyDocBatch(docsDf(31L to 60L), 0L, dir)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
+  test("the LSM stream survives a kill-and-resume on its checkpoint") {
+    val work = java.nio.file.Files.createTempDirectory("lsm_restart").toString
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"; val dir = s"$work/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val docs1 = (1L to 150L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    val docs2 = (151L to 300L).map(i => (i, s"tok${"%04d".format(i)} filler"))
+    val schema = docs1.toDF("doc_id", "text").schema
+    def start() = LsmIndex.startIndexStream(
+      spark.readStream.schema(schema).parquet(in), dir, ckpt)
+    docs1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val full = InvertedIndex.publishIndex(
+      (docs1 ++ docs2).toDF("doc_id", "text"), s"$work/full")
+    val fullRows = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(postingRows(dir) === fullRows,
+      "the resumed stream must continue the segment set, not restart it")
+  }
+}
