@@ -94,10 +94,10 @@ object IndexMergeProbe {
     def lsmBytes(): Map[String, Long] =
       LsmIndex.liveSegments(lsmDir).flatMap { s =>
         Option(new java.io.File(s"$lsmDir/$s").listFiles())
-          .getOrElse(Array.empty).filter(_.isDirectory).flatMap(v =>
-            Option(v.listFiles()).getOrElse(Array.empty)
+          .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory).flatMap(v =>
+            Option(v.listFiles()).getOrElse(Array.empty[java.io.File])
               .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .map(f => s"$s/${v.getName}/${f.getName}" -> f.length()))
+              .map(f => s"$s/${v.getName}/${f.getName}" -> f.length()).toSeq)
       }.toMap
     var lsmLo = cut
     var lsmBatch = 0L
