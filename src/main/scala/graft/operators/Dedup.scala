@@ -463,13 +463,23 @@ object Dedup {
   private[graft] val MaxPlanes = 16
 
   /** [[embeddingLsh]]'s adaptive-plane-count knobs: floor keeps the
-    * measured 6-plane plan at test scales, the cap bounds bucket
-    * cardinality (2^12), the target is the expected bucket occupancy the
-    * plane count aims for (≈64 vectors/bucket keeps within-bucket pairs
-    * ~64n regardless of corpus size).
+    * measured 6-plane plan at test scales; the target is the expected
+    * bucket occupancy the plane count aims for (≈64 vectors/bucket keeps
+    * within-bucket pairs ~64n regardless of corpus size). The cap is
+    * HEADROOM, not a working point: 32 planes bind only past
+    * 64·2³² ≈ 2.7×10¹¹ vectors (≈140 TB of 128-dim float32 embeddings —
+    * beyond the design corpus), where the old 2¹² cap froze bucket
+    * growth at n ≈ 2.6×10⁵ and pairs reverted to n²/4096 (the round-10
+    * quadratic disease, third occurrence). Below the binding point a
+    * bigger cap costs only plan-constant extra hyperplane dots
+    * (codegen'd, map-side, ~32·128 mults/row); the np actually used is
+    * still ⌈log₂(n/64)⌉, so sf0.01/sf0.1 buckets — and the oracle
+    * hashes — are unchanged. 128-dim space supports 2³² sign regions
+    * comfortably (regions saturate only when planes ≫ dims, the media
+    * ladder's 8-dim story).
     */
   private[graft] val LshFloorPlanes = 6
-  private[graft] val LshMaxPlanes = 12
+  private[graft] val LshMaxPlanes = 32
   private[graft] val LshTargetBucket = 64L
 
   /** Sub-division depth for a block of `bs` rows: the fewest sign planes
@@ -695,13 +705,15 @@ object Dedup {
     * + hamming-1 probing to recover recall at size.
     *
     * The plane count is ADAPTIVE IN-PLAN (the media_ann / dedup_semantic
-    * convention): np = max(6, min(12, ⌈log₂(n/64)⌉)) from a 1-row
-    * broadcast count, full 12-plane bucket masked to the low np bits —
-    * the round-10 100x sweep measured 16.9x cost for 10x data under the
-    * previous FIXED 6 planes (same-bucket pairs grow n²/64 when buckets
-    * don't track the corpus). The mask's prefix property means more data
-    * only ever SPLITS existing buckets; the floor reproduces the old
-    * 6-plane plan exactly at the scales where it was measured.
+    * convention): np = max(6, min([[LshMaxPlanes]], ⌈log₂(n/64)⌉)) from
+    * a 1-row broadcast count, the full [[LshMaxPlanes]]-plane bucket
+    * masked to the low np bits — the round-10 100x sweep measured 16.9x
+    * cost for 10x data under the previous FIXED 6 planes (same-bucket
+    * pairs grow n²/64 when buckets don't track the corpus). The mask's
+    * prefix property means more data only ever SPLITS existing buckets;
+    * the floor reproduces the old 6-plane plan exactly at the scales
+    * where it was measured, and the 32-plane cap binds past the design
+    * corpus entirely (see [[LshMaxPlanes]]).
     */
   val embeddingLsh: GraftQuery = new GraftQuery {
     val name = "dedup_embedding_lsh"

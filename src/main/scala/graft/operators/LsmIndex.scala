@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   * published, range-clustered on the composite `tok_doc` key so the
   * prefix-range term lookup prunes inside every segment), and the LIVE
   * segment set is a `_SEGMENTS` manifest swapped atomically — the
-  * `_LATEST` pattern one level up. Crash anywhere leaves the previous
+  * `_LATEST` pattern one level up — with the full commit discipline the
+  * table format enforces one level down: every manifest
+  * read-modify-write runs under the root's commit lock (a concurrent
+  * segment add and a compaction serialize instead of losing each
+  * other's swap), the swap generation in the manifest header is
+  * monotonic (merged-segment names never collide with retired names or
+  * adopt foreign crash orphans), and retired segments outlive their
+  * retirement by [[RetireWindow]] swaps via the `_GARBAGE` ledger (a
+  * reader that resolved the previous manifest keeps valid paths through
+  * a concurrent compaction). Crash anywhere leaves the previous
   * manifest readable; an orphaned unreferenced segment directory is
   * garbage, never a correctness problem (readers only see the manifest).
   * Doc batches are disjoint by construction (a doc arrives once), so the
@@ -53,22 +62,108 @@ object LsmIndex {
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
 
   // --- the segment manifest (the _LATEST pattern, one level up) ---
+  //
+  // Format: an optional `#gen=<n>` header (the MONOTONIC swap
+  // generation — it only ever grows, so a merged segment named by it can
+  // never collide with a retired name or silently adopt a
+  // crash-orphaned directory from a DIFFERENT compaction), then one
+  // segment name per line. Every read-modify-write of the manifest runs
+  // under the root's commit lock (SnapshotTable.withRootLock — JVM
+  // monitor + OS file lock), so a streaming segment add and a
+  // concurrent compaction serialize instead of losing each other's
+  // swap: the same lost-update guarantee SnapshotTable's CAS enforces
+  // one level down. Retired segments are NOT deleted at their swap —
+  // they enter the `_GARBAGE` ledger stamped with the retiring
+  // generation and are deleted only once the generation has advanced by
+  // RetireWindow more swaps, so a reader that resolved the previous
+  // manifest mid-scan keeps its file paths valid (the retention window
+  // SnapshotTable gives versions, applied to segments).
 
   private[graft] def liveSegments(root: String): Seq[String] = {
     val m = java.nio.file.Paths.get(root, "_SEGMENTS")
     if (java.nio.file.Files.exists(m))
       java.nio.file.Files.readString(m).split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
+        .map(_.trim).filter(s => s.nonEmpty && !s.startsWith("#"))
     else Seq.empty
   }
 
-  private def swapSegments(root: String, segs: Seq[String]): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+  /** The manifest's swap generation: 0 before any swap or for manifests
+    * written before the header existed.
+    */
+  private[graft] def manifestGen(root: String): Long = {
+    val m = java.nio.file.Paths.get(root, "_SEGMENTS")
+    if (!java.nio.file.Files.exists(m)) 0L
+    else java.nio.file.Files.readString(m).split("\n").toSeq
+      .flatMap(l => "#gen=(\\d+)".r.findFirstMatchIn(l.trim).map(_.group(1).toLong))
+      .headOption.getOrElse(0L)
+  }
+
+  private def swapSegments(root: String, segs: Seq[String], gen: Long): Unit = {
     val tmp = java.nio.file.Paths.get(root, "._SEGMENTS.tmp")
-    java.nio.file.Files.writeString(tmp, segs.mkString("\n"))
+    java.nio.file.Files.writeString(tmp,
+      (s"#gen=$gen" +: segs).mkString("\n"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_SEGMENTS"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Retired segments survive this many further manifest swaps before
+    * their directories are deleted (readers of the previous manifest
+    * keep valid paths through at least one concurrent compaction).
+    */
+  private[graft] val RetireWindow = 2
+
+  private def garbageLedger(root: String): Seq[(Long, String)] = {
+    val g = java.nio.file.Paths.get(root, "_GARBAGE")
+    if (!java.nio.file.Files.exists(g)) Seq.empty
+    else java.nio.file.Files.readString(g).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        l.split("\t") match {
+          case Array(gen, seg) => gen.toLongOption.map(_ -> seg)
+          case _ => None
+        }
+      }
+  }
+
+  private def writeGarbage(root: String, entries: Seq[(Long, String)]): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "._GARBAGE.tmp")
+    java.nio.file.Files.writeString(tmp,
+      entries.map { case (g, s) => s"$g\t$s" }.mkString("\n"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_GARBAGE"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Test seam: runs after a manifest-updating operation has read the
+    * manifest to derive its update but BEFORE it takes the root lock —
+    * where a competing writer's full add/compact interleaves in the
+    * race specs. Production never sets it.
+    */
+  private[graft] var onBeforeManifestSwap: String => Unit = _ => ()
+
+  /** The manifest read-modify-write, serialized under the root's commit
+    * lock. `f(live, gen)` returns the new live set plus the segments it
+    * RETIRES (ledgered, deleted RetireWindow swaps later), or None for
+    * no-op. The GC of expired garbage rides every swap.
+    */
+  private def updateManifest(root: String)(
+      f: (Seq[String], Long) => Option[(Seq[String], Seq[String])]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    onBeforeManifestSwap(root)
+    SnapshotTable.withRootLock(root) {
+      val live = liveSegments(root)
+      val gen = manifestGen(root)
+      f(live, gen).foreach { case (segs, retired) =>
+        val newGen = gen + 1
+        swapSegments(root, segs, newGen)
+        val ledger = garbageLedger(root) ++ retired.map(newGen -> _)
+        val (expired, kept) = ledger.partition(_._1 <= newGen - RetireWindow)
+        writeGarbage(root, kept)
+        expired.foreach { case (_, s) => SnapshotDiff.rmTree(s"$root/$s") }
+      }
+    }
   }
 
   /** Committed row count of a segment, from its `_STATS` metadata (the
@@ -115,8 +210,12 @@ object LsmIndex {
         clusterFiles = Some(InvertedIndex.tileCountFor(post.count())))
       finally { post.unpersist(blocking = false); () }
     }
-    if (!liveSegments(root).contains(seg))
-      swapSegments(root, liveSegments(root) :+ seg)
+    // locked read-modify-write: a concurrent compaction's swap can no
+    // longer unsee this add (and vice versa) — the manifest re-reads
+    // inside the lock
+    updateManifest(root) { (live, _) =>
+      if (live.contains(seg)) None else Some((live :+ seg, Nil))
+    }
     compactSmallest(spark, root, batchId, maxSegments)
   }
 
@@ -134,8 +233,15 @@ object LsmIndex {
     if (live.size <= maxSegments) return
     val bySize = live.map(s => s -> segmentRows(spark, root, s)).sortBy(_._2)
     val merge = bySize.take(live.size - maxSegments + 1).map(_._1)
-    val gen = live.count(_.contains("m")) // unique-name counter
-    val seg = s"seg_${batchId}m$gen"
+    // the merged segment's name carries the manifest's MONOTONIC swap
+    // generation: it can never be reused after retirements (the old
+    // live.count(_.contains("m")) counter went DOWN when segments
+    // retired, so a reused name could silently adopt a crash-orphaned
+    // directory from a different compaction). A same-name retry after a
+    // crash between publish and swap re-reads the same gen and the same
+    // merge set (deterministic from the same manifest), so adopting the
+    // committed orphan IS the replay, with identical content.
+    val seg = s"seg_${batchId}m${manifestGen(root)}"
     val segRoot = s"$root/$seg"
     if (SnapshotTable.latestVersion(segRoot).isEmpty) {
       val merged = merge.map(s => SnapshotTable.read(spark, s"$root/$s").get)
@@ -145,8 +251,16 @@ object LsmIndex {
         clusterFiles = Some(InvertedIndex.tileCountFor(merged.count())))
       finally { merged.unpersist(blocking = false); () }
     }
-    swapSegments(root, liveSegments(root).filterNot(merge.contains) :+ seg)
-    merge.foreach(s => SnapshotDiff.rmTree(s"$root/$s"))
+    // retire-swap under the lock, revalidating the inputs: if a racing
+    // compactor already retired any of them, OUR merged segment is the
+    // stale duplicate — abandon it as unreferenced garbage instead of
+    // double-counting its rows in the union
+    var abandoned = false
+    updateManifest(root) { (nowLive, _) =>
+      if (!merge.forall(nowLive.contains)) { abandoned = true; None }
+      else Some((nowLive.filterNot(merge.contains) :+ seg, merge))
+    }
+    if (abandoned) SnapshotDiff.rmTree(segRoot)
   }
 
   /** The posting table = the union of the live segments (doc batches are
@@ -158,7 +272,12 @@ object LsmIndex {
       .reduce(_ unionByName _)
 
   /** Term lookup: the PREFIX range prune inside every live segment (each
-    * segment's stats prune independently), unioned.
+    * segment's stats prune independently), unioned. Read amplification
+    * is the LIVE SEGMENT COUNT — bounded by the compaction cap (per
+    * segment the prune touches ~1 tile, so a lookup reads at most
+    * `maxSegments` files; `LsmIndexSpec` pins this on the executed
+    * plan). The cap is the classic LSM knob: raise it and ingest merges
+    * less but every lookup fans wider.
     */
   private[graft] def termLookup(spark: SparkSession, root: String,
       term: String): DataFrame =

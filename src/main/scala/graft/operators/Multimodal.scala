@@ -459,6 +459,33 @@ object Multimodal {
     Seq(1, 1, -1, 1, 1, -1, -1, -1),
     Seq(1, 1, -1, 1, -1, 1, -1, -1))
 
+  /** The 24-plane ladder: [[MediaPlanes12]] plus 12 more balanced ±1
+    * rows, each distinct up to global sign from every earlier row (a
+    * negated plane's bit is the complement of its twin's — perfectly
+    * anti-correlated, a wasted split). Why extend: the round-10 100x
+    * fixture (500k media) ran past the 12-plane cap (~122 rows/bucket vs
+    * the 64 target), the same quadratic tail the adaptive count exists
+    * to remove. 24 planes in general position cut 8-dim space into up to
+    * 2·Σ₀⁷C(23,i) ≈ 780k sign regions, so the occupancy target holds to
+    * ~50M media rows — past that the honest bound is the STUB FEATURE
+    * DIMENSION itself (8 dims saturate; no sign ladder helps), which a
+    * real deployment raises by widening the decode features, not the
+    * ladder (the 128-dim embedding path's ladder binds ~6 orders later).
+    */
+  private[graft] val MediaPlanes24: Seq[Seq[Int]] = MediaPlanes12 ++ Seq(
+    Seq(1, 1, 1, -1, -1, -1, -1, 1),
+    Seq(1, 1, -1, 1, -1, -1, 1, -1),
+    Seq(1, 1, -1, 1, -1, -1, -1, 1),
+    Seq(1, 1, -1, -1, 1, -1, 1, -1),
+    Seq(1, 1, -1, -1, 1, -1, -1, 1),
+    Seq(1, 1, -1, -1, -1, 1, 1, -1),
+    Seq(1, 1, -1, -1, -1, 1, -1, 1),
+    Seq(1, -1, 1, 1, 1, -1, -1, -1),
+    Seq(1, -1, 1, 1, -1, 1, -1, -1),
+    Seq(1, -1, 1, 1, -1, -1, 1, -1),
+    Seq(1, -1, 1, 1, -1, -1, -1, 1),
+    Seq(1, -1, 1, -1, 1, 1, -1, -1))
+
   /** Expected bucket occupancy the adaptive plane count aims for:
     * np = ⌈log₂(n/64)⌉ keeps ~64 media per bucket, so per-query
     * candidate work stays O(target) as the corpus grows.
@@ -479,7 +506,7 @@ object Multimodal {
           (length(col("payload")) === char_length(col("txt")) &&
             length(col("payload")) > 0))
         .drop("txt")
-      mediaAnnOf(media, MediaPlanes12, Some(MediaTargetBucket))
+      mediaAnnOf(media, MediaPlanes24, Some(MediaTargetBucket))
     }
 
     def oracle: Option[String] = {
@@ -489,7 +516,7 @@ object Multimodal {
       def planeSql(p: Seq[Int]) = p.zipWithIndex.map { case (c, i) =>
         (if (c > 0) "+ " else "- ") + s"v[${i + 1}]"
       }.mkString(" ").stripPrefix("+ ")
-      val bucketSql = MediaPlanes12.zipWithIndex.map { case (p, i) =>
+      val bucketSql = MediaPlanes24.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${planeSql(p)} > 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       Some(s"""
@@ -523,10 +550,10 @@ object Multimodal {
         FROM png),
       f AS (SELECT * FROM f_text UNION ALL SELECT * FROM f_png),
       -- adaptive plane count, mirrored from the engine: np =
-      -- max(3, min(${MediaPlanes12.size}, ceil(log2(n / $MediaTargetBucket)))),
-      -- full ${MediaPlanes12.size}-plane bucket masked to the low np bits
+      -- max(3, min(${MediaPlanes24.size}, ceil(log2(n / $MediaTargetBucket)))),
+      -- full ${MediaPlanes24.size}-plane bucket masked to the low np bits
       cnt AS (
-        SELECT greatest(3, least(${MediaPlanes12.size},
+        SELECT greatest(3, least(${MediaPlanes24.size},
                  CAST(ceil(log2(count(*) / ${MediaTargetBucket}.0)) AS INTEGER))) AS np
         FROM f),
       n AS (

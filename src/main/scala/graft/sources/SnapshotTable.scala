@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * implemented directly over parquet + an atomic marker file):
   *
   *  - ATOMIC PUBLISH: a version is a complete parquet directory
-  *    `<root>/v<n>`; it becomes visible only when the `_LATEST` marker is
-  *    atomically moved onto it (write-temp + ATOMIC_MOVE — readers see
-  *    the old version or the new one, never a torn one). A writer crash
-  *    before the move leaves garbage data invisible forever; a replayed
-  *    batch rewrites the same version directory and republishes
-  *    identically (idempotent replay).
+  *    `<root>/v<n>`. Writers never write that path directly — data and
+  *    sidecars go to a writer-unique staging directory
+  *    (`.stage_v<n>_<nonce>`), and the commit atomically renames it to
+  *    `<root>/v<n>` and moves the `_LATEST` marker onto it (write-temp +
+  *    ATOMIC_MOVE — readers see the old version or the new one, never a
+  *    torn one). A writer crash before the rename leaves an invisible
+  *    staging directory (GC'd by the retention sweep once the head
+  *    passes it); a replayed batch of a committed version short-circuits
+  *    (idempotent replay).
   *  - READER ISOLATION: a reader resolves `_LATEST` once and then reads a
   *    version directory that no concurrent publish mutates (publishes go
   *    to NEW directories). Retention keeps the previous `retain − 1`
@@ -54,15 +57,14 @@ import org.apache.spark.sql.functions._
   * two-writer case). Replay is still idempotent: a replay re-captures
   * `base` at call entry, so it commits with base == head and passes.
   *
-  * Caller contract the CAS cannot enforce: concurrent writers must use
-  * writer-unique version ids (e.g. a streaming merge keyed by batch id
-  * and a compactor keyed past it). Two writers racing to write the SAME
-  * `v<n>` directory stomp each other's DATA files before either commits
-  * — the CAS fails the stale writer's marker move loudly (there is no
-  * replay exemption to mistake it for), but the winner's files may
-  * already be overwritten and its committed version must be re-derived;
-  * id allocation is the caller's, exactly as Delta assumes unique
-  * commit-file numbers.
+  * Version-id CONTENTION is safe (not just detected): because every
+  * writer stages under a unique nonce, two writers racing to the SAME
+  * `v<n>` — the natural head+1 both CAS losers are told to retry with —
+  * can never stomp each other's data files. The winner's staging
+  * directory is renamed whole under the lock; the loser's is deleted at
+  * its failed CAS. The committed version's content is exactly one
+  * writer's output, always (Delta's unique-data-file-names +
+  * put-if-absent-commit discipline, at directory granularity).
   *
   * Reference semantic anchor: the Phoenix dim upsert
   * (`RT/app/function/DimSinkFunction.java:22-76`) — [[upsert]] is its
@@ -90,16 +92,62 @@ object SnapshotTable {
     */
   private[graft] var onBeforeCommit: (String, String) => Unit = (_, _) => ()
 
+  /** One canonical spelling per table root for the same-JVM monitor key
+    * and the lock-file path: two writers addressing one table via
+    * different spellings (trailing slash, relative path, symlink) must
+    * land on the SAME monitor, or the second `FileChannel.lock` on the
+    * shared `._COMMITLOCK` throws OverlappingFileLockException instead
+    * of serializing. `toRealPath` resolves symlinks once the directory
+    * exists; before it does (first publish creates it) the normalized
+    * absolute path is the best available key.
+    */
+  private def canonicalRoot(root: String): String = {
+    val p = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException => p.toString }
+  }
+
+  /** Per-root exclusive section for COMPOSITE formats built on snapshot
+    * tables (e.g. the LSM index's segment manifest): the same JVM
+    * monitor + OS file lock as version commits, so a manifest
+    * read-modify-write serializes against every writer of the same root
+    * across processes — the lost-update class [[finishCommit]]'s CAS
+    * refuses one level down.
+    */
+  private[graft] def withRootLock[T](root: String)(f: => T): T =
+    withCommitLock[T](root)(f)
+
   private def withCommitLock[T](root: String)(f: => T): T = {
-    val monitor = commitLocks.computeIfAbsent(root, _ => new Object)
+    val canon = canonicalRoot(root)
+    val monitor = commitLocks.computeIfAbsent(canon, _ => new Object)
     monitor.synchronized {
       val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(root, "._COMMITLOCK"),
+        java.nio.file.Paths.get(canon, "._COMMITLOCK"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try { val l = ch.lock(); try f finally l.release() }
       finally ch.close()
     }
+  }
+
+  /** Unique per-attempt staging directory for `version` under `root`.
+    * Every writer writes its data and sidecars HERE — invisible to
+    * readers and to competing writers — and the commit (under the
+    * per-root lock, after the CAS base check) atomically renames the
+    * staging directory to `$root/$version`. Unique attempt names are
+    * what make the version id safe to contend for: two writers that
+    * both target head+1 can no longer stomp each other's files with
+    * mode-overwrite, because neither ever writes to the shared path;
+    * the CAS loser's staging directory is deleted, the winner's is
+    * renamed (the Delta discipline — unique data-file names plus
+    * put-if-absent commits — applied at directory granularity).
+    */
+  private def stagePath(root: String, version: String): String =
+    s"$root/.stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Write `df` as version `version` (must be `v<digits>`) under `root`
@@ -156,9 +204,10 @@ object SnapshotTable {
         .sortWithinPartitions(col(statsCols.head))
       case None => df
     }
-    out.write.mode("overwrite").parquet(s"$root/$version")
+    val stage = stagePath(root, version)
+    out.write.mode("overwrite").parquet(stage)
     commitVersion(df.sparkSession, root, version, retain, statsCols,
-      bloomCols, bloomBits, base)
+      bloomCols, bloomBits, base, stage)
   }
 
   /** Z-ORDER clustered publish: multi-column data skipping. Linear
@@ -232,6 +281,7 @@ object SnapshotTable {
       buckets.withColumn("__z", z), pk, nFiles,
       Seq(graft.operators.Ranks.NtileSpec("__file", col("__z"), asc = true,
         carryAs = Some("__z"))))
+    val stage = stagePath(root, version)
     df.join(fileOf, pk)
       .withColumn("__pin",
         element_at(typedLit(partitionPins(nFiles)), col("__file")))
@@ -240,9 +290,9 @@ object SnapshotTable {
       // too (same row-group rationale as the linear publish)
       .sortWithinPartitions(col("__z"), col(pk))
       .drop("__z", "__file", "__pin")
-      .write.mode("overwrite").parquet(s"$root/$version")
+      .write.mode("overwrite").parquet(stage)
     commitVersion(df.sparkSession, root, version, retain, zCols,
-      bloomCols, bloomBits, base)
+      bloomCols, bloomBits, base, stage)
   }
 
   /** For each target partition p < n, the smallest non-negative int whose
@@ -290,16 +340,18 @@ object SnapshotTable {
     val base = latestVersion(root)
     if (base.contains(version)) return // committed-head replay (see publish)
     val n = boundaries.size + 1
-    val fileId = tileId(df.sparkSession, col(key), boundaries)
+    val fileId = tileId(df.sparkSession, col(key), boundaries,
+      Some(df.schema(key).dataType))
+    val stage = stagePath(root, version)
     df.withColumn("__pin",
         element_at(typedLit(partitionPins(n)), fileId + 1))
       .repartition(n, col("__pin"))
       .sortWithinPartitions(col(key))
       .drop("__pin")
-      .write.mode("overwrite").parquet(s"$root/$version")
+      .write.mode("overwrite").parquet(stage)
     commitVersion(df.sparkSession, root, version, retain,
       if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits,
-      base)
+      base, stage)
   }
 
   /** File/tile id of `key` against value cutpoints — the count of
@@ -310,7 +362,9 @@ object SnapshotTable {
     * at the 4096-tile layouts a 100x corpus publishes.
     */
   private def tileId(spark: SparkSession, key: Column,
-      boundaries: Seq[Any]): Column = {
+      boundaries: Seq[Any], keyType: Option[org.apache.spark.sql.types.DataType] = None): Column = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, StringType}
     if (boundaries.isEmpty) return lit(0)
     val longs = boundaries.collect {
       case b: Byte => b.toLong
@@ -318,15 +372,32 @@ object SnapshotTable {
       case i: Int => i.toLong
       case l: Long => l
     }
+    // the kernel compares within one type family; coerce the CUTPOINTS to
+    // the key column's family when they differ (a double key with integer
+    // cutpoints is publishAligned's public Seq[Any] contract — the legacy
+    // when-fold coerced via lit(), the kernel must not regress it). Only
+    // the lossless direction lifts (integral cutpoints -> double); a
+    // LONG key with double cutpoints falls through to the fold, since
+    // casting either side could move a boundary across a key value.
+    val wantFamily: Option[Char] = keyType.collect {
+      case ByteType | ShortType | IntegerType | LongType => 'L'
+      case FloatType | DoubleType => 'D'
+      case StringType => 'S'
+    }
     val arr =
-      if (longs.size == boundaries.size) Some(typedLit(longs.toArray))
+      if (longs.size == boundaries.size && wantFamily.contains('D'))
+        Some(typedLit(longs.map(_.toDouble).toArray))
+      else if (longs.size == boundaries.size && !wantFamily.contains('S'))
+        Some(typedLit(longs.toArray))
       else if (boundaries.forall(b =>
-        b.isInstanceOf[Double] || b.isInstanceOf[Float]))
+        b.isInstanceOf[Double] || b.isInstanceOf[Float]) &&
+        !wantFamily.exists(f => f == 'L' || f == 'S'))
         Some(typedLit(boundaries.map {
           case d: Double => d
           case f: Float => f.toDouble
         }.toArray))
-      else if (boundaries.forall(_.isInstanceOf[String]))
+      else if (boundaries.forall(_.isInstanceOf[String]) &&
+        !wantFamily.exists(f => f == 'L' || f == 'D'))
         Some(typedLit(boundaries.map(_.asInstanceOf[String]).toArray))
       else None
     arr match {
@@ -493,11 +564,11 @@ object SnapshotTable {
         val filesByTile = filesInTileOrder(st, pk)
         val (chFiles, keepFiles) = filesByTile.zipWithIndex
           .partition { case (_, i) => changed(i) }
-        val dir = s"$root/$version"
+        val dir = stagePath(root, version)
         if (chFiles.isEmpty) {
           // no-op merge: clone the version (copies + verbatim sidecars)
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          copyFiles(root, vOld, version, filesByTile)
+          copyFiles(root, vOld, dir, filesByTile)
           writeStatsLines(dir, statsHeader(root, vOld),
             statsLines(root, vOld, filesByTile.toSet))
           bloomLines(root, vOld, filesByTile.toSet).foreach {
@@ -533,7 +604,7 @@ object SnapshotTable {
             .getOrElse(Array.empty)
             .filter(f => f.isFile && f.getName.endsWith(".parquet"))
             .map(_.getName).toSeq
-          copyFiles(root, vOld, version, keepFiles.map(_._1))
+          copyFiles(root, vOld, dir, keepFiles.map(_._1))
           val cols = statsHeader(root, vOld)
           writeStatsLines(dir, cols,
             statsLines(root, vOld, keepFiles.map(_._1).toSet) ++
@@ -547,7 +618,7 @@ object SnapshotTable {
                 kept ++ computeBloomLines(spark, dir, newFiles, bcols, bits))
           }
         }
-        finishCommit(root, version, retain, Some(vOld))
+        finishCommit(root, version, retain, Some(vOld), Some(dir))
       case _ =>
         // same pk-to-front USING-join reorder as the tile path — restore
         val merged = current
@@ -646,12 +717,12 @@ object SnapshotTable {
     case _ => false
   }
 
-  private def copyFiles(root: String, vFrom: String, vTo: String,
+  private def copyFiles(root: String, vFrom: String, dstDir: String,
       files: Seq[String]): Unit =
     files.foreach { f =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$root/$vFrom/$f"),
-        java.nio.file.Paths.get(s"$root/$vTo/$f"),
+        java.nio.file.Paths.get(s"$dstDir/$f"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
@@ -1069,12 +1140,13 @@ object SnapshotTable {
           mentioned.nonEmpty && mentioned.subsetOf(listed.toSet)
         }
       }
-      Files.createDirectories(Paths.get(s"$root/$version"))
+      val stage = stagePath(root, version)
+      Files.createDirectories(Paths.get(stage))
       (listed ++ sidecars).foreach { n =>
-        Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$root/$version/$n"),
+        Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$stage/$n"),
           StandardCopyOption.REPLACE_EXISTING); ()
       }
-      finishCommit(root, version, retain, base)
+      finishCommit(root, version, retain, base, Some(stage))
     } else
       publishFrom(spark.read.parquet(dir), root, version, base, retain,
         statsCols, clusterFiles)
@@ -1113,10 +1185,13 @@ object SnapshotTable {
   private def commitVersion(spark: SparkSession, root: String,
       version: String, retain: Int, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int,
-      base: Option[String]): Unit = {
-    if (statsCols.nonEmpty) writeStats(spark, s"$root/$version", statsCols)
-    if (bloomCols.nonEmpty) writeBlooms(spark, s"$root/$version", bloomCols, bloomBits)
-    finishCommit(root, version, retain, base)
+      base: Option[String], stage: String): Unit = {
+    // sidecars are computed against the STAGING directory (file names
+    // survive the commit rename unchanged — stats lines carry names, not
+    // paths), so a published version still never lacks its stats
+    if (statsCols.nonEmpty) writeStats(spark, stage, statsCols)
+    if (bloomCols.nonEmpty) writeBlooms(spark, stage, bloomCols, bloomBits)
+    finishCommit(root, version, retain, base, Some(stage))
   }
 
   /** The marker move + retention half of a commit (stats, if any, must
@@ -1136,12 +1211,29 @@ object SnapshotTable {
     * directory; the loud failure is what makes the stomp recoverable).
     */
   private def finishCommit(root: String, version: String, retain: Int,
-      base: Option[String]): Unit = {
+      base: Option[String], stage: Option[String] = None): Unit = {
     onBeforeCommit(root, version)
     withCommitLock(root) {
       val head = latestVersion(root)
-      if (head != base)
+      if (head != base) {
+        // CAS loser: its staged files never became visible — delete them
+        // so a lost race leaves no orphan bytes behind
+        stage.foreach(s => rmTree(new java.io.File(s)))
         throw new SnapshotConflictException(root, base, head)
+      }
+      stage.foreach { s =>
+        val dst = java.nio.file.Paths.get(s"$root/$version")
+        // an existing destination is a crash orphan (a writer that
+        // renamed but died before its marker move): committed heads are
+        // never re-targeted (the replay short-circuit returns before
+        // staging, and head == base != version here), and no competing
+        // writer can be mid-write INTO dst — everyone writes to a unique
+        // stage. Clear it under the lock and rename over it.
+        if (java.nio.file.Files.exists(dst)) rmTree(dst.toFile)
+        java.nio.file.Files.move(java.nio.file.Paths.get(s), dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
       val tmp = java.nio.file.Paths.get(s"$root/._LATEST.tmp")
       java.nio.file.Files.writeString(tmp, version)
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_LATEST"),
@@ -1159,9 +1251,11 @@ object SnapshotTable {
     else None
   }
 
-  /** Retained version directories, numerically ascending. Includes any
-    * not-yet-committed version directory (a publisher's in-flight write);
-    * use [[latestVersion]] for the committed head.
+  /** Retained version directories, numerically ascending. In-flight
+    * writes stage under dot-prefixed directories and never appear here;
+    * the only non-committed entry possible is a crash orphan (renamed
+    * but died before its marker move). Use [[latestVersion]] for the
+    * committed head.
     */
   def versions(root: String): Seq[String] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -1495,18 +1589,33 @@ object SnapshotTable {
     * published version.
     */
   private def prune(root: String, retain: Int): Unit = {
-    val keep = latestVersion(root).toSet
+    val head = latestVersion(root)
+    val keep = head.toSet
     val dir = new java.io.File(root)
     val versions = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .sortBy(f => -f.getName.drop(1).toLong)
-    versions.drop(math.max(retain, 1)).filterNot(f => keep(f.getName)).foreach { old =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
+    versions.drop(math.max(retain, 1)).filterNot(f => keep(f.getName))
+      .foreach(rmTree)
+    // stale staging directories: a stage whose embedded version id is
+    // STRICTLY below the committed head can never win its CAS (its base
+    // is at least two commits behind), so it is a crashed writer's
+    // orphan or a doomed straggler — GC it with the retention sweep.
+    // Strictly-below, not at-or-below: a stage AT the head is usually
+    // the same-id race's still-writing loser, and deleting it mid-write
+    // would turn its clean SnapshotConflictException into an opaque
+    // task IOException; it becomes GC-able one commit later. (A doomed
+    // straggler two versions behind can still lose its stage mid-write
+    // — it was going to conflict regardless, and recovery is the same
+    // re-derive-and-retry.)
+    val headId = head.map(_.drop(1).toLong)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage_v"))
+      .foreach { f =>
+        val vid = "^\\.stage_v(\\d+)_".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toLong)
+        if (vid.exists(v => headId.exists(_ > v))) rmTree(f)
       }
-      rm(old)
-    }
   }
 }
 

@@ -42,12 +42,18 @@ object CollocStream {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val version = s"v$batchId"
-    SnapshotTable.latestVersion(pairRoot).map(_.drop(1).toLong).foreach { lv =>
-      require(batchId >= lv,
-        s"CollocStream batch $batchId is behind $pairRoot's published " +
-          s"v$lv: fresh checkpoint against existing tables — wipe " +
-          "pairRoot, uniRoot and the checkpoint together, or resume the " +
-          "original.")
+    // BOTH tables must agree the checkpoint is not fresh: a wiped
+    // pairRoot with a surviving uniRoot (or vice versa) would slip a
+    // head-only check and double-count the surviving table's merges,
+    // silently corrupting lift scores
+    Seq(pairRoot, uniRoot).foreach { root =>
+      SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
+        require(batchId >= lv,
+          s"CollocStream batch $batchId is behind $root's published " +
+            s"v$lv: fresh checkpoint against existing tables — wipe " +
+            "pairRoot, uniRoot and the checkpoint together, or resume " +
+            "the original.")
+      }
     }
     val (pairD, uniD) = graft.operators.CorpusStats.tokenCounts(batch)
     addInto(spark, pairD, pairRoot, "pr", "n_xy", version, clusterFiles)

@@ -38,20 +38,39 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object RankStream {
 
   def start(pairs: DataFrame, edgeRoot: String, rankRoot: String,
-      checkpointDir: String, iters: Int): StreamingQuery =
+      checkpointDir: String, iters: Int,
+      rankEveryK: Int = 1): StreamingQuery =
     pairs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, edgeRoot, rankRoot, iters)
+        applyBatch(batch, batchId, edgeRoot, rankRoot, iters,
+          rankEveryK = rankEveryK)
       }
       .start()
 
   /** One micro-batch of (src, dst) transition rows: fold their counts
     * into the edge table, recompute + publish the rank vector.
     * Idempotent per batchId.
+    *
+    * `rankEveryK` is the 100 TB publication knob: the rank rebuild is
+    * the only per-batch cost that is ∝ CORPUS rather than ∝ batch (the
+    * exact contract demands `iters` iterations from uniform — a warm
+    * start computes a different function, see the class scaladoc), so
+    * at K = 1 a corpus-sized graph pays a full power iteration per
+    * micro-batch, forever. K > 1 republishes the rank only on batch ids
+    * divisible by K: amortized per-batch cost drops to
+    * batch + corpus/K, and the published vector is at most K − 1
+    * batches behind the edge table — a staleness that is EXPLICIT,
+    * bounded, and queryable ([[rankStaleness]]), because the rank
+    * table's version id IS the edge version it reflects. The edge fold
+    * stays every-batch (∝ batch) regardless, so no data is ever lost —
+    * only the publication lags, which is the standard freshness/cost
+    * trade of any corpus-scale derived view.
     */
   def applyBatch(batch: DataFrame, batchId: Long, edgeRoot: String,
-      rankRoot: String, iters: Int, clusterFiles: Int = 8): Unit = {
+      rankRoot: String, iters: Int, clusterFiles: Int = 8,
+      rankEveryK: Int = 1): Unit = {
+    require(rankEveryK >= 1, s"rankEveryK must be >= 1, got $rankEveryK")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val version = s"v$batchId"
@@ -102,7 +121,8 @@ object RankStream {
     // recompute AND the re-publish — Spark's mode-overwrite would
     // delete the published head's files mid-air under concurrent
     // liveRanks readers before rewriting them
-    if (!SnapshotTable.latestVersion(rankRoot).contains(version)) {
+    if (batchId % rankEveryK == 0 &&
+        !SnapshotTable.latestVersion(rankRoot).contains(version)) {
       val edges = SnapshotTable.readVersion(spark, edgeRoot, version)
         .select(col("src"), col("dst"), col("n"))
       val nodes = edges.select(col("src").as("node"))
@@ -121,4 +141,14 @@ object RankStream {
   def liveRanks(spark: org.apache.spark.sql.SparkSession,
       rankRoot: String): Option[DataFrame] =
     SnapshotTable.read(spark, rankRoot)
+
+  /** How many edge batches the published rank vector is behind the edge
+    * table (0 = fresh; at most `rankEveryK − 1` in steady state). Version
+    * ids ARE batch ids on both roots, so staleness is pure metadata.
+    */
+  def rankStaleness(edgeRoot: String, rankRoot: String): Option[Long] =
+    for {
+      e <- SnapshotTable.latestVersion(edgeRoot)
+      r <- SnapshotTable.latestVersion(rankRoot)
+    } yield e.drop(1).toLong - r.drop(1).toLong
 }

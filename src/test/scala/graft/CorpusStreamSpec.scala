@@ -121,4 +121,113 @@ class CorpusStreamSpec extends SparkSpec {
       minPair).get) == before,
       "a replayed batch must not double-count")
   }
+
+  test("a wiped pair table with a surviving unigram table fails the fresh-checkpoint guard") {
+    val dir = freshDir("collocguard")
+    val (pairRoot, uniRoot) = (s"$dir/pairs", s"$dir/uni")
+    CollocStream.applyBatch(
+      docsOf(Seq(1L -> "alpha beta alpha", 2L -> "beta gamma")),
+      5L, pairRoot, uniRoot)
+    operators.SnapshotDiff.rmTree(pairRoot) // the half-wipe the guard exists for
+    val e = intercept[IllegalArgumentException] {
+      CollocStream.applyBatch(docsOf(Seq(3L -> "delta beta")),
+        0L, pairRoot, uniRoot)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"),
+      "a batch id behind EITHER table's head must fail loudly")
+  }
+
+  // -- kill-and-resume through real checkpoints (the LsmIndex recipe) --
+
+  test("the rank stream survives a kill-and-resume on its checkpoint") {
+    import spark.implicits._
+    val work = freshDir("rankrestart")
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"
+    val (edgeRoot, rankRoot) = (s"$work/edges", s"$work/ranks")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val iters = 3
+    val chunk1 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 2L)
+    val chunk2 = Seq(3L -> 4L, 4L -> 1L, 1L -> 2L)
+    val schema = chunk1.toDF("src", "dst").schema
+    def start() = RankStream.start(
+      spark.readStream.schema(schema).parquet(in), edgeRoot, rankRoot,
+      ckpt, iters)
+    chunk1.toDF("src", "dst").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    chunk2.toDF("src", "dst").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the resumed stream continued the edge table (not restarted it):
+    // published ranks equal the rebuild over BOTH chunks
+    val edges = pairsOf(chunk1 ++ chunk2).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val rebuild = Graph.pagerank(nodes, edges, iters)
+      .select(col("node"), col("out_n"), col("r"))
+    assert(rankRows(RankStream.liveRanks(spark, rankRoot).get) ==
+      rankRows(rebuild),
+      "post-restart ranks must reflect all edges across both runs")
+    graft.CacheRegistry.clear()
+  }
+
+  test("the colloc stream survives a kill-and-resume on its checkpoint") {
+    import spark.implicits._
+    val work = freshDir("collocrestart")
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"
+    val (pairRoot, uniRoot) = (s"$work/pairs", s"$work/uni")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val minPair = 2
+    val chunk1 = Seq(1L -> "the quick brown fox", 2L -> "the quick dog")
+    val chunk2 = Seq(3L -> "quick brown fox again", 4L -> "the brown fox")
+    val schema = chunk1.toDF("doc_id", "text").schema
+    def start() = CollocStream.start(
+      spark.readStream.schema(schema).parquet(in), pairRoot, uniRoot, ckpt)
+    chunk1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    chunk2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rebuild = CorpusStats.collocationsOf(docsOf(chunk1 ++ chunk2), minPair)
+    assert(liftRows(CollocStream.liveReport(spark, pairRoot, uniRoot,
+        minPair).get) == liftRows(rebuild),
+      "post-restart report must reflect all documents across both runs")
+    graft.CacheRegistry.clear()
+  }
+
+  // -- periodic rank publication (the corpus-scale knob) ---------------
+
+  test("rankEveryK: edges fold every batch, ranks publish every K, staleness is recorded") {
+    val dir = freshDir("rankk")
+    val (edgeRoot, rankRoot) = (s"$dir/edges", s"$dir/ranks")
+    val iters = 3
+    val batches = Seq(
+      Seq(1L -> 2L, 2L -> 3L), Seq(3L -> 1L, 1L -> 2L),
+      Seq(2L -> 1L, 3L -> 2L), Seq(1L -> 3L, 2L -> 3L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      RankStream.applyBatch(pairsOf(b), i.toLong + 1, edgeRoot, rankRoot,
+        iters, rankEveryK = 2)
+      graft.CacheRegistry.clear()
+    }
+    // edge table is fully current (head v4); ranks last published at v4
+    assert(SnapshotTable.latestVersion(edgeRoot).contains("v4"))
+    assert(SnapshotTable.latestVersion(rankRoot).contains("v4"))
+    assert(RankStream.rankStaleness(edgeRoot, rankRoot).contains(0L))
+    // one more batch: edges advance, ranks hold → staleness 1, and the
+    // published vector equals the rebuild over the PREFIX (batches 1-4)
+    RankStream.applyBatch(pairsOf(Seq(3L -> 4L, 4L -> 1L)), 5L,
+      edgeRoot, rankRoot, iters, rankEveryK = 2)
+    assert(RankStream.rankStaleness(edgeRoot, rankRoot).contains(1L),
+      "the version ids must record the publication lag")
+    val prefix = pairsOf(batches.flatten).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val nodes = prefix.select(col("src").as("node"))
+      .union(prefix.select(col("dst").as("node"))).distinct()
+    val rebuild = Graph.pagerank(nodes, prefix, iters)
+      .select(col("node"), col("out_n"), col("r"))
+    assert(rankRows(RankStream.liveRanks(spark, rankRoot).get) ==
+      rankRows(rebuild),
+      "published ranks must be the exact ranks of the edge PREFIX they version")
+    graft.CacheRegistry.clear()
+  }
 }

@@ -94,6 +94,82 @@ class LsmIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh checkpoint"))
   }
 
+  test("a concurrent segment add interleaved at a compaction's swap is never lost") {
+    val dir = freshDir("race")
+    // four segments, no compaction yet
+    (0 to 3).foreach { b =>
+      LsmIndex.applyDocBatch(docsDf((b * 50L + 1) to (b * 50L + 50)),
+        b.toLong, dir, maxSegments = 99)
+    }
+    // at the instant the compaction has derived its retire-swap but not
+    // yet taken the lock, a streaming writer lands a FIFTH segment. The
+    // old unlocked read-modify-write swapped from the stale read and
+    // lost it; the locked swap re-reads inside the lock and keeps it.
+    var interleaved = false
+    LsmIndex.onBeforeManifestSwap = r =>
+      if (r == dir && !interleaved) {
+        interleaved = true // one-shot: the nested add re-enters this seam
+        LsmIndex.applyDocBatch(docsDf(201L to 250L), 4L, dir, maxSegments = 99)
+      }
+    try LsmIndex.compactSmallest(spark, dir, 3L, maxSegments = 3)
+    finally LsmIndex.onBeforeManifestSwap = _ => ()
+    assert(interleaved)
+    val live = LsmIndex.liveSegments(dir)
+    assert(live.contains("seg_4"),
+      s"the interleaved add must survive the compaction's swap, got $live")
+    // and the union is the full 250-doc truth — nothing lost, nothing doubled
+    val full = InvertedIndex.publishIndex(
+      docsDf(1L to 250L), freshDir("racefull"))
+    val fullRows = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(postingRows(dir) === fullRows)
+  }
+
+  test("a reader resolved before a compaction keeps valid paths; retired segments GC after the window") {
+    val dir = freshDir("window")
+    (0 to 3).foreach { b =>
+      LsmIndex.applyDocBatch(docsDf((b * 40L + 1) to (b * 40L + 40)),
+        b.toLong, dir, maxSegments = 99)
+    }
+    val preSegs = LsmIndex.liveSegments(dir)
+    // reader resolves the 4-segment manifest (file listing happens here)
+    val pre = LsmIndex.readAll(spark, dir)
+    LsmIndex.compactSmallest(spark, dir, 3L, maxSegments = 2)
+    val retired = preSegs.filterNot(LsmIndex.liveSegments(dir).contains)
+    assert(retired.nonEmpty)
+    retired.foreach(s => assert(new java.io.File(s"$dir/$s").exists(),
+      s"retired segment $s must survive its own swap for the reader window"))
+    // the pre-compaction reader still scans cleanly (old paths valid)
+    assert(pre.count() === 160L * 2) // 160 docs x 2 tokens
+    // two more swaps age the retired segments past RetireWindow
+    LsmIndex.applyDocBatch(docsDf(161L to 170L), 4L, dir, maxSegments = 99)
+    LsmIndex.applyDocBatch(docsDf(171L to 180L), 5L, dir, maxSegments = 99)
+    retired.foreach(s => assert(!new java.io.File(s"$dir/$s").exists(),
+      s"retired segment $s must be GC'd once the window has passed"))
+  }
+
+  test("term lookup reads at most one pruned tile per live segment (executed-plan pin)") {
+    val dir = freshDir("amp")
+    // 3 segments x 2000 docs = 4000 posting rows each → 2+ tiles per
+    // segment, so the ≤1-file-per-segment pin proves intra-segment
+    // pruning rather than trivially counting single-file segments
+    (0 to 2).foreach { b =>
+      LsmIndex.applyDocBatch(docsDf((b * 2000L + 1) to (b * 2000L + 2000)),
+        b.toLong, dir, maxSegments = 99)
+    }
+    val segs = LsmIndex.liveSegments(dir)
+    assert(segs.size === 3)
+    val totalFiles = segs.map(s =>
+      SnapshotTable.read(spark, s"$dir/$s").get.inputFiles.length).sum
+    assert(totalFiles >= 6, s"need multi-tile segments for the pin, got $totalFiles")
+    val hit = LsmIndex.termLookup(spark, dir, "tok1234")
+    assert(hit.inputFiles.length <= segs.size,
+      s"lookup amplification must be ≤ live segments (${segs.size}), " +
+        s"read ${hit.inputFiles.length} of $totalFiles files")
+    assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1234L))
+  }
+
   test("the LSM stream survives a kill-and-resume on its checkpoint") {
     val work = java.nio.file.Files.createTempDirectory("lsm_restart").toString
     val in = s"$work/in"; val ckpt = s"$work/ckpt"; val dir = s"$work/t"

@@ -605,4 +605,118 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(1000L).toDF("id"))
     assert(none.inputFiles.length <= 1)
   }
+
+  private def stageDirs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage_"))
+      .map(_.getName).toSeq
+
+  test("same-id race: committed content is exactly one writer's output; the loser's stage is removed") {
+    import graft.sources.SnapshotConflictException
+    val root = freshRoot("stomp")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1",
+      statsCols = Seq("id"), clusterFiles = Some(2))
+    // Writer A fully STAGES its v2 before the seam fires; writer B then
+    // runs a complete write-and-commit of its own v2. Pre-staging, B's
+    // mode-overwrite stomped A's files in the shared $root/v2 and the
+    // committed directory could interleave both writers' parts; with
+    // writer-unique stages the committed v2 must be byte-exactly B's.
+    var bRan = false
+    SnapshotTable.onBeforeCommit = (r, v) =>
+      if (r == root && v == "v2" && !bRan) {
+        bRan = true
+        SnapshotTable.publish(df(Seq(1L -> "a", 3L -> "fromB")), root, "v2",
+          statsCols = Seq("id"), clusterFiles = Some(2))
+      }
+    val lost =
+      try { SnapshotTable.merge(df(Seq(2L -> "fromA")), root, "id", "v2"); None }
+      catch { case e: SnapshotConflictException => Some(e) }
+      finally SnapshotTable.onBeforeCommit = (_, _) => ()
+    assert(bRan && lost.isDefined)
+    val got = SnapshotTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "a", 3L -> "fromB"),
+      s"committed v2 must be exactly the winner's rows, got $got")
+    assert(stageDirs(root).isEmpty,
+      s"the CAS loser's stage must be deleted, found ${stageDirs(root)}")
+  }
+
+  test("two threads contending through different root spellings serialize and both land") {
+    import graft.sources.SnapshotConflictException
+    val canonical = freshRoot("spell")
+    // same table, three spellings: plain, trailing slash, dot segment —
+    // pre-normalization each spelling got its own JVM monitor, so two
+    // threads reached the OS file lock together and the second threw
+    // OverlappingFileLockException instead of waiting
+    val spellings = Seq(canonical, canonical + "/", canonical + "/./")
+    SnapshotTable.publish(df(Seq(0L -> "seed")), canonical, "v1")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        var committed = 0
+        var attempts = 0
+        while (committed < 2 && attempts < 40) {
+          attempts += 1
+          val head = SnapshotTable.latestVersion(spellings(t)).get.drop(1).toLong
+          try {
+            SnapshotTable.publish(df(Seq(head + 1 -> s"t$t")),
+              spellings(t), s"v${head + 1}")
+            committed += 1
+          } catch {
+            case _: SnapshotConflictException => () // expected; retry past it
+            case e: Throwable => errs.add(e)
+          }
+        }
+        if (committed < 2)
+          errs.add(new AssertionError(s"thread $t: only $committed commits"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"contending spellings must serialize: ${errs}")
+    assert(SnapshotTable.latestVersion(canonical).contains("v7"),
+      "1 seed + 6 committed versions must advance the head to v7")
+    assert(stageDirs(canonical).isEmpty,
+      "every stage must end renamed (winner) or deleted (loser/GC)")
+  }
+
+  test("publishAligned coerces mixed-family cutpoints (double key + int bounds, long key + double bounds)") {
+    import spark.implicits._
+    val root1 = freshRoot("mixdk")
+    // double key with Integer cutpoints — pre-fix SearchSorted rejected
+    // the long-array bounds against the double key at analysis
+    val dd = (1 to 100).map(i => (i / 10.0, i.toLong)).toDF("score", "id")
+    SnapshotTable.publishAligned(dd, root1, "v1", "score",
+      boundaries = Seq(3, 7), statsCols = Seq("score"))
+    val r1 = SnapshotTable.read(spark, root1).get
+    assert(r1.count() == 100 && r1.inputFiles.length == 3)
+    // file contents respect the numeric boundary semantics
+    val perFile = SnapshotTable.readPruned(spark, root1, "score", 8.0, 9.0).get
+    assert(perFile.inputFiles.length == 1,
+      "a selective double predicate must prune to the single covering tile")
+    // long key with Double cutpoints — the lossy direction must stay on
+    // the coercing fold, and stay correct
+    val root2 = freshRoot("mixlk")
+    val ld = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "val")
+    SnapshotTable.publishAligned(ld, root2, "v1", "id",
+      boundaries = Seq(30.5, 70.5), statsCols = Seq("id"))
+    val r2 = SnapshotTable.read(spark, root2).get
+    assert(r2.count() == 100 && r2.inputFiles.length == 3)
+  }
+
+  test("a crash-orphaned stage directory is invisible and GC'd once the head passes it") {
+    val root = freshRoot("stgc")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
+    // simulate a writer that crashed mid-stage for v2
+    val dead = new java.io.File(s"$root/.stage_v2_deadbeef")
+    dead.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${dead.getPath}/part-0.parquet"), "junk")
+    assert(SnapshotTable.read(spark, root).get.count() == 1,
+      "a staged directory must never be visible to readers")
+    SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2") // head reaches v2
+    assert(dead.exists(), "a stage AT the head is not yet GC-able (same-id grace)")
+    SnapshotTable.publish(df(Seq(1L -> "c")), root, "v3") // head passes v2
+    assert(!dead.exists(),
+      "the retention sweep must GC a stage strictly behind the head")
+  }
 }
