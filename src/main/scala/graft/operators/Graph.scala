@@ -130,7 +130,7 @@ object Graph {
     * JSON parse, shared by BOTH rank queries (one extraction rule, not
     * two copies that can drift).
     */
-  private def pageEvents(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def pageEvents(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheRegistry.persist(Tables.load(spark, sfDir, "events")
       .withColumn("page",
         from_json(col("props"),
