@@ -145,8 +145,15 @@ object LsmIndex {
 
   /** The manifest read-modify-write, serialized under the root's commit
     * lock. `f(live, gen)` returns the new live set plus the segments it
-    * RETIRES (ledgered, deleted RetireWindow swaps later), or None for
-    * no-op. The GC of expired garbage rides every swap.
+    * RETIRES (ledgered, their directories deleted RetireWindow swaps
+    * later), or None for no-op. Ledger entries are PERMANENT tombstones:
+    * a retired name must stay recognizable as retired even after its
+    * directory is gone, or a crash-replay of the batch that created it
+    * would re-add it to the manifest (double-counting its postings —
+    * they live on in the merged segment — and queuing a LIVE segment's
+    * directory for deletion). The per-swap re-delete of expired entries
+    * is an idempotent no-op per tombstone — bounded by total
+    * retirements, one per ~cap batches.
     */
   private def updateManifest(root: String)(
       f: (Seq[String], Long) => Option[(Seq[String], Seq[String])]): Unit = {
@@ -159,12 +166,18 @@ object LsmIndex {
         val newGen = gen + 1
         swapSegments(root, segs, newGen)
         val ledger = garbageLedger(root) ++ retired.map(newGen -> _)
-        val (expired, kept) = ledger.partition(_._1 <= newGen - RetireWindow)
-        writeGarbage(root, kept)
-        expired.foreach { case (_, s) => SnapshotDiff.rmTree(s"$root/$s") }
+        writeGarbage(root, ledger)
+        ledger.filter(_._1 <= newGen - RetireWindow)
+          .foreach { case (_, s) => SnapshotDiff.rmTree(s"$root/$s") }
       }
     }
   }
+
+  /** Whether `seg` was ever retired (tombstoned in the garbage ledger).
+    * Read under the caller's lock when the answer gates a swap.
+    */
+  private def isRetired(root: String, seg: String): Boolean =
+    garbageLedger(root).exists(_._2 == seg)
 
   /** Committed row count of a segment, from its `_STATS` metadata (the
     * size-tier key; one small driver read, no scan). Falls back to a
@@ -203,6 +216,13 @@ object LsmIndex {
         "wipe both together or resume the original checkpoint.")
     val seg = s"seg_$batchId"
     val segRoot = s"$root/$seg"
+    // a TOMBSTONED segment means this batch already ran to completion
+    // once AND its own in-batch compaction retired it (crash after the
+    // retire-swap, before the checkpoint commit): the batch's postings
+    // live on in the merged segment, so the replay is a whole-batch
+    // no-op — re-publishing or re-adding would double-count them and
+    // the ledger GC would later delete a manifest-referenced directory
+    if (isRetired(root, seg)) return
     if (SnapshotTable.latestVersion(segRoot).isEmpty) {
       val post = InvertedIndex.keyedPostings(batch).persist()
       try SnapshotTable.publish(post, segRoot, "v1",
@@ -212,9 +232,12 @@ object LsmIndex {
     }
     // locked read-modify-write: a concurrent compaction's swap can no
     // longer unsee this add (and vice versa) — the manifest re-reads
-    // inside the lock
+    // inside the lock, and the tombstone check re-runs there too (a
+    // compactor could retire the segment between the fast-path check
+    // above and this lock)
     updateManifest(root) { (live, _) =>
-      if (live.contains(seg)) None else Some((live :+ seg, Nil))
+      if (live.contains(seg) || isRetired(root, seg)) None
+      else Some((live :+ seg, Nil))
     }
     compactSmallest(spark, root, batchId, maxSegments)
   }

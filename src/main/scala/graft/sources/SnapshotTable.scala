@@ -145,10 +145,27 @@ object SnapshotTable {
   private def stagePath(root: String, version: String): String =
     s"$root/.stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}"
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
-    f.delete(); ()
+  /** Run a staged write: `body` receives the staging path and must end
+    * in a commit that renames it away. ANY failure — a write error, a
+    * stats pass, a CAS conflict — deletes the stage on the way out, so
+    * a failed attempt never leaks a data-sized orphan (each retry would
+    * otherwise stage under a fresh nonce and accumulate copies that the
+    * sweep can't reclaim on tables whose head never passes the version,
+    * e.g. the LSM segment roots that only ever publish v1).
+    */
+  private def withStage[T](root: String, version: String)(
+      body: String => T): T = {
+    val stage = stagePath(root, version)
+    try body(stage)
+    catch {
+      case e: Throwable =>
+        rmTree(new java.io.File(stage)) // idempotent if already cleaned
+        throw e
+    }
   }
+
+  private def rmTree(f: java.io.File): Unit =
+    graft.operators.SnapshotDiff.rmTree(f.getPath)
 
   /** Write `df` as version `version` (must be `v<digits>`) under `root`
     * and atomically publish it as latest; prune beyond `retain`.
@@ -204,10 +221,11 @@ object SnapshotTable {
         .sortWithinPartitions(col(statsCols.head))
       case None => df
     }
-    val stage = stagePath(root, version)
-    out.write.mode("overwrite").parquet(stage)
-    commitVersion(df.sparkSession, root, version, retain, statsCols,
-      bloomCols, bloomBits, base, stage)
+    withStage(root, version) { stage =>
+      out.write.mode("overwrite").parquet(stage)
+      commitVersion(df.sparkSession, root, version, retain, statsCols,
+        bloomCols, bloomBits, base, stage)
+    }
   }
 
   /** Z-ORDER clustered publish: multi-column data skipping. Linear
@@ -281,18 +299,19 @@ object SnapshotTable {
       buckets.withColumn("__z", z), pk, nFiles,
       Seq(graft.operators.Ranks.NtileSpec("__file", col("__z"), asc = true,
         carryAs = Some("__z"))))
-    val stage = stagePath(root, version)
-    df.join(fileOf, pk)
-      .withColumn("__pin",
-        element_at(typedLit(partitionPins(nFiles)), col("__file")))
-      .repartition(nFiles, col("__pin"))
-      // z-sorted within each file: row groups inherit tight rectangles
-      // too (same row-group rationale as the linear publish)
-      .sortWithinPartitions(col("__z"), col(pk))
-      .drop("__z", "__file", "__pin")
-      .write.mode("overwrite").parquet(stage)
-    commitVersion(df.sparkSession, root, version, retain, zCols,
-      bloomCols, bloomBits, base, stage)
+    withStage(root, version) { stage =>
+      df.join(fileOf, pk)
+        .withColumn("__pin",
+          element_at(typedLit(partitionPins(nFiles)), col("__file")))
+        .repartition(nFiles, col("__pin"))
+        // z-sorted within each file: row groups inherit tight rectangles
+        // too (same row-group rationale as the linear publish)
+        .sortWithinPartitions(col("__z"), col(pk))
+        .drop("__z", "__file", "__pin")
+        .write.mode("overwrite").parquet(stage)
+      commitVersion(df.sparkSession, root, version, retain, zCols,
+        bloomCols, bloomBits, base, stage)
+    }
   }
 
   /** For each target partition p < n, the smallest non-negative int whose
@@ -342,16 +361,17 @@ object SnapshotTable {
     val n = boundaries.size + 1
     val fileId = tileId(df.sparkSession, col(key), boundaries,
       Some(df.schema(key).dataType))
-    val stage = stagePath(root, version)
-    df.withColumn("__pin",
-        element_at(typedLit(partitionPins(n)), fileId + 1))
-      .repartition(n, col("__pin"))
-      .sortWithinPartitions(col(key))
-      .drop("__pin")
-      .write.mode("overwrite").parquet(stage)
-    commitVersion(df.sparkSession, root, version, retain,
-      if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits,
-      base, stage)
+    withStage(root, version) { stage =>
+      df.withColumn("__pin",
+          element_at(typedLit(partitionPins(n)), fileId + 1))
+        .repartition(n, col("__pin"))
+        .sortWithinPartitions(col(key))
+        .drop("__pin")
+        .write.mode("overwrite").parquet(stage)
+      commitVersion(df.sparkSession, root, version, retain,
+        if (statsCols.nonEmpty) statsCols else Seq(key), bloomCols, bloomBits,
+        base, stage)
+    }
   }
 
   /** File/tile id of `key` against value cutpoints — the count of
@@ -384,8 +404,15 @@ object SnapshotTable {
       case FloatType | DoubleType => 'D'
       case StringType => 'S'
     }
+    // keyType ABSENT (internal callers — boundaries decoded from the
+    // key's own stats, families match by construction) keeps the kernel;
+    // keyType PRESENT but outside the kernel's three families (decimal,
+    // date, timestamp — publishAligned's public Seq[Any] surface) must
+    // fall to the coercing fold, not reach the kernel's type check
+    val familyKnown = keyType.isEmpty || wantFamily.isDefined
     val arr =
-      if (longs.size == boundaries.size && wantFamily.contains('D'))
+      if (!familyKnown) None
+      else if (longs.size == boundaries.size && wantFamily.contains('D'))
         Some(typedLit(longs.map(_.toDouble).toArray))
       else if (longs.size == boundaries.size && !wantFamily.contains('S'))
         Some(typedLit(longs.toArray))
@@ -564,7 +591,7 @@ object SnapshotTable {
         val filesByTile = filesInTileOrder(st, pk)
         val (chFiles, keepFiles) = filesByTile.zipWithIndex
           .partition { case (_, i) => changed(i) }
-        val dir = stagePath(root, version)
+        withStage(root, version) { dir =>
         if (chFiles.isEmpty) {
           // no-op merge: clone the version (copies + verbatim sidecars)
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -619,6 +646,7 @@ object SnapshotTable {
           }
         }
         finishCommit(root, version, retain, Some(vOld), Some(dir))
+        }
       case _ =>
         // same pk-to-front USING-join reorder as the tile path — restore
         val merged = current
@@ -1140,13 +1168,14 @@ object SnapshotTable {
           mentioned.nonEmpty && mentioned.subsetOf(listed.toSet)
         }
       }
-      val stage = stagePath(root, version)
-      Files.createDirectories(Paths.get(stage))
-      (listed ++ sidecars).foreach { n =>
-        Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$stage/$n"),
-          StandardCopyOption.REPLACE_EXISTING); ()
+      withStage(root, version) { stage =>
+        Files.createDirectories(Paths.get(stage))
+        (listed ++ sidecars).foreach { n =>
+          Files.copy(Paths.get(s"$dir/$n"), Paths.get(s"$stage/$n"),
+            StandardCopyOption.REPLACE_EXISTING); ()
+        }
+        finishCommit(root, version, retain, base, Some(stage))
       }
-      finishCommit(root, version, retain, base, Some(stage))
     } else
       publishFrom(spark.read.parquet(dir), root, version, base, retain,
         statsCols, clusterFiles)
@@ -1221,14 +1250,29 @@ object SnapshotTable {
         stage.foreach(s => rmTree(new java.io.File(s)))
         throw new SnapshotConflictException(root, base, head)
       }
+      // versions are immutable and the head only moves FORWARD: a commit
+      // at or below the head (base == head, so the CAS passed — a caller
+      // re-using a retained version's id) would rmTree committed data
+      // below and move the marker backwards. Reject it loudly before any
+      // destructive step; genuine replays never reach here (the
+      // committed-head short-circuits return at call entry).
+      head.filter(h => version.drop(1).toLong <= h.drop(1).toLong)
+        .foreach { h =>
+          stage.foreach(s => rmTree(new java.io.File(s)))
+          throw new IllegalArgumentException(
+            s"$root: commit version $version must advance the committed " +
+              s"head $h — re-committing a retained version id would " +
+              "destroy committed data under its readers")
+        }
       stage.foreach { s =>
         val dst = java.nio.file.Paths.get(s"$root/$version")
         // an existing destination is a crash orphan (a writer that
         // renamed but died before its marker move): committed heads are
         // never re-targeted (the replay short-circuit returns before
-        // staging, and head == base != version here), and no competing
-        // writer can be mid-write INTO dst — everyone writes to a unique
-        // stage. Clear it under the lock and rename over it.
+        // staging, head == base here, and the advance check above puts
+        // version STRICTLY past the head), and no competing writer can
+        // be mid-write INTO dst — everyone writes to a unique stage.
+        // Clear it under the lock and rename over it.
         if (java.nio.file.Files.exists(dst)) rmTree(dst.toFile)
         java.nio.file.Files.move(java.nio.file.Paths.get(s), dst,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1571,6 +1615,13 @@ object SnapshotTable {
       retain: Int = 2, statsCols: Seq[String] = Nil,
       clusterFiles: Option[Int] = None): Unit = {
     val base = latestVersion(root)
+    // committed-head replay short-circuit (the publish/merge/import
+    // discipline, which upsert previously lacked — it relied on
+    // re-overwriting the live directory): a keep-latest merge of the
+    // same updates over the same base is idempotent in content, so
+    // skipping IS the identical republish, without re-running the merge
+    // or racing the commit's head-advance invariant
+    if (base.contains(version)) return
     val merged = base.map(readVersion(updates.sparkSession, root, _)) match {
       case Some(existing) =>
         val w = Window.partitionBy(col(pk)).orderBy(col("_prio").desc)

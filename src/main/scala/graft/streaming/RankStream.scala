@@ -71,8 +71,17 @@ object RankStream {
       rankRoot: String, iters: Int, clusterFiles: Int = 8,
       rankEveryK: Int = 1): Unit = {
     require(rankEveryK >= 1, s"rankEveryK must be >= 1, got $rankEveryK")
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    if (batch.isEmpty) {
+      // the edge fold has nothing to do, but a scheduled PUBLICATION
+      // must still happen — an empty batch landing on the K boundary
+      // would otherwise push the next publish a full K batches out and
+      // staleness past the documented K−1 bound
+      publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters,
+        rankEveryK)
+      graft.CacheRegistry.clear() // the publish's pagerank leaves
+      return
+    }
     val version = s"v$batchId"
     SnapshotTable.latestVersion(edgeRoot).map(_.drop(1).toLong).foreach { lv =>
       require(batchId >= lv,
@@ -117,24 +126,38 @@ object RankStream {
       SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
         clusterFiles = Some(clusterFiles))
     } finally { deltas.unpersist(blocking = false); () }
-    // a replayed batch already has its rank version committed: skip the
-    // recompute AND the re-publish — Spark's mode-overwrite would
-    // delete the published head's files mid-air under concurrent
-    // liveRanks readers before rewriting them
-    if (batchId % rankEveryK == 0 &&
-        !SnapshotTable.latestVersion(rankRoot).contains(version)) {
-      val edges = SnapshotTable.readVersion(spark, edgeRoot, version)
+    publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters, rankEveryK)
+    // pagerank registers its lineage leaves in the per-query cache
+    // registry; the rank publish is the last consumer (the IvmStream
+    // precedent: release per batch, or a long stream pins frames forever)
+    graft.CacheRegistry.clear()
+  }
+
+  /** Publish the rank vector when `batchId` is a scheduled publication
+    * point. The rank publishes UNDER THE BOUNDARY'S OWN BATCH ID over
+    * the committed edge head's content — after a non-empty boundary fold
+    * those coincide (edge head IS v$batchId); after an empty boundary
+    * batch the rank id still advances to the boundary, so the id-based
+    * staleness bound (edge head − rank head ≤ K−1) holds regardless of
+    * empty batches. A replayed or late boundary finds the rank head at
+    * or past its id and skips — re-publishing would delete the live
+    * directory's files under concurrent liveRanks readers for a no-op.
+    */
+  private def publishRanksIfDue(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, edgeRoot: String, rankRoot: String, iters: Int,
+      rankEveryK: Int): Unit = {
+    if (batchId % rankEveryK != 0) return
+    if (SnapshotTable.latestVersion(rankRoot)
+        .exists(_.drop(1).toLong >= batchId)) return
+    SnapshotTable.latestVersion(edgeRoot).foreach { edgeHead =>
+      val edges = SnapshotTable.readVersion(spark, edgeRoot, edgeHead)
         .select(col("src"), col("dst"), col("n"))
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       val rank = graft.operators.Graph.pagerank(nodes, edges, iters)
         .select(col("node"), col("out_n"), col("r"))
-      SnapshotTable.publish(rank, rankRoot, version)
+      SnapshotTable.publish(rank, rankRoot, s"v$batchId")
     }
-    // pagerank registers its lineage leaves in the per-query cache
-    // registry; the rank publish is the last consumer (the IvmStream
-    // precedent: release per batch, or a long stream pins frames forever)
-    graft.CacheRegistry.clear()
   }
 
   /** The rank vector at its last committed version. */
@@ -143,12 +166,17 @@ object RankStream {
     SnapshotTable.read(spark, rankRoot)
 
   /** How many edge batches the published rank vector is behind the edge
-    * table (0 = fresh; at most `rankEveryK − 1` in steady state). Version
-    * ids ARE batch ids on both roots, so staleness is pure metadata.
+    * table (0 = fresh; at most `rankEveryK − 1` always — publication is
+    * decoupled from the fold, so an empty batch landing on the K
+    * boundary still publishes, under the boundary's own id). Version
+    * ids are batch ids on both roots, so staleness is pure metadata;
+    * clamped at 0 because an empty boundary advances the rank id past
+    * the last fold's edge id (the rank then covers everything
+    * committed).
     */
   def rankStaleness(edgeRoot: String, rankRoot: String): Option[Long] =
     for {
       e <- SnapshotTable.latestVersion(edgeRoot)
       r <- SnapshotTable.latestVersion(rankRoot)
-    } yield e.drop(1).toLong - r.drop(1).toLong
+    } yield math.max(0L, e.drop(1).toLong - r.drop(1).toLong)
 }

@@ -197,6 +197,38 @@ class CorpusStreamSpec extends SparkSpec {
 
   // -- periodic rank publication (the corpus-scale knob) ---------------
 
+  test("an empty batch on the K boundary still publishes: staleness never exceeds K-1") {
+    import spark.implicits._
+    val dir = freshDir("rankempty")
+    val (edgeRoot, rankRoot) = (s"$dir/edges", s"$dir/ranks")
+    val iters = 3
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // batch 1 folds (no publish at K=2); batch 2 is EMPTY and lands on
+    // the boundary — pre-fix the early return skipped the publish and
+    // staleness could reach 2K-1
+    RankStream.applyBatch(pairsOf(Seq(1L -> 2L, 2L -> 3L)), 1L,
+      edgeRoot, rankRoot, iters, rankEveryK = 2)
+    assert(RankStream.liveRanks(spark, rankRoot).isEmpty)
+    RankStream.applyBatch(empty, 2L, edgeRoot, rankRoot, iters,
+      rankEveryK = 2)
+    assert(SnapshotTable.latestVersion(rankRoot).contains("v2"),
+      "the empty boundary batch must publish ranks under the boundary id")
+    assert(RankStream.rankStaleness(edgeRoot, rankRoot).contains(0L))
+    // the published vector is the exact ranks of the head's edge set
+    val edges = pairsOf(Seq(1L -> 2L, 2L -> 3L))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    assert(rankRows(RankStream.liveRanks(spark, rankRoot).get) ==
+      rankRows(Graph.pagerank(nodes, edges, iters)
+        .select(col("node"), col("out_n"), col("r"))))
+    // one more non-boundary fold: staleness 1 = K-1, never more
+    RankStream.applyBatch(pairsOf(Seq(3L -> 1L)), 3L, edgeRoot, rankRoot,
+      iters, rankEveryK = 2)
+    assert(RankStream.rankStaleness(edgeRoot, rankRoot).contains(1L))
+    graft.CacheRegistry.clear()
+  }
+
   test("rankEveryK: edges fold every batch, ranks publish every K, staleness is recorded") {
     val dir = freshDir("rankk")
     val (edgeRoot, rankRoot) = (s"$dir/edges", s"$dir/ranks")

@@ -170,6 +170,40 @@ class LsmIndexSpec extends SparkSpec {
     assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1234L))
   }
 
+  test("replaying a batch whose own compaction retired its segment is a whole-batch no-op") {
+    val dir = freshDir("tombstone")
+    // seg_0 big, seg_1/seg_2 medium, seg_3 smallest; cap 3 → batch 3's
+    // own applyDocBatch compacts, merging seg_3 (smallest) + seg_1 —
+    // retiring the very segment the batch just added
+    LsmIndex.applyDocBatch(docsDf(1L to 200L), 0L, dir, maxSegments = 3)
+    LsmIndex.applyDocBatch(docsDf(201L to 250L), 1L, dir, maxSegments = 3)
+    LsmIndex.applyDocBatch(docsDf(251L to 300L), 2L, dir, maxSegments = 3)
+    LsmIndex.applyDocBatch(docsDf(301L to 310L), 3L, dir, maxSegments = 3)
+    val live = LsmIndex.liveSegments(dir)
+    assert(!live.contains("seg_3"),
+      s"fixture: batch 3's segment must have been retired by its own compaction, got $live")
+    val manifestBefore = live
+    val before = postingRows(dir)
+    // the foreachBatch replay (crash after the retire-swap, before the
+    // checkpoint commit): must not resurrect seg_3 — a re-add would
+    // double-count its postings AND queue a live directory for deletion
+    LsmIndex.applyDocBatch(docsDf(301L to 310L), 3L, dir, maxSegments = 3)
+    assert(LsmIndex.liveSegments(dir) === manifestBefore,
+      "the replay must not re-add the tombstoned segment")
+    assert(postingRows(dir) === before, "no postings double-counted")
+    // two more swaps age the tombstoned dirs out; the union must stay
+    // the full truth (the manifest never references a deleted directory)
+    LsmIndex.applyDocBatch(docsDf(311L to 320L), 4L, dir, maxSegments = 99)
+    LsmIndex.applyDocBatch(docsDf(321L to 330L), 5L, dir, maxSegments = 99)
+    val full = InvertedIndex.publishIndex(
+      docsDf(1L to 330L), freshDir("tombfull"))
+    val fullRows = SnapshotTable.read(spark, full).get
+      .select("token", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(postingRows(dir) === fullRows,
+      "post-GC the maintained index must still equal the rebuild")
+  }
+
   test("the LSM stream survives a kill-and-resume on its checkpoint") {
     val work = java.nio.file.Files.createTempDirectory("lsm_restart").toString
     val in = s"$work/in"; val ckpt = s"$work/ckpt"; val dir = s"$work/t"

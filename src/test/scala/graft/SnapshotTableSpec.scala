@@ -713,6 +713,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(r2.count() == 100 && r2.inputFiles.length == 3)
   }
 
+  test("a failed staged write cleans its stage up (no data-sized orphans on retry-heavy tables)") {
+    val root = freshRoot("stfail")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
+    import spark.implicits._
+    val poison = Seq(1L -> "x").toDF("id", "val")
+      .withColumn("val", when(col("id") === 1L,
+        raise_error(lit("boom"))).otherwise(col("val")))
+    intercept[Exception] {
+      SnapshotTable.publish(poison, root, "v2")
+    }
+    assert(stageDirs(root).isEmpty,
+      s"a failed write must delete its stage, found ${stageDirs(root)}")
+    assert(SnapshotTable.latestVersion(root).contains("v1"),
+      "the failed publish must leave the committed head untouched")
+    assert(SnapshotTable.read(spark, root).get.count() == 1)
+  }
+
+  test("re-committing a retained (non-head) version id is rejected before destroying data") {
+    val root = freshRoot("regress")
+    SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
+    SnapshotTable.publish(df(Seq(1L -> "b")), root, "v2")
+    SnapshotTable.publish(df(Seq(1L -> "c")), root, "v3") // retains v2
+    assert(new java.io.File(s"$root/v2").exists())
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.publish(df(Seq(1L -> "EVIL")), root, "v2")
+    }
+    assert(e.getMessage.contains("must advance"),
+      s"head-regressing commit must fail loudly, got: ${e.getMessage}")
+    // committed data untouched: head still v3, the retained v2 readable
+    assert(SnapshotTable.latestVersion(root).contains("v3"))
+    val v2 = SnapshotTable.readVersion(spark, root, "v2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2 == Set(1L -> "b"),
+      "the retained version's committed files must survive the rejected commit")
+    assert(stageDirs(root).isEmpty)
+  }
+
+  test("publishAligned with a key type outside the kernel families takes the coercing fold") {
+    import spark.implicits._
+    val root = freshRoot("decim")
+    // decimal key + integer cutpoints: the kernel's type check would
+    // reject decimal vs array<long> at analysis; the fold coerces
+    val dd = (1 to 60).map(i => (BigDecimal(i) / 10, i.toLong))
+      .toDF("score", "id")
+    SnapshotTable.publishAligned(dd, root, "v1", "score",
+      boundaries = Seq(2, 4), statsCols = Seq("id"))
+    val r = SnapshotTable.read(spark, root).get
+    assert(r.count() == 60 && r.inputFiles.length == 3)
+  }
+
   test("a crash-orphaned stage directory is invisible and GC'd once the head passes it") {
     val root = freshRoot("stgc")
     SnapshotTable.publish(df(Seq(1L -> "a")), root, "v1")
