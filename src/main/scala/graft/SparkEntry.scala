@@ -12,7 +12,7 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
-      TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++
+      TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++ LineDedup.all ++
       Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++
       Multimodal.all ++ MultimodalAv.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
