@@ -57,7 +57,16 @@ object LineDedup {
     * BEFORE the lambda so the higher-order `transform` captures a column
     * reference, not a computed expression (the per-element re-evaluation
     * trap documented at [[graft.functions.TextFunctions.wordShingles]]).
+    * Public for the streaming twin ([[graft.streaming.LineDedupStream]]),
+    * whose per-batch deltas must segment EXACTLY as the batch query does.
     */
+  def segmentsOf(docs: DataFrame): DataFrame = segments(docs)
+
+  /** The boilerplate report over an arbitrary docs frame — the streaming
+    * twin's specs compare the maintained table against this rebuild.
+    */
+  def boilerplateOf(docs: DataFrame): DataFrame = boilerplate(segments(docs))
+
   private def segments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("source"),
@@ -146,5 +155,37 @@ object LineDedup {
     """)
   }
 
-  val all: Seq[GraftQuery] = Seq(lines, clean)
+  /** The streaming twin ([[graft.streaming.LineDedupStream]]) under the
+    * CORRECTNESS gate, not just a spec: documents arrive as two batches
+    * (doc-id parity), the (source, seg) df table maintains incrementally
+    * (additive tile-local merges — a doc lands in exactly one batch, so
+    * per-batch distinct-doc counts sum exactly), and the boilerplate
+    * report over the MAINTAINED table must hash-match the very same
+    * oracle as the batch [[lines]] query — the streamed ≡ batch law,
+    * checked by DuckDB. The colloc_stream_maintained precedent.
+    */
+  val linesStream: GraftQuery = new GraftQuery {
+    val name = "line_dedup_stream_maintained"
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_linededup_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val r = root(sfDir)
+      SnapshotDiff.rmTree(r)
+      graft.streaming.LineDedupStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, r)
+      graft.streaming.LineDedupStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, r)
+      graft.streaming.LineDedupStream.liveReport(spark, r, DfThreshold).get
+        .orderBy("source", "seg")
+    }
+
+    // the BATCH query's oracle verbatim — that equality is the point
+    def oracle: Option[String] = lines.oracle
+  }
+
+  val all: Seq[GraftQuery] = Seq(lines, clean, linesStream)
 }

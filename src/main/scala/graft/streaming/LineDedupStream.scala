@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of line-level boilerplate discovery
+  * ([[graft.operators.LineDedup]]): documents arrive as micro-batches and
+  * the (source, segment) document-frequency table the boilerplate set is
+  * derived from is maintained INCREMENTALLY — each batch segments only its
+  * own documents and additively merges per-key df deltas, tile-local,
+  * cost ∝ batch vocabulary (the [[CollocStream]] shape, one table instead
+  * of two).
+  *
+  * Additivity holds because a document arrives in exactly ONE micro-batch
+  * (doc-granularity ingest), so per-batch per-doc-DISTINCT segment counts
+  * sum to the corpus-level distinct-doc df exactly — no retraction, the
+  * clean IVM case. The boilerplate report is then the same df >= threshold
+  * filter the batch query runs, so streamed docs ≡ batch rebuild after
+  * every batch: structural on the counts, shared-filter on the report,
+  * and checked cross-engine by the `line_dedup_stream_maintained` oracle
+  * (the batch query's oracle verbatim).
+  *
+  * The merge key is the single concatenated `sk` column
+  * (source + "\\u0001" + segment — U+0001 cannot occur in either part) so the
+  * fold and tile pruning ride [[SnapshotTable.merge]]'s one-key contract;
+  * source and seg are carried alongside for the report.
+  *
+  * Exactly-once: the table versions by batch id; a replayed batch
+  * short-circuits the merge; the fresh-checkpoint guard rejects a wiped
+  * checkpoint against a surviving table (single table — no half-wipe
+  * window to straddle, unlike CollocStream's two).
+  */
+object LineDedupStream {
+
+  def start(docs: DataFrame, root: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, root)
+      }
+      .start()
+
+  /** One micro-batch of (doc_id, source, text) rows: fold its per-doc-
+    * distinct segment counts into the maintained df table. Idempotent per
+    * batchId.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+      clusterFiles: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val version = s"v$batchId"
+    SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId >= lv,
+        s"LineDedupStream batch $batchId is behind $root's published " +
+          s"v$lv: fresh checkpoint against an existing table — wipe the " +
+          "table and the checkpoint together, or resume the original.")
+    }
+    // per-doc-distinct BEFORE counting: a segment repeated inside one doc
+    // is one df unit, exactly as the batch query counts it
+    val deltas0 = graft.operators.LineDedup.segmentsOf(batch)
+      .select(col("doc_id"), col("source"), col("seg")).distinct()
+      .groupBy(concat_ws("\u0001", col("source"), col("seg")).as("sk"),
+        col("source"), col("seg"))
+      .agg(count(lit(1)).as("df"))
+    // the delta frame roots a full batch segmentation and has three
+    // consumers (tile discovery, the fold join, merge's passes) — persist
+    // for the fold's duration or each re-segments the batch
+    val deltas = deltas0.persist()
+    try {
+      val prev = SnapshotTable.latestVersion(root)
+        .filter(_.drop(1).toLong < batchId)
+      val updated = prev match {
+        case None => deltas
+        case Some(p) => deltas
+          // previous-table side tile-pruned to the batch's keys — both
+          // join sides stay batch-sized at any corpus (see RankStream)
+          .join(SnapshotTable.readMatchingTiles(spark, root, p, "sk",
+              deltas.select(col("sk")))
+              .select(col("sk"), col("df").as("__old")),
+            Seq("sk"), "left")
+          .select(col("sk"), col("source"), col("seg"),
+            (coalesce(col("__old"), lit(0L)) + col("df")).as("df"))
+      }
+      SnapshotTable.merge(updated, root, "sk", version,
+        clusterFiles = Some(clusterFiles))
+    } finally { deltas.unpersist(blocking = false); () }
+    graft.CacheRegistry.clear()
+  }
+
+  /** The boilerplate report over the maintained table — the batch query's
+    * df >= threshold filter verbatim, which is what makes the twin
+    * equality structural.
+    */
+  def liveReport(spark: SparkSession, root: String, dfThreshold: Int): Option[DataFrame] =
+    SnapshotTable.read(spark, root).map(
+      _.filter(col("df") >= dfThreshold)
+        .select(col("source"), col("seg"), col("df").as("df_docs")))
+}
