@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** THE additive-IVM fold: one micro-batch's per-key count deltas merged
+  * into a maintained [[SnapshotTable]], tile-locally. Shared by every
+  * streaming twin that maintains a count table ([[RankStream]] edges,
+  * [[CollocStream]] bigrams + unigrams, [[LineDedupStream]] segment df) —
+  * the exactly-once discipline lives HERE, once:
+  *
+  *  - the fold base is the COMMITTED head (what merge's CAS will check
+  *    against), never the raw directory listing, which includes in-flight
+  *    or orphaned version directories a crashed writer left;
+  *  - the `< batchId` filter keeps a REPLAYED batch (head == this
+  *    version) from self-reading its own committed output into a
+  *    double-counted fold that merge would then short-circuit anyway;
+  *  - the previous-table side is tile-pruned to the batch's keys
+  *    ([[SnapshotTable.readMatchingTiles]] — the changed-tile discovery
+  *    merge itself runs), so the fold's join is batch-sized on BOTH
+  *    sides: per-batch cost stays ∝ batch at any table size, which a
+  *    plain left join against the full table would not (the preserved
+  *    side of a left-outer cannot broadcast, so the full table would
+  *    shuffle every batch);
+  *  - the delta frame is persisted for the fold's duration: the tile
+  *    discovery, the fold join and merge's own passes all root it, and
+  *    without the persist each consumer recomputes the batch aggregation.
+  */
+object AdditiveFold {
+
+  /** Fold `deltas0` — (key, carried..., deltaCnt) per-batch counts — into
+    * the table at `root`, whose schema is (key, carried..., cnt), under
+    * version `v<batchId>`. Idempotent per batchId (merge short-circuits a
+    * committed head). `deltaCnt` and `cnt` may be the same name.
+    */
+  def foldInto(deltas0: DataFrame, root: String, key: String,
+      deltaCnt: String, cnt: String, batchId: Long,
+      clusterFiles: Int, carried: Seq[String] = Nil): Unit = {
+    val spark = deltas0.sparkSession
+    val deltas = deltas0.persist()
+    try {
+      val prev = SnapshotTable.latestVersion(root)
+        .filter(_.drop(1).toLong < batchId)
+      val keyAndCarried = col(key) +: carried.map(col)
+      val updated = prev match {
+        case None => deltas.select(keyAndCarried :+ col(deltaCnt).as(cnt): _*)
+        case Some(p) => deltas
+          .join(SnapshotTable.readMatchingTiles(spark, root, p, key,
+              deltas.select(col(key)))
+              .select(col(key), col(cnt).as("__old")),
+            Seq(key), "left")
+          .select(keyAndCarried :+
+            (coalesce(col("__old"), lit(0L)) + col(deltaCnt)).as(cnt): _*)
+      }
+      SnapshotTable.merge(updated, root, key, s"v$batchId",
+        clusterFiles = Some(clusterFiles))
+    } finally { deltas.unpersist(blocking = false); () }
+  }
+}

@@ -40,8 +40,6 @@ object CollocStream {
   def applyBatch(batch: DataFrame, batchId: Long, pairRoot: String,
       uniRoot: String, clusterFiles: Int = 8): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val version = s"v$batchId"
     // BOTH tables must agree the checkpoint is not fresh: a wiped
     // pairRoot with a surviving uniRoot (or vice versa) would slip a
     // head-only check and double-count the surviving table's merges,
@@ -55,43 +53,15 @@ object CollocStream {
             "the original.")
       }
     }
+    // the exactly-once fold discipline (committed-head base, replay
+    // self-read filter, tile-pruned join, persisted deltas) lives in
+    // AdditiveFold, shared with RankStream and LineDedupStream
     val (pairD, uniD) = graft.operators.CorpusStats.tokenCounts(batch)
-    addInto(spark, pairD, pairRoot, "pr", "n_xy", version, clusterFiles)
-    addInto(spark, uniD, uniRoot, "t", "n", version, clusterFiles)
+    AdditiveFold.foldInto(pairD, pairRoot, "pr", "n_xy", "n_xy", batchId,
+      clusterFiles)
+    AdditiveFold.foldInto(uniD, uniRoot, "t", "n", "n", batchId,
+      clusterFiles)
     graft.CacheRegistry.clear()
-  }
-
-  /** Additive merge: `deltas(key, cnt)` plus the previous version's
-    * count for the same keys, merged tile-locally under `version`.
-    */
-  private def addInto(spark: SparkSession, deltas0: DataFrame, root: String,
-      key: String, cnt: String, version: String, clusterFiles: Int): Unit = {
-    // three consumers read the delta frame (tile discovery, the fold
-    // join, merge's own passes) and it roots a full batch tokenize —
-    // persist for the fold's duration or each consumer re-tokenizes
-    val deltas = deltas0.persist()
-    try {
-      // fold base = the COMMITTED head (what merge's CAS checks), never
-      // the directory listing (which includes in-flight/orphaned dirs);
-      // a replay (head == version) computes a throwaway fold that merge
-      // then short-circuits, so the < filter keeps it from self-reading
-      val prev = SnapshotTable.latestVersion(root)
-        .filter(_.drop(1).toLong < version.drop(1).toLong)
-      val updated = prev match {
-        case None => deltas
-        case Some(p) => deltas
-          // previous-table side tile-pruned to the batch's keys — both
-          // join sides stay batch-sized at any corpus (see RankStream)
-          .join(SnapshotTable.readMatchingTiles(spark, root, p, key,
-              deltas.select(col(key)))
-              .select(col(key), col(cnt).as("__old")),
-            Seq(key), "left")
-          .select(col(key),
-            (coalesce(col("__old"), lit(0L)) + col(cnt)).as(cnt))
-      }
-      SnapshotTable.merge(updated, root, key, version,
-        clusterFiles = Some(clusterFiles))
-    } finally { deltas.unpersist(blocking = false); () }
   }
 
   /** The collocation report over the maintained tables — at the LOWEST

@@ -49,8 +49,6 @@ object LineDedupStream {
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
       clusterFiles: Int = 8): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val version = s"v$batchId"
     SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
       require(batchId >= lv,
         s"LineDedupStream batch $batchId is behind $root's published " +
@@ -58,34 +56,16 @@ object LineDedupStream {
           "table and the checkpoint together, or resume the original.")
     }
     // per-doc-distinct BEFORE counting: a segment repeated inside one doc
-    // is one df unit, exactly as the batch query counts it
-    val deltas0 = graft.operators.LineDedup.segmentsOf(batch)
+    // is one df unit, exactly as the batch query counts it. The
+    // exactly-once fold discipline lives in AdditiveFold (shared with
+    // RankStream and CollocStream)
+    val deltas = graft.operators.LineDedup.segmentsOf(batch)
       .select(col("doc_id"), col("source"), col("seg")).distinct()
       .groupBy(concat_ws("\u0001", col("source"), col("seg")).as("sk"),
         col("source"), col("seg"))
       .agg(count(lit(1)).as("df"))
-    // the delta frame roots a full batch segmentation and has three
-    // consumers (tile discovery, the fold join, merge's passes) — persist
-    // for the fold's duration or each re-segments the batch
-    val deltas = deltas0.persist()
-    try {
-      val prev = SnapshotTable.latestVersion(root)
-        .filter(_.drop(1).toLong < batchId)
-      val updated = prev match {
-        case None => deltas
-        case Some(p) => deltas
-          // previous-table side tile-pruned to the batch's keys — both
-          // join sides stay batch-sized at any corpus (see RankStream)
-          .join(SnapshotTable.readMatchingTiles(spark, root, p, "sk",
-              deltas.select(col("sk")))
-              .select(col("sk"), col("df").as("__old")),
-            Seq("sk"), "left")
-          .select(col("sk"), col("source"), col("seg"),
-            (coalesce(col("__old"), lit(0L)) + col("df")).as("df"))
-      }
-      SnapshotTable.merge(updated, root, "sk", version,
-        clusterFiles = Some(clusterFiles))
-    } finally { deltas.unpersist(blocking = false); () }
+    AdditiveFold.foldInto(deltas, root, "sk", "df", "df", batchId,
+      clusterFiles, carried = Seq("source", "seg"))
     graft.CacheRegistry.clear()
   }
 

@@ -82,50 +82,20 @@ object RankStream {
       graft.CacheRegistry.clear() // the publish's pagerank leaves
       return
     }
-    val version = s"v$batchId"
     SnapshotTable.latestVersion(edgeRoot).map(_.drop(1).toLong).foreach { lv =>
       require(batchId >= lv,
         s"RankStream batch $batchId is behind $edgeRoot's published v$lv: " +
           "fresh checkpoint against existing tables — wipe edgeRoot, " +
           "rankRoot and the checkpoint together, or resume the original.")
     }
-    // the fold base is the COMMITTED head (what merge's CAS will check
-    // against) — never the raw directory listing, which includes
-    // in-flight or orphaned version directories a crashed writer left.
-    // The < filter keeps a REPLAYED batch (head == this version) from
-    // self-reading its own committed output into a double-counted fold
-    // that merge would then discard anyway
-    val prev = SnapshotTable.latestVersion(edgeRoot)
-      .filter(_.drop(1).toLong < batchId)
-    // additive fold: this batch's per-edge counts plus the previous
-    // version's count for the SAME keys. The previous-table side is
-    // tile-pruned to the batch's keys (readMatchingTiles — the
-    // changed-tile discovery merge itself runs), so the fold's join is
-    // batch-sized on BOTH sides: per-batch cost stays ∝ batch at any
-    // table size, which a plain left join against the full table would
-    // not (the preserved side of a left-outer cannot broadcast, so the
-    // full table would shuffle every batch)
-    // persisted: the tile discovery, the fold join and merge's own
-    // passes all root this batch aggregation
+    // the exactly-once additive fold (committed-head base, replay
+    // self-read filter, tile-pruned batch-sized join, persisted deltas)
+    // lives in AdditiveFold, shared with CollocStream and LineDedupStream
     val deltas = batch.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_d"))
       .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
-      .persist()
-    try {
-      val updated = prev match {
-        case None => deltas
-          .select(col("edge_key"), col("src"), col("dst"), col("n_d").as("n"))
-        case Some(p) => deltas
-          .join(SnapshotTable.readMatchingTiles(spark, edgeRoot, p,
-              "edge_key", deltas.select(col("edge_key")))
-              .select(col("edge_key"), col("n").as("n_old")),
-            Seq("edge_key"), "left")
-          .select(col("edge_key"), col("src"), col("dst"),
-            (coalesce(col("n_old"), lit(0L)) + col("n_d")).as("n"))
-      }
-      SnapshotTable.merge(updated, edgeRoot, "edge_key", version,
-        clusterFiles = Some(clusterFiles))
-    } finally { deltas.unpersist(blocking = false); () }
+    AdditiveFold.foldInto(deltas, edgeRoot, "edge_key", "n_d", "n",
+      batchId, clusterFiles, carried = Seq("src", "dst"))
     publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters, rankEveryK)
     // pagerank registers its lineage leaves in the per-query cache
     // registry; the rank publish is the last consumer (the IvmStream

@@ -38,11 +38,23 @@ class LineDedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("boilerplate df threshold counts DISTINCT documents, not occurrences") {
-    // a segment repeated twice INSIDE one doc is not corpus boilerplate;
-    // every reported df must be achievable by >= 2 distinct docs
-    val lines = LineDedup.lines.run(spark, sf)
-    assert(lines.count() > 0)
-    assert(lines.filter(col("df_docs") < 2).count() == 0)
+    import spark.implicits._
+    // planted fixture: doc 1 contains segment X TWICE, doc 2 once more.
+    // Occurrence counting would report df 3; distinct-doc counting must
+    // report 2. And a doc-internal-only repeat (Y, twice in doc 3) must
+    // not reach the threshold at all.
+    val x = "alpha beta gamma delta"
+    val y = "eps zeta eta theta"
+    val docs = Seq(
+      (1L, "s1", s"$x $x"),
+      (2L, "s1", s"$x one two three four"),
+      (3L, "s1", s"$y $y")).toDF("doc_id", "source", "text")
+    val report = LineDedup.boilerplateOf(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(report == Map(x -> 2L),
+      s"expected df($x)=2 (distinct docs) and no df row for $y, got $report")
+    val fixture = LineDedup.lines.run(spark, sf)
+    assert(fixture.count() > 0, "sfDir fixture must surface boilerplate")
   }
 
   // -- streaming twin: incremental df maintenance ----------------------
