@@ -13,13 +13,13 @@ object SparkEntry {
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
       TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++ LineDedup.all ++
-      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++
+      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++ ClusterCurate.all ++
       Multimodal.all ++ MultimodalAv.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++
       HistQuantiles.all ++ Behavior.all ++ OlapSurface.all ++ SkewReport.all ++
       SnapshotDiff.all ++ Graph.all ++ CorpusStats.all ++ SaltedJoin.all ++
-      InvertedIndex.all ++ LsmIndex.all
+      InvertedIndex.all ++ LsmIndex.all ++ Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over the corpus: Okapi BM25 (Robertson &
+  * Zaragoza 2009, the Lucene-default `(N - df + 0.5)/(df + 0.5) + 1` idf
+  * variant) — the search stage the inverted-index family was missing: the
+  * index queries prove lookup ≡ scan, this one RANKS what the lookup
+  * returns.
+  *
+  * Everything is floor-scaled integer output after a shared double
+  * formulation (the tfidf_top_terms discipline): per-(doc, term) scores
+  * floor to x1000 BEFORE the per-doc sum, so both engines add the same
+  * integers in any order.
+  *
+  * Scale shape: tf / df / doclen are ONE tokenize-explode pass into
+  * fine-key aggregations; the 3-term query prunes the tf table through a
+  * BROADCAST semi-join before any scoring math; top-20 is
+  * TakeOrderedAndProject (no global sort materializes). At 100 TB the
+  * same scoring runs off the inverted index instead of the scan — the
+  * postings tables already store (token, doc_id, tf), and
+  * `InvertedIndex.termLookup` prunes to ≤1 tile per query term
+  * (RetrievalSpec pins index-served scoring ≡ this relational truth).
+  */
+object Retrieval {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 20
+
+  /** The deterministic 3-term query: the terms ranked 10th, 20th and 30th
+    * by (df DESC, term ASC) — mid-frequency terms, selective enough to
+    * rank and common enough to hit many documents (the rarest-terms probe
+    * rule the index queries use would return near-singleton postings,
+    * which exercises lookup but not ranking).
+    */
+  private val QueryRanks = Seq(10, 20, 30)
+
+  /** BM25 per-(doc, term) scores for `postings(token, doc_id, tf)` against
+    * the 3-term query, given per-doc lengths `dl(doc_id, dl)` and corpus
+    * stats — shared by the oracled query (relational postings) and the
+    * spec's index-served path (termLookup postings).
+    */
+  private[graft] def bm25Scores(postings: DataFrame, qterms: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame =
+    postings.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfn",
+        col("tf") * lit(K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("term_score_x1000",
+        floor(col("idf") * col("tfn") * lit(1000.0)).cast("long"))
+
+  /** The search's relational inputs, shared with the spec's index-served
+    * path: term frequencies, doc lengths, corpus stats and the 3-term
+    * query frame.
+    */
+  private[graft] case class Parts(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, qterms: DataFrame)
+
+  private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // persisted: one tokenize-explode feeds tf, df and doclen
+    val tok = graft.CacheRegistry.persist(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
+    val tf = tok.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = graft.CacheRegistry.persist(
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    // top-30 by TakeOrdered FIRST (the vocabulary is corpus-sized; a
+    // global row_number over it would single-partition the whole vocab),
+    // then rank the ≤30 survivors
+    val wq = Window.orderBy(col("df").desc, col("token"))
+    val qterms = df.orderBy(col("df").desc, col("token")).limit(QueryRanks.max)
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank").isin(QueryRanks.map(Integer.valueOf): _*))
+      .select(col("token"), col("df"))
+    Parts(tf, dl, stats, qterms)
+  }
+
+  /** Top-[[TopK]] documents of `scored` per-(doc, term) rows. */
+  private[graft] def topDocs(scored: DataFrame): DataFrame = {
+    val perDoc = scored
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("terms_hit"),
+          sum(col("term_score_x1000")).as("score_x1000"))
+        .orderBy(col("score_x1000").desc, col("doc_id"))
+        .limit(TopK)
+    perDoc.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_x1000").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("rank"), col("doc_id"), col("terms_hit"), col("score_x1000"))
+  }
+
+  val bm25: GraftQuery = new GraftQuery {
+    val name = "search_bm25"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val p = parts(spark, sfDir)
+      topDocs(bm25Scores(p.tf, p.qterms, p.dl, p.stats))
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , ex AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      qterms AS (
+        SELECT token, df FROM (
+          SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS qrank
+          FROM df) WHERE qrank IN (${QueryRanks.mkString(", ")})),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * ${K1 + 1.0} /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc AS (
+        SELECT doc_id, count(*) AS terms_hit, sum(term_score_x1000) AS score_x1000
+        FROM scored GROUP BY 1
+        ORDER BY score_x1000 DESC, doc_id LIMIT $TopK)
+      SELECT row_number() OVER (ORDER BY score_x1000 DESC, doc_id) AS rank,
+             doc_id, terms_hit, CAST(score_x1000 AS BIGINT) AS score_x1000
+      FROM perdoc ORDER BY rank""")
+  }
+
+  val all: Seq[GraftQuery] = Seq(bm25)
+}

@@ -674,7 +674,7 @@ object Similarity {
   }
 
   /** DuckDB twin of [[clusteredVecs]] as a `e(vec_id, v)` CTE body. */
-  private def duckClusteredVecs: String = s"""
+  private[graft] def duckClusteredVecs: String = s"""
         SELECT vec_id,
                list_transform(range(1, 65), d ->
                  CAST((CASE WHEN (d - 1) // 8 = vec_id % 8 THEN $SignalUnits ELSE 0 END)
@@ -684,7 +684,7 @@ object Similarity {
         FROM embeddings"""
 
   /** One DuckDB Lloyd step: cents$i (cid, cv, cnrm) -> cents${i+1}n. */
-  private def duckLloydStep(i: Int): String = s"""
+  private[graft] def duckLloydStep(i: Int): String = s"""
       assign$i AS (
         SELECT n.vec_id, n.v, n.nrm, c.cid,
                CAST(floor(list_sum(list_transform(generate_series(1, 64),

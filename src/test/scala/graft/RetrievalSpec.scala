@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{InvertedIndex, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** What the DuckDB oracle can't say about BM25 search: that the SAME
+  * ranking is served off the inverted index (termLookup postings ≡
+  * relational postings through the shared scorer), and that the ranking
+  * actually behaves like BM25.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("index-served BM25 equals the relational search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      InvertedIndex.publishIndex(docs, dir)
+      val p = Retrieval.parts(spark, sf)
+      val terms = p.qterms.select(col("token")).collect().map(_.getString(0))
+      assert(terms.length == 3)
+      val indexPostings = terms.map(InvertedIndex.termLookup(spark, dir, _))
+        .reduce(_.unionByName(_))
+      val viaIndex = Retrieval.topDocs(
+        Retrieval.bm25Scores(indexPostings, p.qterms, p.dl, p.stats))
+        .collect().map(_.toString)
+      val relational = Retrieval.bm25.run(spark, sf).collect().map(_.toString)
+      assert(viaIndex.sameElements(relational))
+    } finally {
+      CacheRegistry.clear()
+      graft.operators.SnapshotDiff.rmTree(dir)
+    }
+  }
+
+  test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
+    try {
+      val out = Retrieval.bm25.run(spark, sf).collect()
+      assert(out.nonEmpty && out.length <= 20)
+      assert(out.map(_.getAs[Long]("rank")).sameElements(1L to out.length))
+      val scores = out.map(_.getAs[Long]("score_x1000"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(out.forall { r =>
+        val h = r.getAs[Long]("terms_hit"); h >= 1 && h <= 3 })
+    } finally CacheRegistry.clear()
+  }
+}
