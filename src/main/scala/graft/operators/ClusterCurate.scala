@@ -220,5 +220,39 @@ object ClusterCurate {
       ORDER BY ccos_bp, vec_id LIMIT $OutlierN""")
   }
 
-  val all: Seq[GraftQuery] = Seq(topics, balance, outliers)
+  /** Medoid budget per cluster for `cluster_medoids`. */
+  private[graft] val MedoidN = 3
+
+  /** Cluster representatives: per cluster, the [[MedoidN]] members CLOSEST
+    * to their centroid (ties to the smaller vec_id) — the "show me what
+    * this cluster is" inspection card curation reviews read, and the
+    * complement of [[outliers]]. One window over the slim trained frame,
+    * partitioned on the cell key (k ≈ √n groups at scale — never a
+    * single-partition sort).
+    */
+  val medoids: GraftQuery = new GraftQuery {
+    val name = "cluster_medoids"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("ccos_bp").desc, col("vec_id"))
+      trainedCells(spark, sfDir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= MedoidN)
+        .select(col("cell"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("true_label"), col("ccos_bp"))
+        .orderBy(col("cell"), col("rank"))
+    }
+
+    def oracle: Option[String] = Some(s"""
+      $finCte,
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cell
+                    ORDER BY ccos_bp DESC, vec_id) AS rank
+        FROM fin)
+      SELECT cell, CAST(rank AS BIGINT) AS rank, vec_id, true_label, ccos_bp
+      FROM ranked WHERE rank <= $MedoidN ORDER BY cell, rank""")
+  }
+
+  val all: Seq[GraftQuery] = Seq(topics, balance, outliers, medoids)
 }

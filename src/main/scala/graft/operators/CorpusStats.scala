@@ -195,6 +195,106 @@ object CorpusStats {
     def oracle: Option[String] = collocations.oracle
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the monitoring gate that flags a source whose
+    * vocabulary usage diverges from the corpus mix (a scraper gone wrong,
+    * a language shift, template spam) before it trains. Contributions are
+    * per-term floors (p·ln(p/q) × 1e6 as BIGINT — both engines sum the
+    * same integers in any order; the floor-sum KL is the DEFINED metric);
+    * p > 0 by construction and q ≥ p·n_src/n_all > 0 since the corpus
+    * counts are a superset. One tokenize-explode into (source, token)
+    * fine-key counts; the token-keyed join to corpus counts shuffles the
+    * vocabulary (corpus-sized, like tfidf's df join — AQE broadcasts it
+    * only when it fits), totals ride one broadcast row. Body over any
+    * (source, text) frame — fixture-testable.
+    */
+  private[graft] def divergenceOf(docs: DataFrame): DataFrame =
+    divergenceFromCounts(sourceTokenCounts(docs))
+
+  /** The (source, token, cnt) count table — the state the streaming twin
+    * maintains additively (plain counts: a doc lands in one micro-batch,
+    * so per-batch counts sum to the corpus counts exactly).
+    */
+  private[graft] def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** The KL derivation over any (source, token, cnt) table — shared by
+    * the batch query and [[graft.streaming.DivergenceStream.liveReport]],
+    * which is what makes the twin equality structural.
+    */
+  private[graft] def divergenceFromCounts(st0: DataFrame): DataFrame = {
+      val st = graft.CacheRegistry.persist(st0)
+      val ct = st.groupBy(col("token")).agg(sum(col("cnt")).as("ccnt"))
+      val stot = st.groupBy(col("source")).agg(sum(col("cnt")).as("n_src"))
+      val tot = stot.agg(sum(col("n_src")).as("n_all"))
+      st.join(ct, "token")
+        .join(broadcast(stot), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("cnt") * lit(1.0) / col("n_src"))
+        .withColumn("q", col("ccnt") * lit(1.0) / col("n_all"))
+        .withColumn("term_kl_x1e6",
+          floor(col("p") * log(col("p") / col("q")) * lit(1e6)).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("term_kl_x1e6")).as("kl_x1e6"))
+        .orderBy(col("source"))
+  }
+
+  val divergence: GraftQuery = new GraftQuery {
+    val name = "corpus_divergence"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      divergenceOf(Tables.load(spark, sfDir, "documents"))
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , ex AS (SELECT source, unnest(ws) AS token FROM toks),
+      st AS (SELECT source, token, count(*) AS cnt FROM ex GROUP BY 1, 2),
+      ct AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS ccnt FROM st GROUP BY 1),
+      stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM st GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM stot),
+      terms AS (
+        SELECT st.source,
+               CAST(floor((st.cnt * 1.0 / stot.n_src)
+                 * ln((st.cnt * 1.0 / stot.n_src) / (ct.ccnt * 1.0 / tot.n_all))
+                 * 1e6) AS BIGINT) AS term_kl_x1e6,
+               stot.n_src
+        FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot)
+      SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
+             count(*) AS vocab, CAST(sum(term_kl_x1e6) AS BIGINT) AS kl_x1e6
+      FROM terms GROUP BY source ORDER BY source""")
+  }
+
+  /** The drift monitor as it actually deploys: documents stream in, the
+    * (source, token) count table maintains additively
+    * ([[graft.streaming.DivergenceStream]]), the report re-derives from
+    * state. Two deterministic micro-batches (doc_id parity), then the
+    * live report — which must equal the batch query exactly, so the
+    * oracle is the batch oracle verbatim.
+    */
+  val divergenceStream: GraftQuery = new GraftQuery {
+    val name = "corpus_divergence_stream_maintained"
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_divstream_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val r = root(sfDir)
+      SnapshotDiff.rmTree(r)
+      graft.streaming.DivergenceStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, r)
+      graft.streaming.DivergenceStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, r)
+      graft.streaming.DivergenceStream.liveReport(spark, r).get
+    }
+
+    def oracle: Option[String] = divergence.oracle
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(collocations, vocabCoverage, collocationsStream)
+    Seq(collocations, vocabCoverage, collocationsStream, divergence,
+      divergenceStream)
 }

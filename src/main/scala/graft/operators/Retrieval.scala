@@ -63,7 +63,7 @@ object Retrieval {
     * query frame.
     */
   private[graft] case class Parts(tf: DataFrame, dl: DataFrame,
-      stats: DataFrame, qterms: DataFrame)
+      stats: DataFrame, df: DataFrame, qterms: DataFrame)
 
   private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
     val docs = Tables.load(spark, sfDir, "documents")
@@ -85,7 +85,7 @@ object Retrieval {
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank").isin(QueryRanks.map(Integer.valueOf): _*))
       .select(col("token"), col("df"))
-    Parts(tf, dl, stats, qterms)
+    Parts(tf, dl, stats, df, qterms)
   }
 
   /** Top-[[TopK]] documents of `scored` per-(doc, term) rows. */
@@ -137,5 +137,129 @@ object Retrieval {
       FROM perdoc ORDER BY rank""")
   }
 
-  val all: Seq[GraftQuery] = Seq(bm25)
+  /** Per-list depth feeding the fusion; fusion output stays [[TopK]]. */
+  private val FuseDepth = 50
+
+  /** RRF's rank-damping constant (Cormack, Clarke & Büttcher 2009). */
+  private val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a LEXICAL ranking (BM25,
+    * query = the 3 highest-tf tokens of document 0) and a SEMANTIC ranking
+    * (cosine over the deterministic feature-hash doc embeddings against
+    * document 0) — the fusion recipe hybrid search engines run, with both
+    * branches reusing this engine's existing oracled stacks. Contributions
+    * are pure integer divisions `1000000 div (RrfK + rank)` (a list a doc
+    * misses contributes 0), so the fused score is engine-exact with no
+    * float path at all.
+    *
+    * Scale shape: the lexical branch is [[bm25]]'s (broadcast 3-term
+    * semi-join); the semantic branch broadcasts the ONE query vector into
+    * a map-only codegen'd cosine pass (at corpus scale the IVF/LSH
+    * blocking the ANN family provides replaces the scan); each branch
+    * TakeOrders its own top-[[FuseDepth]], and fusion joins two 50-row
+    * frames.
+    */
+  val hybridRrf: GraftQuery = new GraftQuery {
+    val name = "search_hybrid_rrf"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      graft.expressions.DotProductDouble.register(spark)
+      val p = parts(spark, sfDir)
+      val q0 = p.tf.filter(col("doc_id") === 0)
+        .orderBy(col("tf").desc, col("token")).limit(3)
+        .select(col("token"))
+        .join(p.df, "token")
+      val lexTop = bm25Scores(p.tf, q0, p.dl, p.stats)
+        .filter(col("doc_id") =!= 0)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score_x1000")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(FuseDepth)
+      val lex = lexTop.withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+
+      val v = TextEmbed.docVectors(spark, sfDir)
+        .select(col("doc_id"), transform(col("e"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+        .filter(col("nrm") > 0)
+      val qv = v.filter(col("doc_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val semTop = v.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos_bp",
+          floor(expr("dot_double(v, qv)") * lit(10000.0) /
+            (col("nrm") * col("qn"))).cast("long"))
+        .orderBy(col("cos_bp").desc, col("doc_id")).limit(FuseDepth)
+      val sem = semTop.withColumn("sem_rank",
+          row_number().over(Window.orderBy(col("cos_bp").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("sem_rank"))
+
+      val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+        .withColumn("rrf_x1e6",
+          when(col("lex_rank") > 0, expr(s"1000000L div (${RrfK}L + lex_rank)"))
+            .otherwise(lit(0L)) +
+          when(col("sem_rank") > 0, expr(s"1000000L div (${RrfK}L + sem_rank)"))
+            .otherwise(lit(0L)))
+        .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(TopK)
+      fused.withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf_x1e6").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+          col("rrf_x1e6"))
+    }
+
+    def oracle: Option[String] = Some(TextEmbed.duckEmbedCtes + s"""
+      , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      ldf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      q0 AS (SELECT token FROM tf WHERE doc_id = 0 ORDER BY tf DESC, token LIMIT 3),
+      qterms AS (SELECT q0.token, ldf.df FROM q0 JOIN ldf USING (token)),
+      lscored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * ${K1 + 1.0} /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE tf.doc_id <> 0),
+      lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+        FROM (SELECT doc_id, sum(term_score_x1000) AS s FROM lscored GROUP BY 1
+              ORDER BY s DESC, doc_id LIMIT $FuseDepth)),
+      n2 AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n2 WHERE nrm > 0),
+      qv AS (SELECT v, nrm FROM nz WHERE doc_id = 0),
+      sem AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cos_bp DESC, doc_id) AS sem_rank
+        FROM (
+          SELECT c.doc_id,
+                 CAST(floor(list_sum(list_transform(generate_series(1, len(c.v)),
+                        i -> c.v[i] * qv.v[i])) * 10000.0 / (c.nrm * qv.nrm)) AS BIGINT) AS cos_bp
+          FROM nz c CROSS JOIN qv WHERE c.doc_id <> 0
+          ORDER BY cos_bp DESC, c.doc_id LIMIT $FuseDepth)),
+      fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               coalesce(lex_rank, 0) AS lex_rank,
+               coalesce(sem_rank, 0) AS sem_rank,
+               (CASE WHEN lex_rank IS NULL THEN 0
+                     ELSE 1000000 // ($RrfK + lex_rank) END
+                + CASE WHEN sem_rank IS NULL THEN 0
+                       ELSE 1000000 // ($RrfK + sem_rank) END) AS rrf_x1e6
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+      top AS (SELECT * FROM fused ORDER BY rrf_x1e6 DESC, doc_id LIMIT $TopK)
+      SELECT row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS rank, doc_id,
+             CAST(lex_rank AS BIGINT) AS lex_rank,
+             CAST(sem_rank AS BIGINT) AS sem_rank,
+             CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+      FROM top ORDER BY rank""")
+  }
+
+  val all: Seq[GraftQuery] = Seq(bm25, hybridRrf)
 }
+

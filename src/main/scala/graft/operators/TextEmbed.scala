@@ -77,7 +77,7 @@ object TextEmbed {
     }
 
   /** DuckDB mirror of the embedding build, ending in `vec(doc_id, e)`. */
-  private def duckEmbedCtes: String = {
+  private[graft] def duckEmbedCtes: String = {
     val weights = (0 until Dims).map { d =>
       s"${duckHexWindow(s"h${d / 8}", 4 * (d % 8), 4)} % 2001 - 1000"
     }.mkString("[", ", ", "]")

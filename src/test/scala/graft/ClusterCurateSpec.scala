@@ -62,6 +62,27 @@ class ClusterCurateSpec extends SparkSpec {
     } finally CacheRegistry.clear()
   }
 
+  test("cluster_medoids is the per-cell top-3 by centroid cosine") {
+    try {
+      val out = ClusterCurate.medoids.run(spark, sf).collect()
+      val byCell = out.groupBy(_.getAs[Long]("cell"))
+      assert(byCell.size == ClusterCurate.K)
+      byCell.foreach { case (cell, rows) =>
+        assert(rows.length == ClusterCurate.MedoidN, s"cell $cell")
+        val ranks = rows.map(_.getAs[Long]("rank")).sorted
+        assert(ranks.sameElements(1L to ClusterCurate.MedoidN))
+        val costs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("ccos_bp"))
+        assert(costs.zip(costs.tail).forall { case (a, b) => a >= b },
+          s"cell $cell medoids not descending")
+      }
+      // on the planted fixture, a cluster's best-centered members carry
+      // its true topic
+      out.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+        assert(r.getAs[Long]("true_label") == r.getAs[Long]("cell") % ClusterCurate.K)
+      }
+    } finally CacheRegistry.clear()
+  }
+
   test("curation queries are deterministic across reruns") {
     try {
       val a = ClusterCurate.balance.run(spark, sf).collect().map(_.toString)

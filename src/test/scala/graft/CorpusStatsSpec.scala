@@ -51,4 +51,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.getLong(2) === 2L) // the two 'a's
     CacheRegistry.clear()
   }
+  test("corpus_divergence: in-mix sources score zero, a drifted source scores positive") {
+    import spark.implicits._
+    // s0 and s1 share the corpus-average distribution exactly (identical
+    // docs), so p = q for every term -> every contribution floors to 0.
+    // s2 speaks a disjoint vocabulary -> its mass diverges AND it skews
+    // the mix, so s0/s1 vs the NEW mix pick up positive KL too; build the
+    // zero case and the drift case as separate corpora to keep it exact.
+    val uniform = Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma delta", "s1")).toDF("doc_id", "text", "source")
+    val zero = CorpusStats.divergenceOf(uniform).collect()
+    assert(zero.length == 2)
+    assert(zero.forall(_.getAs[Long]("kl_x1e6") == 0L),
+      s"uniform mix must have zero KL: ${zero.mkString(";")}")
+    CacheRegistry.clear()
+
+    val drifted = Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "zeta zeta zeta zeta", "s2")).toDF("doc_id", "text", "source")
+    val out = CorpusStats.divergenceOf(drifted)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kl_x1e6")).toMap
+    // the disjoint-vocabulary source diverges hardest: p=1 on zeta,
+    // q=1/3 -> KL = ln(3) ~ 1.0986e6 at the 1e6 floor scale
+    assert(out("s2") == math.floor(math.log(3.0) * 1e6).toLong, s"$out")
+    assert(out("s0") > 0L && out("s0") == out("s1"), s"$out")
+    assert(out("s2") > out("s0"), s"$out")
+    CacheRegistry.clear()
+  }
 }

@@ -262,4 +262,65 @@ class CorpusStreamSpec extends SparkSpec {
       "published ranks must be the exact ranks of the edge PREFIX they version")
     graft.CacheRegistry.clear()
   }
+
+  // -- Distribution drift over streamed documents ---------------------
+
+  private def srcDocsOf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private def klRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("source", "n_tokens", "vocab", "kl_x1e6").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("streamed doc batches: drift report equals the batch rebuild after every batch") {
+    val root = freshDir("div") + "/counts"
+    val batches = Seq(
+      Seq((1L, "alpha beta alpha", "s0"), (2L, "beta gamma", "s1")),
+      Seq((3L, "alpha alpha delta", "s0"), (4L, "gamma gamma beta", "s1")),
+      Seq((5L, "zeta zeta zeta", "s2"), (6L, "alpha beta", "s0")))
+    var seen = Seq.empty[(Long, String, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.DivergenceStream.applyBatch(srcDocsOf(b), i.toLong + 1, root)
+      seen = seen ++ b
+      assert(klRows(graft.streaming.DivergenceStream.liveReport(spark, root).get) ==
+        klRows(CorpusStats.divergenceOf(srcDocsOf(seen))),
+        s"after batch ${i + 1} streamed drift must equal the batch rebuild")
+      graft.CacheRegistry.clear()
+    }
+    // replayed last batch: counts unchanged
+    val before = klRows(graft.streaming.DivergenceStream.liveReport(spark, root).get)
+    graft.streaming.DivergenceStream.applyBatch(
+      srcDocsOf(batches.last), batches.size.toLong, root)
+    assert(klRows(graft.streaming.DivergenceStream.liveReport(spark, root).get) == before,
+      "a replayed batch must not double-count tokens")
+    // fresh-checkpoint restart fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DivergenceStream.applyBatch(srcDocsOf(batches.head), 0L, root)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    graft.CacheRegistry.clear()
+  }
+
+  test("the divergence stream survives a kill-and-resume on its checkpoint") {
+    import spark.implicits._
+    val work = freshDir("divrestart")
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"; val root = s"$work/counts"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val chunk1 = Seq((1L, "alpha beta alpha", "s0"), (2L, "beta gamma", "s1"))
+    val chunk2 = Seq((3L, "zeta zeta", "s2"), (4L, "alpha delta", "s0"))
+    val schema = srcDocsOf(chunk1).schema
+    def start() = graft.streaming.DivergenceStream.start(
+      spark.readStream.schema(schema).parquet(in), root, ckpt)
+    srcDocsOf(chunk1).coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    srcDocsOf(chunk2).coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(klRows(graft.streaming.DivergenceStream.liveReport(spark, root).get) ==
+      klRows(CorpusStats.divergenceOf(srcDocsOf(chunk1 ++ chunk2))),
+      "post-restart report must reflect all documents across both runs")
+    graft.CacheRegistry.clear()
+  }
 }

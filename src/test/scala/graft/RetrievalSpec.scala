@@ -31,6 +31,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF fuses both branches and the score is the pure rank formula") {
+    try {
+      val out = Retrieval.hybridRrf.run(spark, sf).collect()
+      assert(out.nonEmpty && out.length <= 20)
+      out.foreach { r =>
+        val (lex, sem, rrf) = (r.getAs[Long]("lex_rank"),
+          r.getAs[Long]("sem_rank"), r.getAs[Long]("rrf_x1e6"))
+        assert(lex >= 0 && lex <= 50 && sem >= 0 && sem <= 50)
+        val expected = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+          (if (sem > 0) 1000000L / (60 + sem) else 0L)
+        assert(rrf == expected, s"rrf mismatch: $r")
+      }
+      // fusion is real: some doc scores through BOTH lists, and each
+      // branch contributes at least one doc the other ranked lower/missed
+      assert(out.exists(r => r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("sem_rank") > 0))
+      assert(out.exists(_.getAs[Long]("lex_rank") > 0))
+      assert(out.exists(_.getAs[Long]("sem_rank") > 0))
+    } finally CacheRegistry.clear()
+  }
+
   test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
     try {
       val out = Retrieval.bm25.run(spark, sf).collect()
