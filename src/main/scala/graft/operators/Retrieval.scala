@@ -260,6 +260,73 @@ object Retrieval {
       FROM top ORDER BY rank""")
   }
 
-  val all: Seq[GraftQuery] = Seq(bm25, hybridRrf)
+  /** Exact phrase search: documents containing the 2-token phrase that
+    * OPENS document 0 (deterministic, corpus-derived — a literal would be
+    * fixture-fragile), ranked by occurrence count. Positional adjacency
+    * the BM25 bag-of-words scorer cannot express: an occurrence is
+    * token w1 at position p AND token w2 at p+1 in the same document.
+    *
+    * Scale shape: the position table filters to EACH phrase term first
+    * (map-side against the one broadcast query row — candidate mass ∝ the
+    * terms' frequency, never the corpus), then the adjacency join runs on
+    * the fine (doc_id, pos) key. A positional INDEX layout would serve
+    * the same two posting streams straight off term tiles
+    * ([[InvertedIndex.termLookup]] with positions carried — the tf-only
+    * postings keep today's index lean; carrying a positions array is the
+    * documented extension point).
+    */
+  /** Per-doc occurrence counts of doc 0's opening 2-token phrase over any
+    * (doc_id, text) frame — fixture-testable body of [[phrase]].
+    */
+  private[graft] def phraseHits(docs: DataFrame): DataFrame = {
+    val pos = graft.CacheRegistry.persist(docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token"))))
+    val q0 = pos.filter(col("doc_id") === 0 && col("pos") < 2)
+      .groupBy()
+      .agg(max(when(col("pos") === 0, col("token"))).as("w1"),
+        max(when(col("pos") === 1, col("token"))).as("w2"))
+    val withQ = pos.crossJoin(broadcast(q0))
+    val lhs = withQ.filter(col("token") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val rhs = withQ.filter(col("token") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    lhs.join(rhs, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  val phrase: GraftQuery = new GraftQuery {
+    val name = "search_phrase"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val hits = phraseHits(Tables.load(spark, sfDir, "documents"))
+        .orderBy(col("n_occurrences").desc, col("doc_id")).limit(TopK)
+      hits.withColumn("rank",
+          row_number().over(Window.orderBy(col("n_occurrences").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_occurrences"))
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws))) - 1 AS pos,
+               unnest(list_transform(generate_series(1, len(ws)), d -> ws[d])) AS token
+        FROM toks),
+      q0 AS (
+        SELECT max(CASE WHEN pos = 0 THEN token END) AS w1,
+               max(CASE WHEN pos = 1 THEN token END) AS w2
+        FROM pos WHERE doc_id = 0),
+      lhs AS (SELECT doc_id, pos FROM pos CROSS JOIN q0 WHERE token = w1),
+      rhs AS (SELECT doc_id, pos - 1 AS pos FROM pos CROSS JOIN q0 WHERE token = w2),
+      hits AS (
+        SELECT doc_id, count(*) AS n_occurrences
+        FROM lhs JOIN rhs USING (doc_id, pos) GROUP BY 1
+        ORDER BY n_occurrences DESC, doc_id LIMIT $TopK)
+      SELECT row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank,
+             doc_id, n_occurrences
+      FROM hits ORDER BY rank""")
+  }
+
+  val all: Seq[GraftQuery] = Seq(bm25, hybridRrf, phrase)
 }
 

@@ -51,6 +51,22 @@ class RetrievalSpec extends SparkSpec {
     } finally CacheRegistry.clear()
   }
 
+  test("phrase search counts true adjacent occurrences, not bag-of-words co-occurrence") {
+    import spark.implicits._
+    try {
+      // query phrase = doc 0's opening bigram: "alpha beta"
+      val docs = Seq(
+        (0L, "alpha beta x alpha beta"), // 2 adjacent occurrences
+        (1L, "y alpha beta z"),          // 1
+        (2L, "beta alpha"),              // reversed — NOT a match
+        (3L, "alpha x beta")             // co-occurring, not adjacent — NOT a match
+      ).toDF("doc_id", "text")
+      val out = Retrieval.phraseHits(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+      assert(out == Map(0L -> 2L, 1L -> 1L), s"$out")
+    } finally CacheRegistry.clear()
+  }
+
   test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
     try {
       val out = Retrieval.bm25.run(spark, sf).collect()
