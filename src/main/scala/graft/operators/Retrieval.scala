@@ -67,13 +67,19 @@ object Retrieval {
 
   private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
     val docs = Tables.load(spark, sfDir, "documents")
-    // persisted: one tokenize-explode feeds tf, df and doclen
-    val tok = graft.CacheRegistry.persist(docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
-    val tf = tok.groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = graft.CacheRegistry.persist(
-      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    // SHARED per session (the docVectors/trainedCells discipline): both
+    // search queries and the spec's index-served path read the same
+    // corpus-wide tokenize-explode derivations — per-query persist would
+    // rescan the corpus once per caller
+    val tf = graft.CacheRegistry.shared(s"bm25tf:$sfDir") {
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+    }
+    // doc length = sum of its term frequencies — derived off the cached tf
+    val dl = graft.CacheRegistry.shared(s"bm25dl:$sfDir") {
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    }
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
@@ -124,7 +130,7 @@ object Retrieval {
         SELECT tf.doc_id,
                CAST(floor(
                  ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
-                 * (tf.tf * ${K1 + 1.0} /
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
                     (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
                  * 1000.0) AS BIGINT) AS term_score_x1000
         FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
@@ -163,7 +169,6 @@ object Retrieval {
     val name = "search_hybrid_rrf"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      graft.expressions.DotProductDouble.register(spark)
       val p = parts(spark, sfDir)
       val q0 = p.tf.filter(col("doc_id") === 0)
         .orderBy(col("tf").desc, col("token")).limit(3)
@@ -178,10 +183,7 @@ object Retrieval {
           row_number().over(Window.orderBy(col("s").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("lex_rank"))
 
-      val v = TextEmbed.docVectors(spark, sfDir)
-        .select(col("doc_id"), transform(col("e"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
-        .filter(col("nrm") > 0)
+      val v = TextEmbed.normalizedDocVectors(spark, sfDir)
       val qv = v.filter(col("doc_id") === 0)
         .select(col("v").as("qv"), col("nrm").as("qn"))
       val semTop = v.filter(col("doc_id") =!= 0)
@@ -220,7 +222,7 @@ object Retrieval {
         SELECT tf.doc_id,
                CAST(floor(
                  ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
-                 * (tf.tf * ${K1 + 1.0} /
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
                     (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
                  * 1000.0) AS BIGINT) AS term_score_x1000
         FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
@@ -260,21 +262,6 @@ object Retrieval {
       FROM top ORDER BY rank""")
   }
 
-  /** Exact phrase search: documents containing the 2-token phrase that
-    * OPENS document 0 (deterministic, corpus-derived — a literal would be
-    * fixture-fragile), ranked by occurrence count. Positional adjacency
-    * the BM25 bag-of-words scorer cannot express: an occurrence is
-    * token w1 at position p AND token w2 at p+1 in the same document.
-    *
-    * Scale shape: the position table filters to EACH phrase term first
-    * (map-side against the one broadcast query row — candidate mass ∝ the
-    * terms' frequency, never the corpus), then the adjacency join runs on
-    * the fine (doc_id, pos) key. A positional INDEX layout would serve
-    * the same two posting streams straight off term tiles
-    * ([[InvertedIndex.termLookup]] with positions carried — the tf-only
-    * postings keep today's index lean; carrying a positions array is the
-    * documented extension point).
-    */
   /** Per-doc occurrence counts of doc 0's opening 2-token phrase over any
     * (doc_id, text) frame — fixture-testable body of [[phrase]].
     */
@@ -294,6 +281,21 @@ object Retrieval {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Exact phrase search: documents containing the 2-token phrase that
+    * OPENS document 0 (deterministic, corpus-derived — a literal would be
+    * fixture-fragile), ranked by occurrence count. Positional adjacency
+    * the BM25 bag-of-words scorer cannot express: an occurrence is
+    * token w1 at position p AND token w2 at p+1 in the same document.
+    *
+    * Scale shape: the position table filters to EACH phrase term first
+    * (map-side against the one broadcast query row — candidate mass ∝ the
+    * terms' frequency, never the corpus), then the adjacency join runs on
+    * the fine (doc_id, pos) key. A positional INDEX layout would serve
+    * the same two posting streams straight off term tiles
+    * ([[InvertedIndex.termLookup]] with positions carried — the tf-only
+    * postings keep today's index lean; carrying a positions array is the
+    * documented extension point).
+    */
   val phrase: GraftQuery = new GraftQuery {
     val name = "search_phrase"
 

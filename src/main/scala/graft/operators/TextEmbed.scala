@@ -118,6 +118,21 @@ object TextEmbed {
     """)
   }
 
+  /** The derived embeddings as normalized doubles `(doc_id, v, nrm)` with
+    * zero-norm documents dropped — ONE definition of the cosine-space prep
+    * shared by every consumer ([[docEmbedAnn]], the semantic branch of
+    * `Retrieval.hybridRrf`): the normalization and zero-norm rule must not
+    * fork per call site.
+    */
+  private[graft] def normalizedDocVectors(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.expressions.DotProductDouble.register(spark)
+    docVectors(spark, sfDir)
+      .select(col("doc_id"), transform(col("e"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+      .filter(col("nrm") > 0)
+  }
+
   /** Brute cosine top-3 over the DERIVED embeddings (query docs =
     * doc_id < 10) — proves the text → vector → ANN path end to end. The
     * scale paths (IVF cells, sign-bucket LSH, int8/PQ storage) apply to
@@ -127,12 +142,7 @@ object TextEmbed {
     val name = "doc_embed_ann"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      graft.expressions.DotProductDouble.register(spark)
-      val v = docVectors(spark, sfDir)
-        .select(col("doc_id"),
-          transform(col("e"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
-        .filter(col("nrm") > 0)
+      val v = normalizedDocVectors(spark, sfDir)
       val q = v.filter(col("doc_id") < 10)
       val scored = q.as("q")
         .join(v.as("c"), col("q.doc_id") =!= col("c.doc_id"))

@@ -86,9 +86,12 @@ class ClusterCurateSpec extends SparkSpec {
   test("curation queries are deterministic across reruns") {
     try {
       val a = ClusterCurate.balance.run(spark, sf).collect().map(_.toString)
-      CacheRegistry.clear()
+      // clearAll drops the SHARED trainedCells frame too (clear() leaves
+      // shared entries alive, which would make run B a cache readback
+      // instead of a retrain — vacuous)
+      CacheRegistry.clearAll()
       val b = ClusterCurate.balance.run(spark, sf).collect().map(_.toString)
       assert(a.sameElements(b))
-    } finally CacheRegistry.clear()
+    } finally CacheRegistry.clearAll()
   }
 }
