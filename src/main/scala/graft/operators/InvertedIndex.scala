@@ -69,6 +69,34 @@ object InvertedIndex {
     dir
   }
 
+  /** POSITIONAL postings — (token, doc_id, tf, positions), positions the
+    * sorted 0-based token offsets — the layout that serves phrase queries
+    * off the index (adjacency needs offsets the tf-only postings drop).
+    * Published through the same stats-clustered snapshot as
+    * [[publishIndex]], term point-lookups prune identically; the cost is
+    * the positions payload (~1 int per corpus token — the classic
+    * positional-index size tradeoff). `RetrievalSpec` proves phrase
+    * counts served off this layout equal the relational
+    * `Retrieval.phraseHits` exactly.
+    */
+  private[graft] def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Publish the positional postings of `docs` under a fresh root. */
+  private[graft] def publishPositionalIndex(docs: DataFrame, dir: String): String = {
+    SnapshotDiff.rmTree(dir)
+    val post = positionalPostings(docs).persist()
+    try
+      SnapshotTable.publish(post, dir, "v1",
+        statsCols = Seq("token"), clusterFiles = Some(tileCountFor(post.count())))
+    finally { post.unpersist(blocking = false); () }
+    dir
+  }
+
   /** Point-lookup the 3 RAREST terms (df-asc, token-asc — a probe set
     * both engines derive identically, non-empty on any corpus) through
     * the published index.

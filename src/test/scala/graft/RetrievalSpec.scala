@@ -67,6 +67,33 @@ class RetrievalSpec extends SparkSpec {
     } finally CacheRegistry.clear()
   }
 
+  test("phrase counts served off the positional index equal the relational search") {
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      InvertedIndex.publishPositionalIndex(docs, dir)
+      // the query phrase: doc 0's opening bigram, resolved test-side
+      val Array(w1, w2) = docs.filter(col("doc_id") === 0)
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("ws"))
+        .collect()(0).getSeq[String](0).take(2).toArray
+      def posOf(term: String) = graft.sources.SnapshotTable
+        .pointLookup(spark, dir, "token", term).get
+        .select(col("doc_id"), explode(col("positions")).as("pos"))
+      val viaIndex = posOf(w1).as("a")
+        .join(posOf(w2).withColumn("pos", col("pos") - 1).as("b"),
+          Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val relational = Retrieval.phraseHits(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaIndex == relational)
+      assert(relational.nonEmpty, "fixture phrase should occur somewhere")
+    } finally {
+      CacheRegistry.clear()
+      graft.operators.SnapshotDiff.rmTree(dir)
+    }
+  }
+
   test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
     try {
       val out = Retrieval.bm25.run(spark, sf).collect()
