@@ -65,6 +65,39 @@ object Retrieval {
   private[graft] case class Parts(tf: DataFrame, dl: DataFrame,
       stats: DataFrame, df: DataFrame, qterms: DataFrame)
 
+  /** Term frequencies of a (doc_id, text) frame — ONE tokenize-explode
+    * pass into the fine (token, doc_id) aggregation.
+    */
+  private[graft] def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The deterministic query frame over a df relation: terms at
+    * [[QueryRanks]] by (df DESC, token) — top-30 by TakeOrdered FIRST
+    * (the vocabulary is corpus-sized; a global row_number over it would
+    * single-partition the whole vocab), then rank the ≤30 survivors.
+    */
+  private[graft] def queryTerms(df: DataFrame): DataFrame = {
+    val wq = Window.orderBy(col("df").desc, col("token"))
+    df.orderBy(col("df").desc, col("token")).limit(QueryRanks.max)
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank").isin(QueryRanks.map(Integer.valueOf): _*))
+      .select(col("token"), col("df"))
+  }
+
+  /** [[Parts]] from already-derived tf/dl relations — shared by the
+    * corpus query (cached derivations) and the maintained-serving path
+    * ([[graft.streaming.SearchStream]] reads tf off index segments and
+    * dl off its maintained table, then scores through the SAME math).
+    */
+  private[graft] def partsFrom(tf: DataFrame, dl: DataFrame): Parts = {
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    Parts(tf, dl, stats, df, queryTerms(df))
+  }
+
   private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
     val docs = Tables.load(spark, sfDir, "documents")
     // SHARED per session (the docVectors/trainedCells discipline): both
@@ -72,26 +105,13 @@ object Retrieval {
     // corpus-wide tokenize-explode derivations — per-query persist would
     // rescan the corpus once per caller
     val tf = graft.CacheRegistry.shared(s"bm25tf:$sfDir") {
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy(col("token"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
+      termFreqs(docs)
     }
     // doc length = sum of its term frequencies — derived off the cached tf
     val dl = graft.CacheRegistry.shared(s"bm25dl:$sfDir") {
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     }
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
-    // top-30 by TakeOrdered FIRST (the vocabulary is corpus-sized; a
-    // global row_number over it would single-partition the whole vocab),
-    // then rank the ≤30 survivors
-    val wq = Window.orderBy(col("df").desc, col("token"))
-    val qterms = df.orderBy(col("df").desc, col("token")).limit(QueryRanks.max)
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank").isin(QueryRanks.map(Integer.valueOf): _*))
-      .select(col("token"), col("df"))
-    Parts(tf, dl, stats, df, qterms)
+    partsFrom(tf, dl)
   }
 
   /** Top-[[TopK]] documents of `scored` per-(doc, term) rows. */
@@ -141,6 +161,45 @@ object Retrieval {
       SELECT row_number() OVER (ORDER BY score_x1000 DESC, doc_id) AS rank,
              doc_id, terms_hit, CAST(score_x1000 AS BIGINT) AS score_x1000
       FROM perdoc ORDER BY rank""")
+  }
+
+  /** BM25 served off MAINTAINED state — the [[bm25]] ranking re-derived
+    * with zero corpus rescans from what
+    * [[graft.streaming.SearchStream]]'s ingest path maintains: LSM index
+    * segments (postings), the additive df/dl stat tables and the 2-row
+    * corpus counter table. The corpus arrives as FOUR doc batches with a
+    * segment cap of 3, so the ranking is served ACROSS a compaction
+    * (retired segments + a merged one) — and the oracle is [[bm25]]'s
+    * corpus-scan SQL verbatim: hash equality proves
+    * maintained-and-compacted serving ≡ the relational truth.
+    *
+    * Scale: ingest cost ∝ batch (segment write + three tile-local
+    * folds); serve cost ∝ candidates (per-term pruned segment lookups,
+    * candidate-tile dl reads, one broadcast stats row). The only
+    * corpus-RELATION pass at query time is the TakeOrdered over the df
+    * table that FORMULATES the deterministic 3-term query — a real
+    * engine takes user terms and skips it.
+    */
+  val bm25Maintained: GraftQuery = new GraftQuery {
+    val name = "search_bm25_maintained"
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_searchstream_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val r = root(sfDir)
+      SnapshotDiff.rmTree(r)
+      (0 until 4).foreach { b =>
+        graft.streaming.SearchStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b), b + 1L, r,
+          maxSegments = 3)
+      }
+      graft.streaming.SearchStream.serve(spark, r).get
+    }
+
+    def oracle: Option[String] = bm25.oracle
   }
 
   /** Per-list depth feeding the fusion; fusion output stays [[TopK]]. */
@@ -329,6 +388,6 @@ object Retrieval {
       FROM hits ORDER BY rank""")
   }
 
-  val all: Seq[GraftQuery] = Seq(bm25, hybridRrf, phrase)
+  val all: Seq[GraftQuery] = Seq(bm25, bm25Maintained, hybridRrf, phrase)
 }
 
