@@ -294,7 +294,102 @@ object CorpusStats {
     def oracle: Option[String] = divergence.oracle
   }
 
+  /** Vocabulary-growth curve (Heaps' law, Herdan 1960): distinct types
+    * vs corpus size across ten arrival-order slices — the
+    * tokenizer/corpus-health diagnostic read before committing a vocab
+    * budget (a curve that refuses to flatten means OCR garble or
+    * boilerplate churn is minting fake types; one that flattens too
+    * early means the corpus is saturating and more data buys no
+    * coverage). Slices are doc-id ranges (arrival order is the id
+    * order); every boundary is exact integer math mirrored by the
+    * oracle: `decile = (doc_id - mn) * 10 div span`.
+    *
+    * Scale shape: a token's FIRST occurrence is `min(doc_id)` per token
+    * — ONE map-side-combinable aggregation over the session-shared tf
+    * relation ([[Retrieval.sharedTf]] — the same cached tokenize-explode
+    * the search family reads), so the whole curve costs one extra
+    * token-keyed shuffle over what BM25 already paid. Everything after
+    * is decile-keyed 10-row frames; the cumulative window runs over ≤10
+    * rows (scale-free). The id-span bounds ride one broadcast row — at
+    * 100 TB they come free from snapshot min/max stats.
+    */
+  /** [[vocabGrowth]]'s body over any (doc_id, text) frame and its
+    * (token, doc_id, tf) relation — fixture-testable.
+    */
+  private[graft] def vocabGrowthOf(docs: DataFrame, tf: DataFrame): DataFrame = {
+      val bounds = docs.agg(min(col("doc_id")).as("mn"),
+        (max(col("doc_id")) - min(col("doc_id")) + lit(1L)).as("span"))
+      val docsPerDec = docs.crossJoin(broadcast(bounds))
+        .select(expr("((doc_id - mn) * 10) div span").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("docs"))
+      val tokPerDec = tf.crossJoin(broadcast(bounds))
+        .select(expr("((doc_id - mn) * 10) div span").as("decile"), col("tf"))
+        .groupBy(col("decile")).agg(sum(col("tf")).as("tokens"))
+      val newTypes = tf.groupBy(col("token"))
+        .agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(bounds))
+        .select(expr("((fd - mn) * 10) div span").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      // 10-row spine: the cumulative window is scale-free by construction
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docsPerDec
+        .join(tokPerDec, Seq("decile"), "left")
+        .join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("docs"),
+          coalesce(col("tokens"), lit(0L)).as("tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("docs_cum", sum(col("docs")).over(w))
+        .withColumn("tokens_cum", sum(col("tokens")).over(w))
+        .withColumn("vocab_cum", sum(col("new_types")).over(w))
+        .orderBy(col("decile"))
+  }
+
+  val vocabGrowth: GraftQuery = new GraftQuery {
+    val name = "vocab_growth"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      vocabGrowthOf(Tables.load(spark, sfDir, "documents"),
+        Retrieval.sharedTf(spark, sfDir))
+
+    def oracle: Option[String] = Some(duckToksCte + """
+      , ex AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+      bounds AS (
+        SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span
+        FROM documents),
+      dd AS (
+        SELECT ((doc_id - mn) * 10) // span AS decile
+        FROM documents CROSS JOIN bounds),
+      docs AS (SELECT decile, count(*) AS docs FROM dd GROUP BY 1),
+      tok AS (
+        SELECT ((doc_id - mn) * 10) // span AS decile, count(*) AS tokens
+        FROM ex CROSS JOIN bounds GROUP BY 1),
+      firsts AS (SELECT token, min(doc_id) AS fd FROM ex GROUP BY 1),
+      nt AS (
+        SELECT ((fd - mn) * 10) // span AS decile, count(*) AS new_types
+        FROM firsts CROSS JOIN bounds GROUP BY 1),
+      spine AS (
+        SELECT docs.decile, docs.docs,
+               coalesce(tok.tokens, 0) AS tokens,
+               coalesce(nt.new_types, 0) AS new_types
+        FROM docs
+        LEFT JOIN tok USING (decile)
+        LEFT JOIN nt USING (decile))
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(docs AS BIGINT) AS docs,
+             CAST(tokens AS BIGINT) AS tokens,
+             CAST(new_types AS BIGINT) AS new_types,
+             CAST(sum(docs) OVER wc AS BIGINT) AS docs_cum,
+             CAST(sum(tokens) OVER wc AS BIGINT) AS tokens_cum,
+             CAST(sum(new_types) OVER wc AS BIGINT) AS vocab_cum
+      FROM spine
+      WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+      ORDER BY decile""")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(collocations, vocabCoverage, collocationsStream, divergence,
-      divergenceStream)
+    Seq(collocations, vocabCoverage, vocabGrowth, collocationsStream,
+      divergence, divergenceStream)
 }

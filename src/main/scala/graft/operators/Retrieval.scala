@@ -98,15 +98,20 @@ object Retrieval {
     Parts(tf, dl, stats, df, queryTerms(df))
   }
 
-  private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    // SHARED per session (the docVectors/trainedCells discipline): both
-    // search queries and the spec's index-served path read the same
-    // corpus-wide tokenize-explode derivations — per-query persist would
-    // rescan the corpus once per caller
-    val tf = graft.CacheRegistry.shared(s"bm25tf:$sfDir") {
-      termFreqs(docs)
+  /** The corpus term-frequency relation, SHARED per session (the
+    * docVectors/trainedCells discipline): every consumer of the
+    * corpus-wide tokenize-explode — the search queries, the spec's
+    * index-served path, [[CorpusStats]]'s vocabulary diagnostics — reads
+    * one cached derivation; per-query persist would rescan the corpus
+    * once per caller.
+    */
+  private[graft] def sharedTf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"bm25tf:$sfDir") {
+      termFreqs(Tables.load(spark, sfDir, "documents"))
     }
+
+  private[graft] def parts(spark: SparkSession, sfDir: String): Parts = {
+    val tf = sharedTf(spark, sfDir)
     // doc length = sum of its term frequencies — derived off the cached tf
     val dl = graft.CacheRegistry.shared(s"bm25dl:$sfDir") {
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

@@ -80,4 +80,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("s2") > out("s0"), s"$out")
     CacheRegistry.clear()
   }
+
+  test("vocab growth: partition laws and a planted saturation curve") {
+    // 20 docs, ids 0..19 -> decile d covers ids {2d, 2d+1}. First half
+    // mints two fresh types per doc; second half repeats a closed
+    // vocabulary: the curve must saturate exactly at the half mark.
+    val docs = (0L until 20L).map { i =>
+      val text = if (i < 10) s"t${2 * i} t${2 * i + 1} common"
+                 else "common filler filler"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowthOf(docs,
+        graft.operators.Retrieval.termFreqs(docs))
+      .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("docs"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("new_types"),
+        r.getAs[Long]("docs_cum"), r.getAs[Long]("tokens_cum"),
+        r.getAs[Long]("vocab_cum")))
+    assert(out.map(_._1).toSeq == (0L until 10L).toSeq, s"${out.toSeq}")
+    assert(out.forall(_._2 == 2L), "two docs per decile")
+    // partition laws: per-decile columns sum to the corpus totals, and
+    // the cumulative columns end on them
+    assert(out.map(_._4).sum == 22L, "20 minted types + common + filler")
+    assert(out.last._5 == 20L && out.last._7 == 22L)
+    assert(out.map(_._3).sum == out.last._6)
+    // saturation: deciles 0-4 mint (2 types per doc; decile 0 also mints
+    // 'common'), decile 5 mints only 'filler', 6-9 mint nothing
+    assert(out(0)._4 == 5L && (1 to 4).forall(out(_)._4 == 4L),
+      s"${out.toSeq}")
+    assert(out(5)._4 == 1L && (6 to 9).forall(out(_)._4 == 0L),
+      s"${out.toSeq}")
+    CacheRegistry.clear()
+  }
 }
