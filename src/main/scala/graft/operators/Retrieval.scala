@@ -393,6 +393,110 @@ object Retrieval {
       FROM hits ORDER BY rank""")
   }
 
-  val all: Seq[GraftQuery] = Seq(bm25, bm25Maintained, hybridRrf, phrase)
+  /** Snippet half-width in tokens and how many hits get one. */
+  private val SnipW = 3
+  private val SnipDocs = 5
+
+  /** KWIC (keyword-in-context) snippet extraction — the result-page step
+    * after ranking: for the top-[[SnipDocs]] BM25 documents, the
+    * ±[[SnipW]]-token window around the document's EARLIEST query-term
+    * occurrence (min position over all three query terms — deterministic,
+    * and every ranked document has one by construction of the ranking).
+    *
+    * Scale shape: only the ≤[[SnipDocs]] winning documents are ever
+    * re-tokenized — the position pass runs behind a BROADCAST semi-join
+    * on the winner ids (at 100 TB the same five lookups ride the
+    * positional index / doc store instead of a pruned scan); anchors and
+    * windows are then candidate-sized joins. The window reassembles with
+    * sort_array over ≤2·[[SnipW]]+1 collected (pos, token) structs per
+    * doc — bounded, never corpus-sized; the lambda touches only its
+    * bound variable (the PLANS.md lambda-capture rule).
+    */
+  /** [[snippets]]' windowing body over any (doc_id, text) frame, a
+    * (doc_id, rank) winner frame and a query-term frame —
+    * fixture-testable (window clipping at document edges).
+    */
+  private[graft] def snippetsFor(docs: DataFrame, top: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val pos = docs.join(broadcast(top.select(col("doc_id"), col("rank"))),
+        "doc_id")
+      .select(col("doc_id"), col("rank"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val anchors = pos
+      .join(broadcast(qterms.select(col("token"))), "token")
+      .groupBy(col("doc_id")).agg(min(col("pos")).as("anchor_pos"))
+    pos.join(broadcast(anchors), "doc_id")
+      .filter(col("pos").between(
+        col("anchor_pos") - SnipW, col("anchor_pos") + SnipW))
+      .groupBy(col("doc_id"), col("rank"), col("anchor_pos"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("snippet"))
+      .select(col("rank"), col("doc_id"),
+        col("anchor_pos").cast("long").as("anchor_pos"), col("snippet"))
+      .orderBy(col("rank"))
+  }
+
+  val snippets: GraftQuery = new GraftQuery {
+    val name = "search_snippets"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val p = parts(spark, sfDir)
+      val top = topDocs(bm25Scores(p.tf, p.qterms, p.dl, p.stats))
+        .filter(col("rank") <= SnipDocs)
+      snippetsFor(Tables.load(spark, sfDir, "documents"), top, p.qterms)
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , ex AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      qterms AS (
+        SELECT token, df FROM (
+          SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS qrank
+          FROM df) WHERE qrank IN (${QueryRanks.mkString(", ")})),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc AS (
+        SELECT doc_id, sum(term_score_x1000) AS score_x1000
+        FROM scored GROUP BY 1
+        ORDER BY score_x1000 DESC, doc_id LIMIT $TopK),
+      top AS (
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY score_x1000 DESC, doc_id) AS rank,
+                 doc_id
+          FROM perdoc) WHERE rank <= $SnipDocs),
+      pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws))) - 1 AS pos,
+               unnest(list_transform(generate_series(1, len(ws)), d -> ws[d])) AS token
+        FROM toks WHERE doc_id IN (SELECT doc_id FROM top)),
+      anchors AS (
+        SELECT doc_id, min(pos) AS anchor_pos
+        FROM pos JOIN qterms USING (token) GROUP BY 1),
+      snips AS (
+        SELECT p.doc_id, string_agg(p.token, ' ' ORDER BY p.pos) AS snippet
+        FROM pos p JOIN anchors a
+          ON p.doc_id = a.doc_id
+         AND p.pos BETWEEN a.anchor_pos - $SnipW AND a.anchor_pos + $SnipW
+        GROUP BY 1)
+      SELECT t.rank, t.doc_id, CAST(a.anchor_pos AS BIGINT) AS anchor_pos,
+             s.snippet
+      FROM top t
+      JOIN anchors a USING (doc_id)
+      JOIN snips s USING (doc_id)
+      ORDER BY t.rank""")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(bm25, bm25Maintained, hybridRrf, phrase, snippets)
 }
 

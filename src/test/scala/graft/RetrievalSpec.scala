@@ -94,6 +94,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("snippets: earliest query-term anchor, edge-clipped windows, exact text") {
+    import spark.implicits._
+    val docs = Seq(
+      // anchor at pos 1 -> left edge clips the window to [0, 4]
+      0L -> "alpha hit one two three four five six",
+      // two query terms; the EARLIEST (pos 2, 'hit') anchors, full window
+      1L -> "pad pad hit mid aim end seven eight nine",
+      // anchor at the last position -> right edge clips to [4, 7]
+      2L -> "a b c d e f g aim").toDF("doc_id", "text")
+    val top = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("doc_id", "rank")
+    val qterms = Seq("hit", "aim").toDF("token")
+    val out = Retrieval.snippetsFor(docs, top, qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, "alpha hit one two three"),
+      (2L, 1L, 2L, "pad pad hit mid aim end"),
+      (3L, 2L, 7L, "e f g aim")), s"${out.toSeq}")
+    CacheRegistry.clear()
+  }
+
   test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
     try {
       val out = Retrieval.bm25.run(spark, sf).collect()
