@@ -204,7 +204,19 @@ object LsmIndex {
   private[graft] def applyDocBatch(batch: DataFrame, batchId: Long,
       root: String, maxSegments: Int = MaxSegments): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
+    val post = InvertedIndex.keyedPostings(batch).persist()
+    try applyPostings(post, batchId, root, maxSegments)
+    finally { post.unpersist(blocking = false); () }
+  }
+
+  /** [[applyDocBatch]] from an already-derived (and ideally persisted)
+    * keyed-postings frame — callers that fold the same batch's postings
+    * into sibling tables ([[graft.streaming.SearchStream]]) tokenize
+    * ONCE and share the frame.
+    */
+  private[graft] def applyPostings(post: DataFrame, batchId: Long,
+      root: String, maxSegments: Int = MaxSegments): Unit = {
+    val spark = post.sparkSession
     val live = liveSegments(root)
     // fresh-checkpoint guard: batch ids only move forward per manifest
     val maxSeen = live.flatMap(s =>
@@ -223,13 +235,10 @@ object LsmIndex {
     // no-op — re-publishing or re-adding would double-count them and
     // the ledger GC would later delete a manifest-referenced directory
     if (isRetired(root, seg)) return
-    if (SnapshotTable.latestVersion(segRoot).isEmpty) {
-      val post = InvertedIndex.keyedPostings(batch).persist()
-      try SnapshotTable.publish(post, segRoot, "v1",
+    if (SnapshotTable.latestVersion(segRoot).isEmpty)
+      SnapshotTable.publish(post, segRoot, "v1",
         statsCols = Seq("tok_doc"),
         clusterFiles = Some(InvertedIndex.tileCountFor(post.count())))
-      finally { post.unpersist(blocking = false); () }
-    }
     // locked read-modify-write: a concurrent compaction's swap can no
     // longer unsee this add (and vice versa) — the manifest re-reads
     // inside the lock, and the tombstone check re-runs there too (a

@@ -172,8 +172,8 @@ object Retrieval {
     * with zero corpus rescans from what
     * [[graft.streaming.SearchStream]]'s ingest path maintains: LSM index
     * segments (postings), the additive df/dl stat tables and the 2-row
-    * corpus counter table. The corpus arrives as FOUR doc batches with a
-    * segment cap of 3, so the ranking is served ACROSS a compaction
+    * corpus counter table. The corpus arrives as THREE doc batches with
+    * a segment cap of 2, so the ranking is served ACROSS a compaction
     * (retired segments + a merged one) — and the oracle is [[bm25]]'s
     * corpus-scan SQL verbatim: hash equality proves
     * maintained-and-compacted serving ≡ the relational truth.
@@ -196,10 +196,17 @@ object Retrieval {
       val docs = Tables.load(spark, sfDir, "documents")
       val r = root(sfDir)
       SnapshotDiff.rmTree(r)
-      (0 until 4).foreach { b =>
+      // CONTIGUOUS id ranges, not pmod stripes: arrival order is id
+      // order, so each batch's `l:` keys append to the stat table's
+      // tail tiles instead of scattering a rewrite across every tile
+      val Array(mn, mx) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      (0 until 3).foreach { b =>
         graft.streaming.SearchStream.applyBatch(
-          docs.filter(pmod(col("doc_id"), lit(4)) === b), b + 1L, r,
-          maxSegments = 3)
+          docs.filter(col("doc_id") >= mn + b * span / 3 &&
+            col("doc_id") < mn + (b + 1) * span / 3), b + 1L, r,
+          maxSegments = 2)
       }
       graft.streaming.SearchStream.serve(spark, r).get
     }

@@ -64,17 +64,17 @@ class SearchStreamSpec extends SparkSpec {
         s"after batch ${i + 1} the served ranking must equal the rebuild")
       graft.CacheRegistry.clear()
     }
-    // replay of the last batch: served ranking and stat tables unchanged
+    // replay of the last batch: served ranking and the stat table unchanged
     val before = rows(SearchStream.serve(spark, root).get)
-    val dfBefore = SnapshotTable.read(spark, SearchStream.dfRoot(root)).get
-      .collect().map(_.toString).sorted.toSeq
+    val statsBefore = SnapshotTable.read(spark, SearchStream.statsRoot(root))
+      .get.collect().map(_.toString).sorted.toSeq
     SearchStream.applyBatch(docsOf(batches.last), batches.size.toLong, root,
       maxSegments = 2)
     assert(rows(SearchStream.serve(spark, root).get) == before,
       "a replayed batch must serve the identical ranking")
-    assert(SnapshotTable.read(spark, SearchStream.dfRoot(root)).get
-      .collect().map(_.toString).sorted.toSeq == dfBefore,
-      "a replayed batch must not double-count document frequencies")
+    assert(SnapshotTable.read(spark, SearchStream.statsRoot(root)).get
+      .collect().map(_.toString).sorted.toSeq == statsBefore,
+      "a replayed batch must not double-count the maintained statistics")
     graft.CacheRegistry.clear()
   }
 
@@ -83,10 +83,8 @@ class SearchStreamSpec extends SparkSpec {
     fixtureRows.grouped(8).zipWithIndex.foreach { case (b, i) =>
       SearchStream.applyBatch(docsOf(b.toSeq), i.toLong + 1, root)
     }
-    // stats wiped, index surviving: the LSM guard fires
-    val statsWiped = Seq(SearchStream.dfRoot(root), SearchStream.dlRoot(root),
-      SearchStream.aggRoot(root))
-    statsWiped.foreach(graft.operators.SnapshotDiff.rmTree)
+    // stats wiped, index surviving
+    graft.operators.SnapshotDiff.rmTree(SearchStream.statsRoot(root))
     val e1 = intercept[IllegalArgumentException] {
       SearchStream.applyBatch(docsOf(fixtureRows.take(3)), 1L, root)
     }
