@@ -400,6 +400,114 @@ object Retrieval {
       FROM hits ORDER BY rank""")
   }
 
+  /** Batched-query panel: [[MultiQ]] queries of three df-ranked terms
+    * each (base ranks shifted by query id — overlapping term sets across
+    * queries by construction, exercising the one-posting-row-feeds-many-
+    * queries join), top-[[MultiTopK]] documents per query.
+    */
+  private val MultiQ = 5
+  private val MultiBaseRanks = Seq(8, 16, 24)
+  private val MultiTopK = 10
+  private val MultiSalt = 16
+
+  /** Batched multi-query BM25 — the OFFLINE shape of retrieval: a
+    * training pipeline scores a whole query panel in one pass over the
+    * postings (hard-negative mining for retriever training, relevance
+    * labeling, eval-set construction), not one query at a time. All
+    * [[MultiQ]] queries ride ONE broadcast (qid, token, df) frame into
+    * the same single postings join — a posting row fans out only to the
+    * queries containing its term — and the per-query top-k is the EXACT
+    * two-phase form: a (qid, doc_id-salt) local top-[[MultiTopK]] bounds
+    * every final window partition to salt·k rows BEFORE the per-qid
+    * ranking (a global-top-k member is top-k within its salt bucket, so
+    * the prune is lossless), which is what keeps a query whose terms
+    * match half the corpus from funnelling its whole candidate set
+    * through one window partition at 100 TB.
+    */
+  /** Exact two-phase per-query top-k over (qid, doc_id, ..., score)
+    * rows: a (qid, doc_id-salt-bucket) local top-k bounds every final
+    * window partition to salt·k rows before the per-qid ranking. The
+    * prune is lossless — a global top-k member is top-k within its own
+    * salt bucket — so `salt = 1` (the plain single-window form) returns
+    * the identical frame; the spec pins that equality.
+    */
+  private[graft] def topKPerQuery(perDoc: DataFrame, k: Int,
+      salt: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("qid"), pmod(col("doc_id"), lit(salt)))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+    val pruned = perDoc.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k).drop("r1")
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid") +: col("rank") +:
+        perDoc.columns.filter(c => c != "qid").map(col).toIndexedSeq: _*)
+  }
+
+  val bm25Multi: GraftQuery = new GraftQuery {
+    val name = "search_bm25_multi"
+
+    private val maxRank = MultiBaseRanks.max + MultiQ - 1
+    private val wantedPairs =
+      for { q <- 0 until MultiQ; r <- MultiBaseRanks } yield (q, r + q)
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val p = parts(spark, sfDir)
+      val wq = Window.orderBy(col("df").desc, col("token"))
+      val ranked = p.df.orderBy(col("df").desc, col("token")).limit(maxRank)
+        .withColumn("qrank", row_number().over(wq))
+      val wanted = wantedPairs.map { case (q, r) => (q.toLong, r) }
+        .toDF("qid", "qrank")
+      val qterms = ranked.join(broadcast(wanted), "qrank")
+        .select(col("qid"), col("token"), col("df"))
+      val perDoc = bm25Scores(p.tf, qterms, p.dl, p.stats)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("terms_hit"),
+          sum(col("term_score_x1000")).as("score_x1000"))
+      topKPerQuery(perDoc, MultiTopK, MultiSalt)
+        .orderBy(col("qid"), col("rank"))
+    }
+
+    def oracle: Option[String] = Some(duckToksCte + s"""
+      , ex AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      ranked AS (
+        SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS qrank
+        FROM (SELECT token, df FROM df ORDER BY df DESC, token LIMIT $maxRank)),
+      wanted AS (
+        SELECT * FROM (VALUES ${wantedPairs.map { case (q, r) => s"($q, $r)" }
+          .mkString(", ")}) t(qid, qrank)),
+      qterms AS (
+        SELECT wanted.qid, ranked.token, ranked.df
+        FROM ranked JOIN wanted USING (qrank)),
+      scored AS (
+        SELECT qterms.qid, tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc AS (
+        SELECT qid, doc_id, count(*) AS terms_hit,
+               sum(term_score_x1000) AS score_x1000
+        FROM scored GROUP BY 1, 2),
+      rnk AS (
+        SELECT qid, doc_id, terms_hit, score_x1000,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_x1000 DESC, doc_id) AS rank
+        FROM perdoc)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+             doc_id, CAST(terms_hit AS BIGINT) AS terms_hit,
+             CAST(score_x1000 AS BIGINT) AS score_x1000
+      FROM rnk WHERE rank <= $MultiTopK ORDER BY qid, rank""")
+  }
+
   /** Snippet half-width in tokens and how many hits get one. */
   private val SnipW = 3
   private val SnipDocs = 5
@@ -504,6 +612,6 @@ object Retrieval {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(bm25, bm25Maintained, hybridRrf, phrase, snippets)
+    Seq(bm25, bm25Maintained, bm25Multi, hybridRrf, phrase, snippets)
 }
 

@@ -115,6 +115,28 @@ class RetrievalSpec extends SparkSpec {
     CacheRegistry.clear()
   }
 
+  test("two-phase salted per-query top-k is lossless vs the single-window form") {
+    import spark.implicits._
+    // scores engineered so every query's global top-3 is concentrated in
+    // ONE salt bucket (doc_id ≡ 0 mod 16 for qid 0, ≡ 1 for qid 1): the
+    // local phase must keep them all, not k-per-bucket-starve them
+    val rows = for {
+      q <- 0L until 2L; d <- 0L until 64L
+    } yield (q, d, 1L, if (d % 16 == q) 1000L + d else d)
+    val perDoc = rows.toDF("qid", "doc_id", "terms_hit", "score_x1000")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val salted = Retrieval.topKPerQuery(perDoc, 3, 16)
+    val plain = Retrieval.topKPerQuery(perDoc, 3, 1)
+    assert(collect(salted) == collect(plain), "salted prune must be lossless")
+    assert(salted.count() == 6, "3 per query, 2 queries")
+    // and the winners are the planted hot bucket's top ids
+    val top0 = collect(salted).filter(_._1 == 0L).map(_._3)
+    assert(top0 == Set(48L, 32L, 16L), s"$top0")
+    CacheRegistry.clear()
+  }
+
   test("bm25 ranking is well-formed: dense ranks, descending scores, hits bounded") {
     try {
       val out = Retrieval.bm25.run(spark, sf).collect()
