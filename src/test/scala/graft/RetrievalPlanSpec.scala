@@ -69,4 +69,41 @@ class RetrievalPlanSpec extends SparkSpec {
         s"divergence grew a new data-wide shuffle: $shuffles exchanges")
     } finally CacheRegistry.clear()
   }
+
+  test("search_bm25_multi: the panel broadcasts, no sort-merge join") {
+    try {
+      val plan = executed("search_bm25_multi")
+      val nodes = unwrap(plan)
+      val names = nodes.map(_.getClass.getSimpleName)
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "the (qid, token) panel must reach the postings as a broadcast join")
+      assert(!names.exists(_.contains("SortMergeJoin")),
+        "no corpus-side sort-merge join in the panel scorer")
+      assert(!names.exists(_.contains("CartesianProduct")),
+        "stats must broadcast, never cartesian")
+    } finally CacheRegistry.clear()
+  }
+
+  test("search_snippets: winners prune the corpus scan via broadcast, no cartesian") {
+    try {
+      val plan = executed("search_snippets")
+      val names = unwrap(plan).map(_.getClass.getSimpleName)
+      assert(!names.exists(_.contains("SortMergeJoin")),
+        "the 5-winner and anchor frames must broadcast into the position pass")
+      assert(!names.exists(_.contains("CartesianProduct")),
+        "no cartesian anywhere in the snippet assembly")
+    } finally CacheRegistry.clear()
+  }
+
+  test("vocab_growth: one token-keyed shuffle beyond the shared tf derivation") {
+    try {
+      val plan = executed("vocab_growth")
+      val nodes = unwrap(plan)
+      val names = nodes.map(_.getClass.getSimpleName)
+      assert(!names.exists(_.contains("SortMergeJoin")),
+        "the 10-row decile frames must broadcast-join, never sort-merge")
+      assert(!names.exists(_.contains("CartesianProduct")),
+        "the bounds row must BROADCAST-nested-loop in, never CartesianProduct")
+    } finally CacheRegistry.clear()
+  }
 }
