@@ -316,17 +316,29 @@ object CorpusStats {
   /** [[vocabGrowth]]'s body over any (doc_id, text) frame and its
     * (token, doc_id, tf) relation — fixture-testable.
     */
-  private[graft] def vocabGrowthOf(docs: DataFrame, tf: DataFrame): DataFrame = {
-      val bounds = docs.agg(min(col("doc_id")).as("mn"),
+  private[graft] def vocabGrowthOf(docs: DataFrame, tf: DataFrame): DataFrame =
+    vocabGrowthFrom(docs.select(col("doc_id")),
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      tf.groupBy(col("token")).agg(min(col("doc_id")).as("fd")))
+
+  /** The growth-curve derivation from its three sufficient relations —
+    * doc ids, per-doc token counts `(doc_id, dl)` and per-token first
+    * occurrences `(token, fd)`. These are exactly what
+    * [[graft.streaming.VocabStream]] maintains incrementally (dl by
+    * count-fold, fd by MIN-fold), so the streamed report IS this
+    * derivation over maintained state.
+    */
+  private[graft] def vocabGrowthFrom(docIds: DataFrame, dl: DataFrame,
+      firsts: DataFrame): DataFrame = {
+      val bounds = docIds.agg(min(col("doc_id")).as("mn"),
         (max(col("doc_id")) - min(col("doc_id")) + lit(1L)).as("span"))
-      val docsPerDec = docs.crossJoin(broadcast(bounds))
+      val docsPerDec = docIds.crossJoin(broadcast(bounds))
         .select(expr("((doc_id - mn) * 10) div span").as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("docs"))
-      val tokPerDec = tf.crossJoin(broadcast(bounds))
-        .select(expr("((doc_id - mn) * 10) div span").as("decile"), col("tf"))
-        .groupBy(col("decile")).agg(sum(col("tf")).as("tokens"))
-      val newTypes = tf.groupBy(col("token"))
-        .agg(min(col("doc_id")).as("fd"))
+      val tokPerDec = dl.crossJoin(broadcast(bounds))
+        .select(expr("((doc_id - mn) * 10) div span").as("decile"), col("dl"))
+        .groupBy(col("decile")).agg(sum(col("dl")).as("tokens"))
+      val newTypes = firsts
         .crossJoin(broadcast(bounds))
         .select(expr("((fd - mn) * 10) div span").as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
@@ -389,7 +401,34 @@ object CorpusStats {
       ORDER BY decile""")
   }
 
+  /** The growth curve as a live ingest monitor: per-doc token counts
+    * maintain by count-fold, per-token FIRST occurrences by MIN-fold
+    * ([[graft.streaming.VocabStream]] — the second mergeable-aggregate
+    * class the IVM twins support), and the report re-derives through
+    * [[vocabGrowthFrom]] verbatim. Oracle = the batch query's SQL.
+    */
+  val vocabGrowthStream: GraftQuery = new GraftQuery {
+    val name = "vocab_growth_stream_maintained"
+
+    private def root(sfDir: String): String =
+      sys.props("java.io.tmpdir") + "/graft_vocabstream_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val r = root(sfDir)
+      SnapshotDiff.rmTree(r)
+      graft.streaming.VocabStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, r)
+      graft.streaming.VocabStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, r)
+      graft.streaming.VocabStream.liveCurve(spark, r).get
+    }
+
+    def oracle: Option[String] = vocabGrowth.oracle
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(collocations, vocabCoverage, vocabGrowth, collocationsStream,
-      divergence, divergenceStream)
+    Seq(collocations, vocabCoverage, vocabGrowth, vocabGrowthStream,
+      collocationsStream, divergence, divergenceStream)
 }

@@ -36,7 +36,27 @@ object AdditiveFold {
     */
   def foldInto(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
-      clusterFiles: Int, carried: Seq[String] = Nil): Unit = {
+      clusterFiles: Int, carried: Seq[String] = Nil): Unit =
+    foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
+      carried)((old, delta) => coalesce(old, lit(0L)) + delta)
+
+  /** MIN-fold: new = least(old, delta) — the second mergeable aggregate
+    * class the IVM twins need (per-token FIRST occurrence, earliest
+    * timestamp). Same exactly-once discipline as the count fold; min is
+    * associative/commutative/idempotent, so replays and re-merges are
+    * safe by algebra, not just by the version CAS.
+    */
+  def foldMinInto(deltas0: DataFrame, root: String, key: String,
+      deltaCnt: String, cnt: String, batchId: Long,
+      clusterFiles: Int, carried: Seq[String] = Nil): Unit =
+    foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
+      carried)((old, delta) => least(coalesce(old, delta), delta))
+
+  private def foldWith(deltas0: DataFrame, root: String, key: String,
+      deltaCnt: String, cnt: String, batchId: Long,
+      clusterFiles: Int, carried: Seq[String])(
+      combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): Unit = {
     val spark = deltas0.sparkSession
     val deltas = deltas0.persist()
     try {
@@ -51,7 +71,7 @@ object AdditiveFold {
               .select(col(key), col(cnt).as("__old")),
             Seq(key), "left")
           .select(keyAndCarried :+
-            (coalesce(col("__old"), lit(0L)) + col(deltaCnt)).as(cnt): _*)
+            combine(col("__old"), col(deltaCnt)).as(cnt): _*)
       }
       SnapshotTable.merge(updated, root, key, s"v$batchId",
         clusterFiles = Some(clusterFiles))

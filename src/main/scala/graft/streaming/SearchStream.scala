@@ -89,7 +89,13 @@ object SearchStream {
       .flatMap(s => "seg_(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong))
       .maxOption
     if (statHead.isEmpty && idxMax.nonEmpty)
-      require(idxMax.contains(batchId),
+      // the only legal fresh-stats state: a crash during the FIRST
+      // batch, after its segment add but before the stat fold — which
+      // leaves exactly ONE live segment, this batch's. A multi-segment
+      // index beside fresh stats is a wiped stat table even when the
+      // replayed id matches the newest segment.
+      require(idxMax.contains(batchId) &&
+          LsmIndex.liveSegments(indexRoot(root)).size == 1,
         s"SearchStream batch $batchId: the stat table under $root is " +
           s"fresh but the index has segments up to ${idxMax.get} — a " +
           "wiped stat table (fresh checkpoint against partial state); " +
