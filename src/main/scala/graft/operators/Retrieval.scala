@@ -199,15 +199,11 @@ object Retrieval {
       // CONTIGUOUS id ranges, not pmod stripes: arrival order is id
       // order, so each batch's `l:` keys append to the stat table's
       // tail tiles instead of scattering a rewrite across every tile
-      val Array(mn, mx) = docs.agg(min(col("doc_id")), max(col("doc_id")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = mx - mn + 1
-      (0 until 3).foreach { b =>
-        graft.streaming.SearchStream.applyBatch(
-          docs.filter(col("doc_id") >= mn + b * span / 3 &&
-            col("doc_id") < mn + (b + 1) * span / 3), b + 1L, r,
-          maxSegments = 2)
-      }
+      graft.streaming.SearchStream.contiguousBatches(docs, 3)
+        .zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.SearchStream.applyBatch(b, i + 1L, r,
+            maxSegments = 2)
+        }
       graft.streaming.SearchStream.serve(spark, r).get
     }
 
@@ -401,12 +397,14 @@ object Retrieval {
   }
 
   /** Batched-query panel: [[MultiQ]] queries of three df-ranked terms
-    * each (base ranks shifted by query id — overlapping term sets across
-    * queries by construction, exercising the one-posting-row-feeds-many-
-    * queries join), top-[[MultiTopK]] documents per query.
+    * each, base ranks shifted by query id. Base spacing (3) is SMALLER
+    * than [[MultiQ]], so term sets genuinely overlap across queries
+    * (rank 11 serves query 0's second slot AND query 3's first) — the
+    * one-posting-row-feeds-many-queries fan-out is exercised, not just
+    * plumbed. Top-[[MultiTopK]] documents per query.
     */
   private val MultiQ = 5
-  private val MultiBaseRanks = Seq(8, 16, 24)
+  private val MultiBaseRanks = Seq(8, 11, 14)
   private val MultiTopK = 10
   private val MultiSalt = 16
 

@@ -1459,12 +1459,21 @@ object SnapshotTable {
     */
   def readPruned(spark: SparkSession, root: String, column: String,
       lower: Any, upper: Any): Option[DataFrame] =
-    latestVersion(root).map { v =>
-      readStatsVersion(root, v) match {
-        case Some(stats) => readFiles(spark, root, v,
-          keptByRange(stats, column, lower, upper).map(_.file))
-        case None => readVersion(spark, root, v)
-      }
+    latestVersion(root).map(v =>
+      readPrunedVersion(spark, root, v, column, lower, upper))
+
+  /** [[readPruned]] against an explicit version — consumers that read a
+    * table several ways inside one derivation pin every read to ONE
+    * captured head instead of re-resolving `_LATEST` per call (a
+    * concurrent writer's commit between calls would otherwise mix
+    * versions within a single result).
+    */
+  def readPrunedVersion(spark: SparkSession, root: String, version: String,
+      column: String, lower: Any, upper: Any): DataFrame =
+    readStatsVersion(root, version) match {
+      case Some(stats) => readFiles(spark, root, version,
+        keptByRange(stats, column, lower, upper).map(_.file))
+      case None => readVersion(spark, root, version)
     }
 
   /** Dim point-lookup (reference: `RT/utils/DimUtil.java:22-27`, one

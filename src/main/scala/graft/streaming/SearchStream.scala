@@ -67,6 +67,22 @@ object SearchStream {
   private def dlKey(docId: org.apache.spark.sql.Column) =
     concat(lit("l:"), lpad(docId.cast("string"), 12, "0"))
 
+  /** Contiguous doc-id range batches — the realistic arrival order (new
+    * documents take new ids), which is also what keeps each batch's `l:`
+    * keys appending to the stat table's TAIL tiles instead of
+    * scattering a rewrite across every tile. Shared by the oracled
+    * query and the phase probe so both measure the same shape; the
+    * min/max bounds are one 1-row driver action.
+    */
+  def contiguousBatches(docs: DataFrame, n: Int): Seq[DataFrame] = {
+    val Array(mn, mx) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = mx - mn + 1
+    (0 until n).map(b => docs.filter(
+      col("doc_id") >= mn + b * span / n &&
+        col("doc_id") < mn + (b + 1) * span / n))
+  }
+
   def start(docs: DataFrame, root: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -146,20 +162,31 @@ object SearchStream {
     head <- SnapshotTable.latestVersion(statsRoot(root))
   } yield {
     val sr = statsRoot(root)
-    val qterms = Retrieval.queryTerms(
-      SnapshotTable.readPruned(spark, sr, "sk", "d:", "d;").get
-        .filter(col("sk").startsWith("d:"))
-        .select(col("token"), col("cnt").as("df")))
+    // every stat read pins to the ONE captured head — a concurrent
+    // ingest fold committing mid-serve must not mix versions within a
+    // single ranking (qterms/stats from v(n+1) against dl from vn)
+    // the ONE corpus-relation pass at query time: the d:-tile
+    // TakeOrdered that FORMULATES the 3-term query; the ≤3 collected
+    // rows re-emit as a LOCAL frame, so the scoring join's broadcast
+    // side costs no second tile read
+    val qtRows = Retrieval.queryTerms(
+        SnapshotTable.readPrunedVersion(spark, sr, head, "sk", "d:", "d;")
+          .filter(col("sk").startsWith("d:"))
+          .select(col("token"), col("cnt").as("df")))
+      .collect()
+    import spark.implicits._
+    val qterms = qtRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("token", "df")
     // avgdl via the SAME double-op sequence the corpus derivation uses
     // (long * 1.0 / long), so maintained scores are bit-equal
-    val stats = SnapshotTable.readPruned(spark, sr, "sk", "a:", "a;").get
+    val stats = SnapshotTable
+      .readPrunedVersion(spark, sr, head, "sk", "a:", "a;")
       .groupBy()
       .agg(max(when(col("sk") === "a:n_docs", col("cnt"))).as("n_docs"),
         max(when(col("sk") === "a:total_dl", col("cnt"))).as("total_dl"))
       .select(col("n_docs"),
         (col("total_dl") * lit(1.0) / col("n_docs")).as("avgdl"))
-    // the 3-term query: bounded driver-side collect by construction
-    val postings = qterms.select(col("token")).collect()
+    val postings = qtRows
       .map(r => LsmIndex.termLookup(spark, indexRoot(root), r.getString(0)))
       .reduceOption(_ unionByName _)
       .getOrElse(spark.range(0)

@@ -85,8 +85,16 @@ object VocabStream {
     }
     val post = InvertedIndex.postings(batch).persist()
     try {
-      AdditiveFold.foldInto(
-        post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      // the doc registry comes from the BATCH, not the postings: a
+      // token-less document (empty/punctuation-only text — exactly what
+      // an OCR-garble diagnostic must count) has no posting rows but is
+      // still a document of every slice, with dl = 0 (the batch query
+      // and its oracle count ALL documents rows)
+      val dlDeltas = batch.select(col("doc_id"))
+        .join(post.groupBy(col("doc_id")).agg(sum(col("tf")).as("__dl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
+      AdditiveFold.foldInto(dlDeltas,
         dlRoot(root), "doc_id", "dl", "dl", batchId, clusterFiles = 8)
       AdditiveFold.foldMinInto(
         post.groupBy(col("token")).agg(min(col("doc_id")).as("fd")),

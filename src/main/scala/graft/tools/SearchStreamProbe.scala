@@ -24,9 +24,6 @@ object SearchStreamProbe {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).persist()
     docs.count()
-    val Array(mn, mx) = docs.agg(min(col("doc_id")), max(col("doc_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = mx - mn + 1
     val root = sys.props("java.io.tmpdir") + "/graft_ssprobe"
     SnapshotDiff.rmTree(root)
 
@@ -38,20 +35,19 @@ object SearchStreamProbe {
 
     val rootB = sys.props("java.io.tmpdir") + "/graft_ssprobe_idxonly"
     SnapshotDiff.rmTree(rootB)
-    (0 until nBatches).foreach { b =>
-      val batch = docs.filter(col("doc_id") >= mn + b * span / nBatches &&
-        col("doc_id") < mn + (b + 1) * span / nBatches)
-      val n = batch.count()
-      val (_, iSec) = t(graft.operators.LsmIndex.applyDocBatch(
-        batch, b + 1L, rootB, maxSegments = 2))
-      val (_, sec) = t(SearchStream.applyBatch(batch, b + 1L, root,
-        maxSegments = 2))
-      println(f"""{"probe":"search_stream","phase":"ingest","batch":${b + 1},"docs":$n,"sec":$sec%.2f,"index_only_sec":$iSec%.2f}""")
+    SearchStream.contiguousBatches(docs, nBatches).zipWithIndex.foreach {
+      case (batch, b) =>
+        val n = batch.count()
+        val (_, iSec) = t(graft.operators.LsmIndex.applyDocBatch(
+          batch, b + 1L, rootB, maxSegments = 2))
+        val (_, sec) = t(SearchStream.applyBatch(batch, b + 1L, root,
+          maxSegments = 2))
+        println(f"""{"probe":"search_stream","phase":"ingest","batch":${b + 1},"docs":$n,"sec":$sec%.2f,"index_only_sec":$iSec%.2f}""")
     }
     val (out, sSec) = t(SearchStream.serve(spark, root).get.collect())
     println(f"""{"probe":"search_stream","phase":"serve","rows":${out.length},"sec":$sSec%.2f}""")
-    val (_, s2) = t(SearchStream.serve(spark, root).get.collect())
-    println(f"""{"probe":"search_stream","phase":"serve_warm","rows":${out.length},"sec":$s2%.2f}""")
+    val (warm, s2) = t(SearchStream.serve(spark, root).get.collect())
+    println(f"""{"probe":"search_stream","phase":"serve_warm","rows":${warm.length},"sec":$s2%.2f}""")
     spark.stop()
   }
 }

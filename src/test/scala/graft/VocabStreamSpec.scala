@@ -25,11 +25,14 @@ class VocabStreamSpec extends SparkSpec {
 
   // ids interleave across batches: 'late' first appears at id 9 in batch
   // 1, then at id 2 in batch 2 -> the maintained first-occurrence must
-  // DROP to 2 (least), not keep 9 (insert-only would)
+  // DROP to 2 (least), not keep 9 (insert-only would). Doc 6 is
+  // TOKEN-LESS (punctuation only): it has no postings but is still a
+  // document of its slice — the registry must count it (dl = 0).
   private val batch1 = Seq(
     1L -> "alpha beta gamma", 5L -> "alpha delta", 9L -> "late beta")
   private val batch2 = Seq(
-    0L -> "alpha epsilon", 2L -> "late zeta", 7L -> "beta gamma eta")
+    0L -> "alpha epsilon", 2L -> "late zeta", 6L -> "!!! ...",
+    7L -> "beta gamma eta")
 
   private def rows(df: DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
