@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact top principal component of the embedding table — the spectral
+  * stage an embedding pipeline runs before ANN (PCA whitening / OPQ-style
+  * rotation pick their axes from exactly this computation; an
+  * anisotropy check reads the same eigenvector). Everything is INTEGER
+  * math shared bit-for-bit with the DuckDB oracle:
+  *
+  *  1. coordinates floor to x1000 BIGINT (float→double widening is
+  *     exact, the double multiply is one IEEE op — identical in both
+  *     engines);
+  *  2. the SCATTER matrix S = n·Σxxᵀ − (Σx)(Σx)ᵀ (a positive multiple
+  *     of the covariance — same eigenvectors, no division anywhere)
+  *     accumulates in DECIMAL(38,0) / HUGEINT: exact, order-free;
+  *  3. S scales down to ≤1e9 magnitudes by one sign-preserving
+  *     truncating division (both engines floor the POSITIVE magnitude,
+  *     sidestepping the `div`-truncates-vs-`//`-floors divergence on
+  *     negatives);
+  *  4. [[Iters]] power-iteration steps from the all-ones vector,
+  *     renormalized each step to max|v| = 1e6 by the same
+  *     sign-preserving division — deterministic integer state, so the
+  *     converged direction AND its sign are engine-identical.
+  *
+  * Scale shape: the one data pass is the per-row outer product —
+  * `transform`-pair lambdas over the row's own floored array (persisted
+  * first: a collapsed projection would inline the floor-transform into
+  * the inner lambda and re-evaluate it d times per row, the PLANS.md
+  * lambda trap) exploded to (i, j, x·y) and partially aggregated
+  * map-side to d² cells per partition — cost n·d², the classic
+  * covariance pass, with NOTHING shuffled but d² partial sums. The
+  * eigen-solve itself is driver-side BigInt over the collected d²
+  * matrix (d = 64 → 4096 longs, the k-means-centers/perceptron-model
+  * bound class), never a distributed iteration over a 64-row vector.
+  */
+object EmbedPca {
+
+  private val CoordScale = 1000L
+  private val Iters = 4
+  private val VecScale = 1000000L
+  private val MatCap = 1000000000L
+
+  /** Sign-preserving truncating division — floor of the positive
+    * magnitude, negated back. Matches BigInt `/` and the SQL CASE form.
+    */
+  private def sdiv(a: BigInt, b: BigInt): BigInt = a / b
+
+  val pcaTop: GraftQuery = new GraftQuery {
+    val name = "embed_pca_top"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      // persisted BEFORE the pair lambdas: the cache boundary stops
+      // CollapseProject from inlining this transform into the inner
+      // lambda (which would re-run the floor pass d times per row)
+      val fx = graft.CacheRegistry.persist(emb.select(col("vec_id"),
+        expr(s"transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * $CoordScale) AS BIGINT))").as("fx")))
+      val n = fx.count()
+      val moments = fx.select(explode(expr(
+          "flatten(transform(fx, (x, i) -> transform(fx, (y, j) -> " +
+            "named_struct('i', i, 'j', j, 'xy', x * y))))")).as("p"))
+        .select(col("p.i"), col("p.j"), col("p.xy"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+        .collect()
+      val sums = fx.select(posexplode(col("fx")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(sum(col("x").cast("decimal(38,0)")).as("sx"))
+        .collect()
+      val d = sums.length
+      val sx = Array.ofDim[BigInt](d)
+      sums.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+      val s = Array.ofDim[BigInt](d, d)
+      moments.foreach { r =>
+        s(r.getInt(0))(r.getInt(1)) =
+          BigInt(n) * BigInt(r.getDecimal(2).toBigInteger) -
+            sx(r.getInt(0)) * sx(r.getInt(1))
+      }
+      val scale = s.flatten.map(_.abs).max / MatCap + 1
+      val sn = s.map(_.map(sdiv(_, scale)))
+      var v = Array.fill(d)(BigInt(VecScale))
+      (0 until Iters).foreach { _ =>
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => sn(i)(j) * v(j)).sum)
+        val m = w.map(_.abs).max
+        v = w.map(wi => sdiv(wi * VecScale, m))
+      }
+      import spark.implicits._
+      v.zipWithIndex.map { case (vi, i) => (i.toLong, vi.toLong) }.toSeq
+        .toDF("dim", "v_scaled").orderBy("dim")
+    }
+
+    def oracle: Option[String] = {
+      val sdivSql = (a: String, b: String) =>
+        s"CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+      val iterCtes = (1 to Iters).map { k =>
+        s"""
+      w$k AS (
+        SELECT sn.i, sum(sn.sn * v${k - 1}.v) AS w
+        FROM sn JOIN v${k - 1} ON v${k - 1}.i = sn.j GROUP BY 1),
+      m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+      v$k AS (
+        SELECT i, ${sdivSql(s"w * $VecScale", "m")} AS v
+        FROM w$k CROSS JOIN m$k)"""
+      }.mkString(",")
+      Some(s"""
+      WITH ex AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) - 1 AS i,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                 d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
+                      AS BIGINT))) AS xi
+        FROM embeddings),
+      mom AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(CAST(a.xi AS HUGEINT) * b.xi) AS sxy
+        FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+      sums AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM ex GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      s AS (
+        SELECT m.i, m.j, nn.n * m.sxy - si.sx * sj.sx AS s
+        FROM mom m
+        JOIN sums si ON si.i = m.i
+        JOIN sums sj ON sj.i = m.j
+        CROSS JOIN nn),
+      sc AS (SELECT max(abs(s)) // $MatCap + 1 AS scale FROM s),
+      sn AS (
+        SELECT i, j, ${sdivSql("s", "scale")} AS sn
+        FROM s CROSS JOIN sc),
+      v0 AS (SELECT i, CAST($VecScale AS HUGEINT) AS v FROM sums),
+      $iterCtes
+      SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled
+      FROM v$Iters ORDER BY dim""")
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(pcaTop)
+}
