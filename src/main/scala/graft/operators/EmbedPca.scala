@@ -48,10 +48,13 @@ object EmbedPca {
     */
   private def sdiv(a: BigInt, b: BigInt): BigInt = a / b
 
-  val pcaTop: GraftQuery = new GraftQuery {
-    val name = "embed_pca_top"
+  /** The solved model: the ≤1e9-scaled scatter matrix and the converged
+    * x1e6-normalized eigenvector — driver-side BigInt, d² + d values.
+    */
+  private[graft] final case class Model(sn: Array[Array[BigInt]],
+      v: Array[BigInt])
 
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def solve(spark: SparkSession, sfDir: String): Model = {
       val emb = Tables.load(spark, sfDir, "embeddings")
       // persisted BEFORE the pair lambdas: the cache boundary stops
       // CollapseProject from inlining this transform into the inner
@@ -89,16 +92,33 @@ object EmbedPca {
         val m = w.map(_.abs).max
         v = w.map(wi => sdiv(wi * VecScale, m))
       }
+      Model(sn, v)
+  }
+
+  val pcaTop: GraftQuery = new GraftQuery {
+    val name = "embed_pca_top"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val m = solve(spark, sfDir)
       import spark.implicits._
-      v.zipWithIndex.map { case (vi, i) => (i.toLong, vi.toLong) }.toSeq
+      m.v.zipWithIndex.map { case (vi, i) => (i.toLong, vi.toLong) }.toSeq
         .toDF("dim", "v_scaled").orderBy("dim")
     }
 
-    def oracle: Option[String] = {
-      val sdivSql = (a: String, b: String) =>
-        s"CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
-      val iterCtes = (1 to Iters).map { k =>
-        s"""
+    def oracle: Option[String] = Some(s"""$baseCtes
+      SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled
+      FROM v$Iters ORDER BY dim""")
+  }
+
+  private def sdivSql(a: String, b: String) =
+    s"CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+
+  /** The shared oracle pipeline: floored coordinates → scatter matrix →
+    * scaled matrix → power iterations, ending at CTE `v[[Iters]]`.
+    */
+  private def baseCtes: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      s"""
       w$k AS (
         SELECT sn.i, sum(sn.sn * v${k - 1}.v) AS w
         FROM sn JOIN v${k - 1} ON v${k - 1}.i = sn.j GROUP BY 1),
@@ -106,8 +126,8 @@ object EmbedPca {
       v$k AS (
         SELECT i, ${sdivSql(s"w * $VecScale", "m")} AS v
         FROM w$k CROSS JOIN m$k)"""
-      }.mkString(",")
-      Some(s"""
+    }.mkString(",")
+    s"""
       WITH ex AS (
         SELECT vec_id,
                unnest(generate_series(1, len(embedding))) - 1 AS i,
@@ -132,11 +152,52 @@ object EmbedPca {
         SELECT i, j, ${sdivSql("s", "scale")} AS sn
         FROM s CROSS JOIN sc),
       v0 AS (SELECT i, CAST($VecScale AS HUGEINT) AS v FROM sums),
-      $iterCtes
-      SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled
-      FROM v$Iters ORDER BY dim""")
-    }
+      $iterCtes"""
   }
 
-  val all: Seq[GraftQuery] = Seq(pcaTop)
+  /** Anisotropy = the top eigenvalue's share of total variance,
+    * x1e6-floored — the representation-collapse diagnostic (an
+    * embedding space whose λmax/Σλ approaches 1 has collapsed to a
+    * line; a healthy space spreads variance). Computed on the SCALED
+    * matrix by the exact integer Rayleigh quotient
+    * floor(vᵀSnv · 1e6 / (vᵀv · tr(Sn))) — Sn and v are the
+    * engine-identical artifacts of [[solve]], so the score matches
+    * bit-for-bit even though Sn carries the (shared, deterministic)
+    * scale-down truncation. `top_dim` = argmax |v| (lowest dim on
+    * ties) rides along for the one-look read.
+    */
+  val anisotropy: GraftQuery = new GraftQuery {
+    val name = "embed_anisotropy"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val m = solve(spark, sfDir)
+      val d = m.v.length
+      val vsv = (for { i <- 0 until d; j <- 0 until d }
+        yield m.v(i) * m.sn(i)(j) * m.v(j)).sum
+      val vv = m.v.map(x => x * x).sum
+      val tr = (0 until d).map(i => m.sn(i)(i)).sum
+      val score = (vsv * BigInt(1000000)) / (vv * tr)
+      val topDim = m.v.zipWithIndex
+        .maxBy { case (x, i) => (x.abs, BigInt(-i)) }._2
+      import spark.implicits._
+      Seq((score.toLong, topDim.toLong))
+        .toDF("anisotropy_x1e6", "top_dim")
+    }
+
+    def oracle: Option[String] = Some(s"""$baseCtes,
+      ray AS (
+        SELECT sum(va.v * sn.sn * vb.v) AS vsv
+        FROM sn
+        JOIN v$Iters va ON va.i = sn.i
+        JOIN v$Iters vb ON vb.i = sn.j),
+      vv AS (SELECT sum(v * v) AS vv FROM v$Iters),
+      tr AS (SELECT sum(sn) AS tr FROM sn WHERE i = j),
+      top AS (SELECT i FROM v$Iters ORDER BY abs(v) DESC, i LIMIT 1)
+      SELECT CAST((ray.vsv * 1000000) // (vv.vv * tr.tr) AS BIGINT)
+               AS anisotropy_x1e6,
+             CAST(top.i AS BIGINT) AS top_dim
+      FROM ray CROSS JOIN vv CROSS JOIN tr CROSS JOIN top""")
+  }
+
+  val all: Seq[GraftQuery] = Seq(pcaTop, anisotropy)
 }

@@ -43,5 +43,18 @@ class EmbedPcaSpec extends SparkSpec {
     assert(math.abs(out(0L)) < 100000L && math.abs(out(2L)) < 100000L,
       s"noise dims must stay an order below the peak: $out")
     CacheRegistry.clear()
+    // the same collapsed fixture scores near-total anisotropy (λmax/Σλ
+    // → 1e6 at the x1e6 floor scale); the real fixture corpus spreads
+    // its variance and scores two orders below
+    val aniso = SparkEntry.queries("embed_anisotropy")(spark, dir)
+      .collect().head
+    assert(aniso.getLong(0) > 990000L && aniso.getLong(1) == 1L,
+      s"collapsed space must score ~1e6 on its axis: $aniso")
+    CacheRegistry.clear()
+    val corpus = SparkEntry.queries("embed_anisotropy")(spark, sf)
+      .collect().head
+    assert(corpus.getLong(0) < 200000L,
+      s"the fixture corpus is not collapsed: $corpus")
+    CacheRegistry.clear()
   }
 }
