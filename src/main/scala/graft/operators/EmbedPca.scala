@@ -54,7 +54,23 @@ object EmbedPca {
   private[graft] final case class Model(sn: Array[Array[BigInt]],
       v: Array[BigInt])
 
-  private[graft] def solve(spark: SparkSession, sfDir: String): Model = {
+  /** Per-sfDir model memo: both queries (and any future whitening
+    * consumer) pay the n·d² scatter pass ONCE per session — the solve
+    * is a pure function of the fixture table, so the memo is safe for
+    * the fixed-fixture Verify/Bench sessions it serves (a regenerated
+    * fixture under the SAME path needs a new session, like every other
+    * shared derivation).
+    */
+  private val solved =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  private[graft] def solve(spark: SparkSession, sfDir: String): Model =
+    solved.computeIfAbsent(sfDir, _ => solveUncached(spark, sfDir))
+
+  /** The real computation — exposed so the determinism spec can rerun
+    * it for REAL (asserting through the memo would be vacuous).
+    */
+  private[graft] def solveUncached(spark: SparkSession, sfDir: String): Model = {
       val emb = Tables.load(spark, sfDir, "embeddings")
       // persisted BEFORE the pair lambdas: the cache boundary stops
       // CollapseProject from inlining this transform into the inner

@@ -16,9 +16,10 @@ class EmbedPcaSpec extends SparkSpec {
     assert(out.values.map(math.abs).max == 1000000L,
       s"max |v| must be the 1e6 normalization: ${out.values.toSeq.sortBy(-_).take(3)}")
     CacheRegistry.clear()
-    // determinism: a rerun is bit-identical
-    val again = SparkEntry.queries("embed_pca_top")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // determinism: an UNCACHED re-solve (not the per-sfDir memo, which
+    // would make this vacuous) is bit-identical
+    val again = EmbedPca.solveUncached(spark, sf).v.zipWithIndex
+      .map { case (v, i) => i.toLong -> v.toLong }.toMap
     assert(again == out, "power iteration must be exactly deterministic")
     CacheRegistry.clear()
   }
