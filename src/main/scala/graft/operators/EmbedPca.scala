@@ -106,6 +106,12 @@ object EmbedPca {
         val w = Array.tabulate(d)(i =>
           (0 until d).map(j => sn(i)(j) * v(j)).sum)
         val m = w.map(_.abs).max
+        // loud, engine-symmetric failure on a zero-variance table (all
+        // vectors identical -> S = 0 -> no principal direction exists);
+        // the oracle's integer division would silently NULL instead
+        require(m > 0,
+          "embed_pca: zero-variance embedding table (all vectors " +
+            "identical) has no principal direction")
         v = w.map(wi => sdiv(wi * VecScale, m))
       }
       Model(sn, v)
@@ -144,17 +150,23 @@ object EmbedPca {
         FROM w$k CROSS JOIN m$k)"""
     }.mkString(",")
     s"""
-      WITH ex AS (
-        SELECT vec_id,
+      WITH base AS (
+        -- pairing key = a synthesized per-ROW id, NOT vec_id: the Spark
+        -- side pairs coordinates within each physical row, so the
+        -- oracle must too (a duplicated or NULL vec_id would otherwise
+        -- cross-pair rows in the self-join and diverge)
+        SELECT row_number() OVER () AS rid, embedding FROM embeddings),
+      ex AS (
+        SELECT rid,
                unnest(generate_series(1, len(embedding))) - 1 AS i,
                unnest(list_transform(generate_series(1, len(embedding)),
                  d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
                       AS BIGINT))) AS xi
-        FROM embeddings),
+        FROM base),
       mom AS (
         SELECT a.i AS i, b.i AS j,
                sum(CAST(a.xi AS HUGEINT) * b.xi) AS sxy
-        FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+        FROM ex a JOIN ex b USING (rid) GROUP BY 1, 2),
       sums AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM ex GROUP BY 1),
       nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
       s AS (
