@@ -22,10 +22,25 @@ trait GraftQuery {
 }
 
 object GraftQuery {
+  /** Duplicate names must fail LOUDLY: `toMap` keeps the last entry, so a
+    * new query that reuses an existing name would silently SHADOW the old
+    * one — the whole gate still passes while one query quietly stops
+    * being verified (caught live: a second `embed_outliers` dropped the
+    * ClusterCurate one and the 170-query run reported 169 greens with no
+    * error anywhere).
+    */
+  private def requireUnique(qs: Seq[GraftQuery]): Seq[GraftQuery] = {
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names would shadow each other: ${dups.mkString(", ")}")
+    qs
+  }
+
   /** Assemble the SparkEntry maps from a list of queries. */
   def queryMap(qs: Seq[GraftQuery]): Map[String, (SparkSession, String) => DataFrame] =
-    qs.map(q => q.name -> ((s: SparkSession, d: String) => q.run(s, d))).toMap
+    requireUnique(qs)
+      .map(q => q.name -> ((s: SparkSession, d: String) => q.run(s, d))).toMap
 
   def oracleMap(qs: Seq[GraftQuery]): Map[String, String] =
-    qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    requireUnique(qs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -954,6 +954,58 @@ object Dedup {
     }
   }
 
+  /** Cluster-SIZE histogram of the near-dup graph — the dedup PLANNING
+    * read: how much duplicate mass sits in big families vs simple pairs,
+    * and what dedup would delete (docs − keepers) per size bucket. A
+    * corpus dominated by size-2 clusters dedups cheaply; a heavy tail of
+    * 100+-doc families signals template/boilerplate content that wants
+    * the line-level pass instead. Histogram covers DUP clusters only
+    * (size ≥ 2 — singletons never enter the pair graph; corpus totals
+    * are dedup_exact's domain).
+    *
+    * Scale shape: rides the same banded-LSH pair graph and path-doubled
+    * CC as [[clusters]], then two count aggregations whose state is one
+    * row per CLUSTER then one per DISTINCT SIZE — both vanishingly small
+    * beside the pair graph at any corpus.
+    */
+  val clusterReport: GraftQuery = new GraftQuery {
+    val name = "dedup_cluster_report"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val labels = clusters.run(spark, sfDir).select("doc_id", "cluster_id")
+      labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("docs"),
+          ((col("cluster_size") - lit(1)) * col("n_clusters")).as("removed"))
+        .orderBy("cluster_size")
+    }
+
+    def oracle: Option[String] = Some(
+      duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+      , dup AS (
+        SELECT doc_a, doc_b FROM v WHERE floor(inter * 10000.0 / uni) >= 5000),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      lbl AS (
+        SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        FROM reach GROUP BY s),
+      sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters,
+             cluster_size * count(*) AS docs,
+             (cluster_size - 1) * count(*) AS removed
+      FROM sizes GROUP BY 1 ORDER BY 1
+    """)
+  }
+
   val sourceOverlap: GraftQuery = new GraftQuery {
     val name = "source_overlap"
 
@@ -1135,5 +1187,5 @@ object Dedup {
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine,
       embeddingLsh, semantic, contamination, contaminationReport, clusters,
-      priorityDedup, sourceOverlap)
+      clusterReport, priorityDedup, sourceOverlap)
 }

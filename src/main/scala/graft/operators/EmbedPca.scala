@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * `transform`-pair lambdas over the row's own floored array (persisted
   * first: a collapsed projection would inline the floor-transform into
   * the inner lambda and re-evaluate it d times per row, the PLANS.md
-  * lambda trap) exploded to (i, j, x·y) and partially aggregated
-  * map-side to d² cells per partition — cost n·d², the classic
-  * covariance pass, with NOTHING shuffled but d² partial sums. The
+  * lambda trap) exploded to upper-triangle (i, j ≥ i, x·y) cells —
+  * d(d+1)/2 per row, the symmetric half of the classic n·d²
+  * covariance pass (x·y is commutative, so the driver's lower-half
+  * mirror is bit-identical to what a full pass computes) — partially
+  * aggregated map-side, with NOTHING shuffled but the triangle's
+  * partial sums. The
   * eigen-solve itself is driver-side BigInt over the collected d²
   * matrix (d = 64 → 4096 longs, the k-means-centers/perceptron-model
   * bound class), never a distributed iteration over a 64-row vector.
@@ -67,21 +70,51 @@ object EmbedPca {
   private[graft] def solve(spark: SparkSession, sfDir: String): Model =
     solved.computeIfAbsent(sfDir, _ => solveUncached(spark, sfDir))
 
+  /** The floor transform as SQL — the ONE definition of the integer
+    * coordinate domain, shared with [[graft.streaming.PcaStream]]'s
+    * per-batch moment deltas.
+    */
+  private[graft] def floorSql: String =
+    s"transform(embedding, x -> " +
+      s"CAST(floor(CAST(x AS DOUBLE) * $CoordScale) AS BIGINT))"
+
+  /** The floored x1000 BIGINT coordinate frame (vec_id, fx) — SHARED
+    * across the spectral family: the scatter solve, the PC1 projection
+    * and the outlier scan all read this one persisted derivation, so a
+    * harness session pays the floor pass once. Persisted BEFORE any
+    * pair lambdas consume it: the cache boundary stops CollapseProject
+    * from inlining the transform into an inner lambda (which would
+    * re-run the floor pass d times per row — the PLANS.md lambda trap).
+    */
+  private[graft] def flooredVectors(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.CacheRegistry.shared(s"embed_fx:$sfDir") {
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), expr(floorSql).as("fx"))
+    }
+
   /** The real computation — exposed so the determinism spec can rerun
     * it for REAL (asserting through the memo would be vacuous).
     */
-  private[graft] def solveUncached(spark: SparkSession, sfDir: String): Model = {
-      val emb = Tables.load(spark, sfDir, "embeddings")
-      // persisted BEFORE the pair lambdas: the cache boundary stops
-      // CollapseProject from inlining this transform into the inner
-      // lambda (which would re-run the floor pass d times per row)
-      val fx = graft.CacheRegistry.persist(emb.select(col("vec_id"),
-        expr(s"transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * $CoordScale) AS BIGINT))").as("fx")))
+  private[graft] def solveUncached(spark: SparkSession, sfDir: String): Model =
+    solveOver(flooredVectors(spark, sfDir))
+
+  /** The scatter pass + eigen-solve over any floored (…, fx) frame —
+    * fixture-testable. The CALLER guarantees fx sits behind a cache
+    * boundary (the PLANS.md lambda trap: an unpersisted projection would
+    * collapse into the pair lambda and re-floor d times per row).
+    */
+  private[graft] def solveOver(fx: DataFrame): Model = {
       val n = fx.count()
+      // the scatter matrix is symmetric and x·y is commutative, so the
+      // pass emits only the upper triangle (j ≥ i): d(d+1)/2 cells per
+      // row instead of d² — half the explode volume and half the
+      // partial-sum state; the lower triangle mirrors on the driver
+      // bit-identically to what the full pass computed
       val moments = fx.select(explode(expr(
-          "flatten(transform(fx, (x, i) -> transform(fx, (y, j) -> " +
-            "named_struct('i', i, 'j', j, 'xy', x * y))))")).as("p"))
+          "flatten(transform(fx, (x, i) -> " +
+            "transform(slice(fx, i + 1, size(fx) - i), (y, jj) -> " +
+            "named_struct('i', i, 'j', i + jj, 'xy', x * y))))")).as("p"))
         .select(col("p.i"), col("p.j"), col("p.xy"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
@@ -93,11 +126,25 @@ object EmbedPca {
       val d = sums.length
       val sx = Array.ofDim[BigInt](d)
       sums.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+      val tri = moments.map(r =>
+        (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))).toSeq
+      solveFromStats(BigInt(n), sx, tri)
+  }
+
+  /** The eigen-solve over collected ADDITIVE statistics — n, per-dim
+    * sums, and the upper-triangle (i ≤ j) second moments. Shared
+    * verbatim by the batch scatter pass and
+    * [[graft.streaming.PcaStream]]'s maintained-table serve, which is
+    * what makes the streamed ≡ batch equality structural.
+    */
+  private[graft] def solveFromStats(n: BigInt, sx: Array[BigInt],
+      tri: Seq[(Int, Int, BigInt)]): Model = {
+      val d = sx.length
       val s = Array.ofDim[BigInt](d, d)
-      moments.foreach { r =>
-        s(r.getInt(0))(r.getInt(1)) =
-          BigInt(n) * BigInt(r.getDecimal(2).toBigInteger) -
-            sx(r.getInt(0)) * sx(r.getInt(1))
+      tri.foreach { case (i, j, sxy) =>
+        val cell = n * sxy - sx(i) * sx(j)
+        s(i)(j) = cell
+        s(j)(i) = cell
       }
       val scale = s.flatten.map(_.abs).max / MatCap + 1
       val sn = s.map(_.map(sdiv(_, scale)))
@@ -227,5 +274,147 @@ object EmbedPca {
       FROM ray CROSS JOIN vv CROSS JOIN tr CROSS JOIN top""")
   }
 
-  val all: Seq[GraftQuery] = Seq(pcaTop, anisotropy)
+  /** Oracle helper: per-(vec_id, dim) floored coordinates straight off
+    * the embeddings table — the projection/outlier consumers key on the
+    * table's own vec_id (the published contract), unlike the scatter
+    * pass's synthesized per-row id (which exists only to make the
+    * oracle's self-join mirror Spark's within-row pairing).
+    */
+  private def pexCte: String = s"""
+      pex AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) - 1 AS i,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                 d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
+                      AS BIGINT))) AS xi
+        FROM embeddings)"""
+
+  /** Per-document projection onto the corpus's top principal component —
+    * the diversity/whitening coordinate a curation pipeline writes back
+    * beside each embedding (stratify on it, prune its tails, or feed it
+    * to OPQ-style rotation). proj = Σⱼ fxⱼ·vⱼ over the floored
+    * coordinates and the solved x1e6 eigenvector: pure integer math the
+    * oracle mirrors term-for-term (BIGINT-safe at ANY corpus size — the
+    * bound is per-ROW: d·maxfx·1e6 ≈ 64·16e3·1e6 ≈ 1e15).
+    *
+    * Scale shape: the eigenvector rides into the plan as a LITERAL
+    * 64-element array (the broadcast-model pattern of DocQualityTrained),
+    * so after the memoized solve this is a MAP-ONLY pass — zero
+    * shuffles, no sort (the comparator canonicalizes row order), cost
+    * n·d at any corpus.
+    */
+  val projection: GraftQuery = new GraftQuery {
+    val name = "embed_pc_projection"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val m = solve(spark, sfDir)
+      val vArr = m.v.map(_.toLong).mkString(",")
+      flooredVectors(spark, sfDir).select(col("vec_id"),
+        expr(s"aggregate(zip_with(fx, array($vArr), (x, w) -> x * w), " +
+          "CAST(0 AS BIGINT), (a, t) -> a + t)").as("pc1_proj"))
+    }
+
+    def oracle: Option[String] = Some(s"""$baseCtes,
+      $pexCte
+      SELECT p.vec_id,
+             CAST(sum(CAST(p.xi AS HUGEINT) * v.v) AS BIGINT) AS pc1_proj
+      FROM pex p JOIN v$Iters v ON v.i = p.i GROUP BY 1""")
+  }
+
+  private val TopOutliers = 20
+
+  /** GLOBAL-centroid deviation outlier scan — the curation prune for
+    * junk embeddings (mis-decoded docs, collapsed all-zero rows,
+    * wrong-modal vectors land far from the corpus centroid). The
+    * complement of ClusterCurate's `embed_outliers`, which ranks by
+    * cosine to each vector's own TRAINED cluster centroid: this one
+    * needs no clustering, reads the raw corpus mean, and scores by
+    * exact integer L2 — the cheap first-pass filter a pipeline runs
+    * before it spends anything on cells. Per-dim deviation is
+    * the TRUNCATING integer division (n·xⱼ − Σxⱼ)/n — exactly floored
+    * x − mean, engine-identical via the sign-preserving CASE both
+    * engines share — and the score is its squared L2 norm. Top
+    * [[TopOutliers]] by (dist2 DESC, vec_id) is a total order, so the
+    * cut is deterministic on both engines.
+    *
+    * Scale shape: one n·d posexplode partial-agg for the d per-dim sums
+    * (DECIMAL-exact, d tiny rows collected — the k-means-centers bound
+    * class), then a MAP-ONLY scoring pass with n and the sums as
+    * literals, then TakeOrderedAndProject for the top-k (never a global
+    * sort). All BIGINT bounds are n-independent after the division:
+    * dev ≈ 2·maxfx per dim → dist2 ≤ d·(2·maxfx)² ≈ 6e10; the n·x
+    * intermediate bounds BIGINT to n ≈ 3e14 rows.
+    */
+  val outliers: GraftQuery = new GraftQuery {
+    val name = "embed_centroid_outliers"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val fx = flooredVectors(spark, sfDir)
+      val perDim = fx.select(posexplode(col("fx")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(sum(col("x").cast("decimal(38,0)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      require(perDim.nonEmpty, "embed_centroid_outliers: empty embeddings table")
+      val n = perDim.head.getLong(2)
+      val sx = Array.ofDim[BigInt](perDim.length)
+      perDim.foreach(r =>
+        sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+      val sxArr = sx.map(v => s"CAST($v AS BIGINT)").mkString(",")
+      val dev = s"CAST($n AS BIGINT) * x - s"
+      fx.select(col("vec_id"),
+        expr(s"aggregate(zip_with(fx, array($sxArr), (x, s) -> " +
+          s"CASE WHEN $dev < 0 THEN -((-($dev)) DIV $n) " +
+          s"ELSE ($dev) DIV $n END), " +
+          "CAST(0 AS BIGINT), (a, dv) -> a + dv * dv)").as("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(TopOutliers)
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH $pexCte,
+      sums AS (
+        SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM pex GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      dev AS (
+        SELECT p.vec_id,
+               ${sdivSql("nn.n * p.xi - s.sx", "nn.n")} AS dv
+        FROM pex p JOIN sums s ON s.i = p.i CROSS JOIN nn),
+      d2 AS (SELECT vec_id, sum(dv * dv) AS dist2 FROM dev GROUP BY 1)
+      SELECT vec_id, CAST(dist2 AS BIGINT) AS dist2
+      FROM d2 ORDER BY dist2 DESC, vec_id LIMIT $TopOutliers""")
+  }
+
+  /** The streaming twin ([[graft.streaming.PcaStream]]) under the
+    * CORRECTNESS gate, not just its spec: embedding rows arrive as two
+    * batches (vec-id parity), the moment table maintains additively
+    * (constant 2145-key state), and the eigenvector served off the
+    * MAINTAINED stats must hash-match the very same oracle as the batch
+    * [[pcaTop]] query — the streamed ≡ batch law, checked by DuckDB.
+    * The colloc_stream_maintained precedent.
+    */
+  val pcaStream: GraftQuery = new GraftQuery {
+    val name = "embed_pca_stream_maintained"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val root = sys.props("java.io.tmpdir") + "/graft_pcastream_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.rmTree(root)
+      graft.streaming.PcaStream.applyBatch(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), 1L, root)
+      graft.streaming.PcaStream.applyBatch(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), 2L, root)
+      val m = graft.streaming.PcaStream.liveModel(spark, root).get
+      import spark.implicits._
+      m.v.zipWithIndex.map { case (vi, i) => (i.toLong, vi.toLong) }.toSeq
+        .toDF("dim", "v_scaled").orderBy("dim")
+    }
+
+    // the BATCH query's oracle verbatim — that equality is the point
+    def oracle: Option[String] = pcaTop.oracle
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(pcaTop, anisotropy, projection, outliers, pcaStream)
 }

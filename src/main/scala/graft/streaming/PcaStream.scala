@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.operators.EmbedPca
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the spectral stage ([[graft.operators.EmbedPca]]):
+  * embedding rows arrive as micro-batches and the statistics the
+  * eigen-solve reads — row count n, per-dim sums Σx, and the
+  * upper-triangle second moments Σxxᵀ — are maintained ADDITIVELY in one
+  * SnapshotTable (a vector lands in exactly one micro-batch, so
+  * per-batch moment deltas sum to the corpus moments with no
+  * retraction: the clean IVM case, like [[CollocStream]]'s counts, and
+  * the exact opposite of [[RankStream]]'s corpus-proportional rebuild).
+  *
+  * Per-batch cost: one batch·d² delta pass plus a merge over a
+  * CONSTANT-SIZE key space — 1 + d + d(d+1)/2 keys (d = 64 →
+  * 1 + 64 + 2080 = 2145 rows) regardless of corpus size, the smallest
+  * maintained state of any twin in the engine. Serving is
+  * a collect of those rows into [[EmbedPca.solveFromStats]] VERBATIM,
+  * so streamed ≡ batch is structural on the moments (additivity) and
+  * shared-code on the solve — checked cross-engine by the
+  * `embed_pca_stream_maintained` oracle (the batch query's SQL
+  * verbatim).
+  *
+  * Key packing (single-BIGINT merge key, d < 999 by construction):
+  * kk = 0 → n; kk = (i+1)·1000 → Σxᵢ; kk = (i+1)·1000 + (j+1) with
+  * j ≥ i → Σxᵢxⱼ. Values are BIGINT: |Σxᵢxⱼ| ≤ n·(1000·max|coord|)²,
+  * safe past 3e13 rows at unit-norm coordinates; a corpus beyond that
+  * swaps the fold's value column to DECIMAL(38,0) (one-line change in
+  * the delta aggregation — [[AdditiveFold]] is type-agnostic).
+  *
+  * Exactly-once: the table versions by batch id; a replayed batch
+  * short-circuits the merge ([[AdditiveFold]]'s discipline); the
+  * fresh-checkpoint guard rejects a wiped checkpoint against a
+  * surviving table.
+  */
+object PcaStream {
+
+  def start(emb: DataFrame, root: String,
+      checkpointDir: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, root)
+      }
+      .start()
+
+  /** All three moment kinds in ONE explode — per row: the d(d+1)/2
+    * upper-triangle products, the d coordinate sums, and a count-1 cell
+    * — so the batch is scanned once and the delta aggregation is a
+    * single map-side-combinable groupBy over ≤ 2 145 keys.
+    */
+  private val momentSql =
+    "concat(" +
+      "flatten(transform(fx, (x, i) -> " +
+        "transform(slice(fx, i + 1, size(fx) - i), (y, jj) -> " +
+        "named_struct('kk', CAST((i + 1) * 1000 + i + jj + 1 AS BIGINT), " +
+        "'v', x * y)))), " +
+      "transform(fx, (x, i) -> " +
+        "named_struct('kk', CAST((i + 1) * 1000 AS BIGINT), 'v', x)), " +
+      "array(named_struct('kk', CAST(0 AS BIGINT), 'v', CAST(1 AS BIGINT))))"
+
+  /** One micro-batch of (…, embedding) rows: fold its moment deltas into
+    * the maintained table. Idempotent per batchId.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+      clusterFiles: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    SnapshotTable.latestVersion(root).map(_.drop(1).toLong).foreach { lv =>
+      require(batchId >= lv,
+        s"PcaStream batch $batchId is behind $root's published v$lv: " +
+          "fresh checkpoint against an existing table — wipe the table " +
+          "and the checkpoint together, or resume the original.")
+    }
+    // persisted cache boundary: without it CollapseProject inlines the
+    // floor transform into the pair lambda and re-floors d times per row
+    // (the PLANS.md lambda trap EmbedPca documents)
+    val fx = batch.select(expr(EmbedPca.floorSql).as("fx")).persist()
+    try {
+      val deltas = fx.select(explode(expr(momentSql)).as("m"))
+        .select(col("m.kk").as("kk"), col("m.v").as("v"))
+        .groupBy(col("kk")).agg(sum(col("v")).as("v"))
+      AdditiveFold.foldInto(deltas, root, "kk", "v", "v", batchId,
+        clusterFiles)
+    } finally { fx.unpersist(blocking = false); () }
+    graft.CacheRegistry.clear()
+  }
+
+  /** The solved model off the maintained table — a collect of the
+    * constant-size stat rows into the batch eigen-solve verbatim.
+    */
+  def liveModel(spark: SparkSession, root: String): Option[EmbedPca.Model] =
+    SnapshotTable.read(spark, root).map { t =>
+      val m = t.select(col("kk"), col("v")).collect()
+        .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+      val n = m(0L)
+      val d = m.keysIterator.map(k => (k / 1000).toInt).max
+      val sx = Array.tabulate(d)(i => m((i + 1) * 1000L))
+      val tri = for { i <- 0 until d; j <- i until d }
+        yield (i, j, m((i + 1) * 1000L + j + 1))
+      EmbedPca.solveFromStats(n, sx, tri)
+    }
+}

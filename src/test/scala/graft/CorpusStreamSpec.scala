@@ -303,6 +303,74 @@ class CorpusStreamSpec extends SparkSpec {
     graft.CacheRegistry.clear()
   }
 
+  // -- Streaming PCA over embedding batches ----------------------------
+
+  private def embOf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def batchSolve(rows: Seq[(Long, Seq[Float])]) = {
+    val fx = embOf(rows)
+      .select(expr(operators.EmbedPca.floorSql).as("fx")).persist()
+    try operators.EmbedPca.solveOver(fx)
+    finally { fx.unpersist(blocking = false); () }
+  }
+
+  test("streamed embedding batches: maintained model equals the batch solve after every batch") {
+    val root = freshDir("pca") + "/moments"
+    val batches = Seq(
+      Seq(1L -> Seq(1.0f, 0.1f, 0.0f), 2L -> Seq(-1.0f, 0.2f, 0.1f)),
+      Seq(3L -> Seq(2.0f, -0.1f, 0.05f), 4L -> Seq(-2.0f, 0.3f, 0.0f)),
+      Seq(5L -> Seq(1.5f, 0.0f, -0.1f), 6L -> Seq(-1.7f, 0.25f, 0.02f)))
+    var seen = Seq.empty[(Long, Seq[Float])]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.PcaStream.applyBatch(embOf(b), i.toLong + 1, root)
+      seen = seen ++ b
+      val rebuild = batchSolve(seen)
+      val live = graft.streaming.PcaStream.liveModel(spark, root).get
+      assert(live.v.toSeq == rebuild.v.toSeq,
+        s"after batch ${i + 1} the served eigenvector must equal the rebuild")
+      assert(live.sn.map(_.toSeq).toSeq == rebuild.sn.map(_.toSeq).toSeq,
+        s"after batch ${i + 1} the scaled scatter matrix must equal the rebuild")
+      graft.CacheRegistry.clear()
+    }
+    // replay idempotence: the moment fold short-circuits a committed head
+    val before = graft.streaming.PcaStream.liveModel(spark, root).get.v.toSeq
+    graft.streaming.PcaStream.applyBatch(embOf(batches.last),
+      batches.size.toLong, root)
+    assert(graft.streaming.PcaStream.liveModel(spark, root).get.v.toSeq ==
+      before, "a replayed batch must not double-count moments")
+    // fresh-checkpoint restart fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.PcaStream.applyBatch(embOf(batches.head), 0L, root)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    graft.CacheRegistry.clear()
+  }
+
+  test("the pca stream survives a kill-and-resume on its checkpoint") {
+    import spark.implicits._
+    val work = freshDir("pcarestart")
+    val in = s"$work/in"; val ckpt = s"$work/ckpt"
+    val root = s"$work/moments"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val chunk1 = Seq(1L -> Seq(1.0f, 0.1f, 0.0f), 2L -> Seq(-1.0f, 0.2f, 0.1f))
+    val chunk2 = Seq(3L -> Seq(2.0f, -0.1f, 0.05f), 4L -> Seq(-2.0f, 0.3f, 0.0f))
+    val schema = embOf(chunk1).schema
+    def start() = graft.streaming.PcaStream.start(
+      spark.readStream.schema(schema).parquet(in), root, ckpt)
+    embOf(chunk1).coalesce(1).write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    embOf(chunk2).coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.streaming.PcaStream.liveModel(spark, root).get.v.toSeq ==
+      batchSolve(chunk1 ++ chunk2).v.toSeq,
+      "post-restart model must reflect all vectors across both runs")
+    graft.CacheRegistry.clear()
+  }
+
   test("the divergence stream survives a kill-and-resume on its checkpoint") {
     import spark.implicits._
     val work = freshDir("divrestart")

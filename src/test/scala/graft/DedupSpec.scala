@@ -69,4 +69,23 @@ class DedupSpec extends SparkSpec {
       assert((100L to 108L).forall(out(_) == 100L))
     } finally CacheRegistry.clear()
   }
+
+  test("cluster report histogram is exactly the labels' size distribution") {
+    val labels = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+    CacheRegistry.clear()
+    val report = SparkEntry.queries("dedup_cluster_report")(spark, sf).collect()
+    CacheRegistry.clear()
+    assert(report.nonEmpty, "sf0.001 plants near-dup pairs; report must see them")
+    val expected = labels.groupBy(_.getLong(1)).values.map(_.length.toLong)
+      .groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val got = report.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"histogram must match the labels' distribution: $got vs $expected")
+    report.foreach { r =>
+      assert(r.getLong(0) >= 2L, s"singletons never enter the pair graph: $r")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"docs arithmetic: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1),
+        s"removed = docs - keepers: $r")
+    }
+  }
 }

@@ -15,13 +15,16 @@ class EmbedPcaSpec extends SparkSpec {
     // normalization contract: the peak coordinate is exactly ±1e6
     assert(out.values.map(math.abs).max == 1000000L,
       s"max |v| must be the 1e6 normalization: ${out.values.toSeq.sortBy(-_).take(3)}")
-    CacheRegistry.clear()
+    // clearAll, not clear: the floored-vector frame is session-SHARED
+    // now, so a per-query clear would leave the re-solve reading run
+    // A's cache and weaken the determinism claim to the solve alone
+    CacheRegistry.clearAll()
     // determinism: an UNCACHED re-solve (not the per-sfDir memo, which
     // would make this vacuous) is bit-identical
     val again = EmbedPca.solveUncached(spark, sf).v.zipWithIndex
       .map { case (v, i) => i.toLong -> v.toLong }.toMap
     assert(again == out, "power iteration must be exactly deterministic")
-    CacheRegistry.clear()
+    CacheRegistry.clearAll()
   }
 
   test("a hand-planted 2-cluster anisotropy concentrates the eigenvector on its axis") {
@@ -57,5 +60,65 @@ class EmbedPcaSpec extends SparkSpec {
     assert(corpus.getLong(0) < 200000L,
       s"the fixture corpus is not collapsed: $corpus")
     CacheRegistry.clear()
+  }
+
+  private def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case e => Seq(e)
+    }.flatten
+
+  test("PC projection splits the planted clusters by sign; map-only after the solve") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { k =>
+      val big = if (k % 2 == 0) 10.0f else -10.0f
+      (k, Seq(0.01f * (k % 3), big, 0.02f * (k % 2)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pcaproj").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val df = SparkEntry.queries("embed_pc_projection")(spark, dir)
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 40, s"one projection per row: ${out.size}")
+    // the planted axis carries ±10 → |proj| ≈ 10·1000·1e6 = 1e10; noise
+    // dims contribute ≤ 0.02·1000·1e5 — three orders below
+    val evens = (0L until 40L by 2).map(out)
+    val odds = (1L until 40L by 2).map(out)
+    assert(evens.forall(v => math.abs(v) > 5000000000L) &&
+      odds.forall(v => math.abs(v) > 5000000000L),
+      s"planted mass must dominate the projection: ${out.take(4)}")
+    assert(evens.map(_.sign).toSet.size == 1 && odds.map(_.sign).toSet.size == 1
+      && evens.head.sign == -odds.head.sign,
+      "the two planted clusters must land on opposite signs")
+    // plan pin: with the eigenvector a literal, scoring is MAP-ONLY —
+    // zero exchanges in the executed plan (the scaladoc claim)
+    df.count()
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"projection must not shuffle: ${nodes.map(_.getClass.getSimpleName)}")
+    CacheRegistry.clearAll()
+  }
+
+  test("outlier scan surfaces a planted far vector first, in total order") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { k =>
+      (k, Seq(0.01f * (k % 3), 0.02f * (k % 2), 0.01f))
+    } :+ (99L, Seq(50.0f, 50.0f, 50.0f))
+    val dir = java.nio.file.Files.createTempDirectory("pcaout").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("embed_centroid_outliers")(spark, dir).collect()
+    assert(top.length == 20, s"top-k cut: ${top.length}")
+    assert(top.head.getLong(0) == 99L,
+      s"the planted far vector must rank first: ${top.head}")
+    assert(top.head.getLong(1) > 100L * top(1).getLong(1),
+      s"planted outlier must dominate the tight cluster: " +
+        s"${top.head.getLong(1)} vs ${top(1).getLong(1)}")
+    val order = top.map(r => (-r.getLong(1), r.getLong(0))).toSeq
+    assert(order == order.sorted, "(dist2 DESC, vec_id) total order")
+    CacheRegistry.clearAll()
   }
 }
