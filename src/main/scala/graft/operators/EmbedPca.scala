@@ -385,6 +385,115 @@ object EmbedPca {
       FROM d2 ORDER BY dist2 DESC, vec_id LIMIT $TopOutliers""")
   }
 
+  private val SepScale = 10000L
+
+  /** Label-separation diagnostic — the ANOVA question over the embedding
+    * space: how much of the total scatter does the LABEL column explain?
+    * A near-zero ratio means the labels are uncorrelated with the
+    * geometry (mislabeled data, or labels not worth stratifying on); a
+    * high ratio means clean clusters. Per label: n_vecs and the floored
+    * centroid deviation ||⌊(n·Σxₗ − nₗ·Σx)/(n·nₗ)⌋||² (exactly the
+    * label-centroid − corpus-centroid gap, truncating per dim — the
+    * defined metric, identical in both engines like the KL floor-sums);
+    * the global ratio is separation_bp = ⌊Σₗ nₗ·dist2ₗ · 10⁴ / SST⌋
+    * with SST the per-row floored-deviation scatter (the
+    * `embed_centroid_outliers` dev, summed).
+    *
+    * Scale shape: one n·d posexplode partial-agg to (label, dim) sums
+    * (L·d rows collected — the model-on-the-driver bound class, L =
+    * label cardinality), one MAP-ONLY per-row scatter pass with the
+    * global sums as literals, then driver BigInt. Zero joins. Sums
+    * accumulate in DECIMAL/HUGEINT so per-label terms never overflow at
+    * any corpus.
+    */
+  val labelSeparation: GraftQuery = new GraftQuery {
+    val name = "embed_label_separation"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // label-carrying floored frame, NOT the shared fx frame: spec
+      // fixtures are label-free and this query is the only label reader
+      val fx = graft.CacheRegistry.persist(
+        Tables.load(spark, sfDir, "embeddings")
+          .select(col("label"), expr(floorSql).as("fx")))
+      val perLabel = fx
+        .select(col("label"), posexplode(col("fx")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("x").cast("decimal(38,0)")).as("sxl"),
+          count(lit(1)).as("nl"))
+        .collect()
+      require(perLabel.nonEmpty,
+        "embed_label_separation: empty embeddings table")
+      val d = perLabel.map(_.getInt(1)).max + 1
+      val sxL = perLabel.groupBy(_.getInt(0)).map { case (l, rows) =>
+        val a = Array.ofDim[BigInt](d)
+        rows.foreach(r => a(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+        l -> (a, rows.head.getLong(3))
+      }
+      val sx = Array.tabulate(d)(i => sxL.valuesIterator.map(_._1(i)).sum)
+      val n = BigInt(sxL.valuesIterator.map(_._2).sum)
+      val dist2L = sxL.map { case (l, (sxl, nl)) =>
+        val dev = Array.tabulate(d)(j =>
+          (n * sxl(j) - BigInt(nl) * sx(j)) / (n * BigInt(nl)))
+        l -> (nl, dev.map(x => x * x).sum)
+      }
+      val ssb = dist2L.valuesIterator
+        .map { case (nl, d2) => BigInt(nl) * d2 }.sum
+      val nL = n.toLong
+      val sxArr = sx.map(v => s"CAST($v AS BIGINT)").mkString(",")
+      val dev = s"CAST($nL AS BIGINT) * x - s"
+      val sst = BigInt(fx.select(
+          expr(s"aggregate(zip_with(fx, array($sxArr), (x, s) -> " +
+            s"CASE WHEN $dev < 0 THEN -((-($dev)) DIV $nL) " +
+            s"ELSE ($dev) DIV $nL END), " +
+            "CAST(0 AS BIGINT), (a, dv) -> a + dv * dv)").as("d2"))
+        .agg(sum(col("d2").cast("decimal(38,0)")).as("sst"))
+        .collect().head.getDecimal(0).toBigInteger)
+      // loud, engine-symmetric: zero total scatter has no ratio (the
+      // oracle's integer division by zero errors too)
+      require(sst > 0,
+        "embed_label_separation: zero-variance embedding table")
+      val sep = (ssb * BigInt(SepScale) / sst).toLong
+      import spark.implicits._
+      dist2L.toSeq.map { case (l, (nl, d2)) => (l, nl, d2.toLong, sep) }
+        .sortBy(_._1)
+        .toDF("label", "n_vecs", "centroid_dist2", "separation_bp")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH lex AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) - 1 AS i,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                 d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
+                      AS BIGINT))) AS xi
+        FROM embeddings),
+      ls AS (
+        SELECT label, i, sum(CAST(xi AS HUGEINT)) AS sxl,
+               CAST(count(*) AS HUGEINT) AS nl
+        FROM lex GROUP BY 1, 2),
+      gs AS (SELECT i, sum(sxl) AS sx FROM ls GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      nls AS (SELECT label, max(nl) AS nl FROM ls GROUP BY 1),
+      devl AS (
+        SELECT ls.label,
+               ${sdivSql("nn.n * ls.sxl - ls.nl * gs.sx", "nn.n * ls.nl")} AS dv
+        FROM ls JOIN gs ON gs.i = ls.i CROSS JOIN nn),
+      dl AS (SELECT label, sum(dv * dv) AS dist2 FROM devl GROUP BY 1),
+      ssb AS (
+        SELECT sum(nls.nl * dl.dist2) AS ssb
+        FROM dl JOIN nls USING (label)),
+      rowdev AS (
+        SELECT ${sdivSql("nn.n * l.xi - g.sx", "nn.n")} AS dv
+        FROM lex l JOIN gs g ON g.i = l.i CROSS JOIN nn),
+      sst AS (SELECT sum(dv * dv) AS sst FROM rowdev)
+      SELECT dl.label AS label, CAST(nls.nl AS BIGINT) AS n_vecs,
+             CAST(dl.dist2 AS BIGINT) AS centroid_dist2,
+             CAST((ssb.ssb * $SepScale) // sst.sst AS BIGINT)
+               AS separation_bp
+      FROM dl JOIN nls USING (label) CROSS JOIN ssb CROSS JOIN sst
+      ORDER BY label""")
+  }
+
   /** The streaming twin ([[graft.streaming.PcaStream]]) under the
     * CORRECTNESS gate, not just its spec: embedding rows arrive as two
     * batches (vec-id parity), the moment table maintains additively
@@ -416,5 +525,5 @@ object EmbedPca {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(pcaTop, anisotropy, projection, outliers, pcaStream)
+    Seq(pcaTop, anisotropy, projection, outliers, labelSeparation, pcaStream)
 }

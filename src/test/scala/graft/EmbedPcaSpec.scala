@@ -102,6 +102,35 @@ class EmbedPcaSpec extends SparkSpec {
     CacheRegistry.clearAll()
   }
 
+  test("label separation: aligned labels explain the scatter, shuffled labels don't") {
+    import spark.implicits._
+    // same 2-cluster geometry as the anisotropy fixture; 'aligned' labels
+    // follow the ±10 split exactly, 'shuffled' labels mix both signs
+    // evenly into each label (independent of the geometry)
+    def fixture(labelOf: Long => Int): String = {
+      val rows = (0L until 40L).map { k =>
+        val big = if (k % 2 == 0) 10.0f else -10.0f
+        (k, Seq(0.01f * (k % 3), big, 0.02f * (k % 2)), labelOf(k))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("pcasep").toString
+      rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def run(dir: String) = SparkEntry.queries("embed_label_separation")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val aligned = run(fixture(k => (k % 2).toInt))
+    assert(aligned.map(_._2).toSeq == Seq(20L, 20L),
+      s"two balanced labels: ${aligned.toSeq}")
+    assert(aligned.head._3 > 9000L,
+      s"geometry-aligned labels must explain ~all scatter: ${aligned.toSeq}")
+    CacheRegistry.clearAll()
+    val shuffled = run(fixture(k => ((k / 2) % 2).toInt))
+    assert(shuffled.head._3 < 500L,
+      s"geometry-independent labels must explain ~none: ${shuffled.toSeq}")
+    CacheRegistry.clearAll()
+  }
+
   test("outlier scan surfaces a planted far vector first, in total order") {
     import spark.implicits._
     val rows = (0L until 40L).map { k =>
