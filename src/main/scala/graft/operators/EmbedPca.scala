@@ -357,6 +357,12 @@ object EmbedPca {
         .collect()
       require(perDim.nonEmpty, "embed_centroid_outliers: empty embeddings table")
       val n = perDim.head.getLong(2)
+      // loud on a RAGGED table: n is read off one dimension's count, and
+      // the oracle's global count(*) would silently disagree on any
+      // dimension the short vectors miss
+      require(perDim.forall(_.getLong(2) == n),
+        "embed_centroid_outliers: ragged embedding dimensions " +
+          "(per-dim counts differ) — the centroid is undefined")
       val sx = Array.ofDim[BigInt](perDim.length)
       perDim.foreach(r =>
         sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
@@ -427,6 +433,12 @@ object EmbedPca {
       val sxL = perLabel.groupBy(_.getInt(0)).map { case (l, rows) =>
         val a = Array.ofDim[BigInt](d)
         rows.foreach(r => a(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+        // loud on a RAGGED table: nₗ is read off one dimension's count
+        // (the oracle's max(nl) would mask the disagreement instead)
+        require(rows.forall(_.getLong(3) == rows.head.getLong(3)) &&
+          rows.length == d,
+          s"embed_label_separation: ragged embedding dimensions under " +
+            s"label $l — per-label centroids are undefined")
         l -> (a, rows.head.getLong(3))
       }
       val sx = Array.tabulate(d)(i => sxL.valuesIterator.map(_._1(i)).sum)

@@ -853,7 +853,108 @@ object Similarity {
     }
   }
 
+  /** Prefix-dimension recall — the MATRYOSHKA serving question (Kusupati
+    * et al. 2022, public): if ANN ranks on only the FIRST w dimensions
+    * of each vector (an MRL-style truncation — 8x less memory and
+    * bandwidth at w=8), how much of the full-dimension top-3 survives?
+    * Per width w ∈ {8, 16, 32}: brute top-3 on the w-prefix cosine vs
+    * the full-64-dim truth, recall_bp per query. On UNTRAINED embeddings
+    * (this fixture) the curve shows what truncation costs without MRL
+    * training; a matryoshka-trained model flattens it — either way the
+    * number that decides the serving config is this measurement.
+    *
+    * Like ann_recall / ann_knn_recall this is the intentionally
+    * brute-force METRIC pass (10-query panel broadcast against the
+    * corpus per width — 3 map-side joins); the serving paths it grades
+    * are the LSH/IVF/PQ queries, which all apply unchanged to a
+    * truncated vector column. Zero-prefix-norm vectors are excluded on
+    * BOTH engines (exact 0.0 from identical double sums) — cosine is
+    * undefined there.
+    */
+  val annPrefixRecall: GraftQuery = new GraftQuery {
+    val name = "ann_prefix_recall"
+    private val Widths = Seq(8, 16, 32, 64)
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = vecs(spark, sfDir)
+      val truth = annTopK.run(spark, sfDir).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val perWidth = Widths.map { w =>
+        val p = e.select(col("vec_id"), expr(s"slice(v, 1, $w)").as("v"))
+          .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+          .filter(col("nrm") > 0)
+        val win = Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_bp").desc, col("c.vec_id"))
+        p.filter(col("vec_id") < 10).as("q")
+          .join(p.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .withColumn("cos_bp", cosBp("q", "c"))
+          .withColumn("rank", row_number().over(win))
+          .filter(col("rank") <= 3)
+          .select(lit(w.toLong).as("w"),
+            col("q.vec_id").as("g_query"), col("c.vec_id").as("g_neighbor"))
+      }.reduce(_ unionByName _)
+      import spark.implicits._
+      val widths = Widths.map(_.toLong).toDF("prefix_dims")
+      truth.crossJoin(widths)
+        .join(perWidth,
+          col("prefix_dims") === col("w") &&
+            col("query_id") === col("g_query") &&
+            col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("prefix_dims"), col("query_id"))
+        .agg(count(lit(1)).as("truth_k"), count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp",
+          floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("prefix_dims", "query_id")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      widths(w) AS (VALUES (8), (16), (32), (64)),
+      pn AS (
+        SELECT ws.w AS w, vec_id,
+               list_transform(generate_series(1, ws.w),
+                 i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings CROSS JOIN widths ws),
+      pz AS (
+        SELECT w, vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM pn),
+      pnz AS (SELECT * FROM pz WHERE nrm > 0),
+      pref AS (
+        SELECT w, query_id, neighbor_id FROM (
+          SELECT q.w AS w, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.w, q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM pnz q JOIN pnz c
+            ON q.w = c.w AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3)
+      SELECT CAST(ws.w AS BIGINT) AS prefix_dims, b.query_id,
+             count(*) AS truth_k, count(p.neighbor_id) AS hits,
+             CAST(floor(count(p.neighbor_id) * 10000.0 / count(*)) AS BIGINT)
+               AS recall_bp
+      FROM brute b CROSS JOIN widths ws
+      LEFT JOIN pref p ON p.w = ws.w AND p.query_id = b.query_id
+        AND p.neighbor_id = b.neighbor_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined,
-      ivfKmeansGain)
+      ivfKmeansGain, annPrefixRecall)
 }

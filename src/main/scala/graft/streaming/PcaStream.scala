@@ -25,8 +25,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `embed_pca_stream_maintained` oracle (the batch query's SQL
   * verbatim).
   *
-  * Key packing (single-BIGINT merge key, d < 999 by construction):
-  * kk = 0 → n; kk = (i+1)·1000 → Σxᵢ; kk = (i+1)·1000 + (j+1) with
+  * Key packing (single-BIGINT merge key, d < 99999 by construction):
+  * kk = 0 → n; kk = (i+1)·10⁵ → Σxᵢ; kk = (i+1)·10⁵ + (j+1) with
   * j ≥ i → Σxᵢxⱼ. Values are BIGINT: |Σxᵢxⱼ| ≤ n·(1000·max|coord|)²,
   * safe past 3e13 rows at unit-norm coordinates; a corpus beyond that
   * swaps the fold's value column to DECIMAL(38,0) (one-line change in
@@ -57,10 +57,10 @@ object PcaStream {
     "concat(" +
       "flatten(transform(fx, (x, i) -> " +
         "transform(slice(fx, i + 1, size(fx) - i), (y, jj) -> " +
-        "named_struct('kk', CAST((i + 1) * 1000 + i + jj + 1 AS BIGINT), " +
+        "named_struct('kk', CAST(i + 1 AS BIGINT) * 100000 + i + jj + 1, " +
         "'v', x * y)))), " +
       "transform(fx, (x, i) -> " +
-        "named_struct('kk', CAST((i + 1) * 1000 AS BIGINT), 'v', x)), " +
+        "named_struct('kk', CAST(i + 1 AS BIGINT) * 100000, 'v', x)), " +
       "array(named_struct('kk', CAST(0 AS BIGINT), 'v', CAST(1 AS BIGINT))))"
 
   /** One micro-batch of (…, embedding) rows: fold its moment deltas into
@@ -97,10 +97,10 @@ object PcaStream {
       val m = t.select(col("kk"), col("v")).collect()
         .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
       val n = m(0L)
-      val d = m.keysIterator.map(k => (k / 1000).toInt).max
-      val sx = Array.tabulate(d)(i => m((i + 1) * 1000L))
+      val d = m.keysIterator.map(k => (k / 100000).toInt).max
+      val sx = Array.tabulate(d)(i => m((i + 1) * 100000L))
       val tri = for { i <- 0 until d; j <- i until d }
-        yield (i, j, m((i + 1) * 1000L + j + 1))
+        yield (i, j, m((i + 1) * 100000L + j + 1))
       EmbedPca.solveFromStats(n, sx, tri)
     }
 }

@@ -30,4 +30,23 @@ class SimilaritySpec extends SparkSpec {
     try assert(ran < 20, s"lloyd ran the full cap ($ran) without converging")
     finally CacheRegistry.clear()
   }
+
+  test("prefix recall: the full-width row is the built-in self-check at exactly 10000") {
+    val out = SparkEntry.queries("ann_prefix_recall")(spark, sf).collect()
+    try {
+      val widths = out.map(_.getAs[Long]("prefix_dims")).distinct.sorted.toSeq
+      assert(widths == Seq(8L, 16L, 32L, 64L), s"width panel: $widths")
+      // w = 64 IS the full ranking (slice of full = full, ties included):
+      // recall must be exactly 10000 for every query — the structural law
+      // that proves the prefix machinery ranks like the truth pass
+      val full = out.filter(_.getAs[Long]("prefix_dims") == 64L)
+      assert(full.nonEmpty &&
+        full.forall(_.getAs[Long]("recall_bp") == 10000L),
+        s"full-width recall must be exact: ${full.map(_.toSeq).toSeq}")
+      // 10 queries per width, truth_k = 3 each
+      assert(out.length == 4 * full.length,
+        s"every width scores the same panel: ${out.length}")
+      assert(out.forall(_.getAs[Long]("truth_k") == 3L))
+    } finally CacheRegistry.clearAll()
+  }
 }
