@@ -185,48 +185,59 @@ object EmbedPca {
   /** The shared oracle pipeline: floored coordinates → scatter matrix →
     * scaled matrix → power iterations, ending at CTE `v[[Iters]]`.
     */
-  private def baseCtes: String = {
+  private def baseCtes: String = "\n      WITH " + solveCtes("", "TRUE")
+
+  /** The solve pipeline as composable CTE bodies (no leading WITH):
+    * every CTE name carries `tag` so several solves — over different row
+    * subsets — can ride one statement (the drift oracle runs three). The
+    * eigenvector lands in `<tag>v[[Iters]]`; `where` filters the rows
+    * the solve sees (the streaming prefix).
+    */
+  private def solveCtes(tag: String, where: String): String = {
     val iterCtes = (1 to Iters).map { k =>
       s"""
-      w$k AS (
+      ${tag}w$k AS (
         SELECT sn.i, sum(sn.sn * v${k - 1}.v) AS w
-        FROM sn JOIN v${k - 1} ON v${k - 1}.i = sn.j GROUP BY 1),
-      m$k AS (SELECT max(abs(w)) AS m FROM w$k),
-      v$k AS (
+        FROM ${tag}sn sn JOIN ${tag}v${k - 1} v${k - 1}
+          ON v${k - 1}.i = sn.j GROUP BY 1),
+      ${tag}m$k AS (SELECT max(abs(w)) AS m FROM ${tag}w$k),
+      ${tag}v$k AS (
         SELECT i, ${sdivSql(s"w * $VecScale", "m")} AS v
-        FROM w$k CROSS JOIN m$k)"""
+        FROM ${tag}w$k CROSS JOIN ${tag}m$k)"""
     }.mkString(",")
-    s"""
-      WITH base AS (
+    s"""${tag}base AS (
         -- pairing key = a synthesized per-ROW id, NOT vec_id: the Spark
         -- side pairs coordinates within each physical row, so the
         -- oracle must too (a duplicated or NULL vec_id would otherwise
         -- cross-pair rows in the self-join and diverge)
-        SELECT row_number() OVER () AS rid, embedding FROM embeddings),
-      ex AS (
+        SELECT row_number() OVER () AS rid, embedding
+        FROM embeddings WHERE $where),
+      ${tag}ex AS (
         SELECT rid,
                unnest(generate_series(1, len(embedding))) - 1 AS i,
                unnest(list_transform(generate_series(1, len(embedding)),
                  d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
                       AS BIGINT))) AS xi
-        FROM base),
-      mom AS (
+        FROM ${tag}base),
+      ${tag}mom AS (
         SELECT a.i AS i, b.i AS j,
                sum(CAST(a.xi AS HUGEINT) * b.xi) AS sxy
-        FROM ex a JOIN ex b USING (rid) GROUP BY 1, 2),
-      sums AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM ex GROUP BY 1),
-      nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
-      s AS (
+        FROM ${tag}ex a JOIN ${tag}ex b USING (rid) GROUP BY 1, 2),
+      ${tag}sums AS (
+        SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM ${tag}ex GROUP BY 1),
+      ${tag}nn AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings WHERE $where),
+      ${tag}s AS (
         SELECT m.i, m.j, nn.n * m.sxy - si.sx * sj.sx AS s
-        FROM mom m
-        JOIN sums si ON si.i = m.i
-        JOIN sums sj ON sj.i = m.j
-        CROSS JOIN nn),
-      sc AS (SELECT max(abs(s)) // $MatCap + 1 AS scale FROM s),
-      sn AS (
+        FROM ${tag}mom m
+        JOIN ${tag}sums si ON si.i = m.i
+        JOIN ${tag}sums sj ON sj.i = m.j
+        CROSS JOIN ${tag}nn nn),
+      ${tag}sc AS (SELECT max(abs(s)) // $MatCap + 1 AS scale FROM ${tag}s),
+      ${tag}sn AS (
         SELECT i, j, ${sdivSql("s", "scale")} AS sn
-        FROM s CROSS JOIN sc),
-      v0 AS (SELECT i, CAST($VecScale AS HUGEINT) AS v FROM sums),
+        FROM ${tag}s CROSS JOIN ${tag}sc sc),
+      ${tag}v0 AS (SELECT i, CAST($VecScale AS HUGEINT) AS v FROM ${tag}sums),
       $iterCtes"""
   }
 
@@ -536,6 +547,79 @@ object EmbedPca {
     def oracle: Option[String] = pcaTop.oracle
   }
 
+  /** Spectral DRIFT monitor over the published stream models — the read
+    * that tells an embedding pipeline its representation axis moved
+    * (a new source came online, an encoder version changed): three
+    * ingest batches (vec-id mod 3), then for each consecutive pair of
+    * PUBLISHED versions the cosine between their eigenvectors, in bp.
+    * Version ids are batch ids ([[graft.streaming.PcaStream.modelAt]] is
+    * the time-travel read), so the monitor needs NO side state — the
+    * maintained moment table is the entire history. Signed: a stable
+    * axis reads ±10000 (the power-iteration sign is per-solve
+    * deterministic but not prefix-stable; |align| is the drift read).
+    * The cosine itself is the ANN family's double-floor convention over
+    * EXACT integer dot/norms (≤ d·1e12 < 2⁵³, so the doubles are exact
+    * cross-engine). Oracle: three full solve pipelines over the batch
+    * PREFIXES — the tagged [[solveCtes]] composition.
+    */
+  val pcDrift: GraftQuery = new GraftQuery {
+    val name = "embed_pc_drift"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val root = sys.props("java.io.tmpdir") + "/graft_pcdrift_" +
+        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.rmTree(root)
+      def vAt(ver: Int) =
+        graft.streaming.PcaStream.modelAt(spark, root, s"v$ver").v
+      // the monitor reads consecutive HEADS as they publish — the
+      // retention window (default retain = 2) always holds the pair,
+      // so the drift trail needs no extended history
+      val rows = (0 to 2).flatMap { k =>
+        graft.streaming.PcaStream.applyBatch(
+          emb.filter(pmod(col("vec_id"), lit(3)) === k), k + 1L, root)
+        if (k == 0) Nil
+        else {
+          val a = vAt(k)
+          val b = vAt(k + 1)
+          val dot = a.zip(b).map { case (x, y) => x * y }.sum
+          val na = a.map(x => x * x).sum
+          val nb = b.map(x => x * x).sum
+          val bp = math.floor(dot.toDouble * 10000.0 /
+            (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toLong
+          Seq((k + 1L, bp))
+        }
+      }
+      import spark.implicits._
+      rows.toDF("to_version", "align_bp").orderBy("to_version")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH ${solveCtes("p1", "vec_id % 3 = 0")},
+      ${solveCtes("p2", "vec_id % 3 < 2")},
+      ${solveCtes("p3", "TRUE")},
+      d2 AS (SELECT sum(a.v * b.v) AS dot
+             FROM p1v$Iters a JOIN p2v$Iters b USING (i)),
+      d3 AS (SELECT sum(a.v * b.v) AS dot
+             FROM p2v$Iters a JOIN p3v$Iters b USING (i)),
+      n1 AS (SELECT sum(v * v) AS nn FROM p1v$Iters),
+      n2 AS (SELECT sum(v * v) AS nn FROM p2v$Iters),
+      n3 AS (SELECT sum(v * v) AS nn FROM p3v$Iters)
+      SELECT CAST(2 AS BIGINT) AS to_version,
+             CAST(floor(CAST(d2.dot AS DOUBLE) * 10000.0 /
+               (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))))
+               AS BIGINT) AS align_bp
+      FROM d2 CROSS JOIN n1 CROSS JOIN n2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT) AS to_version,
+             CAST(floor(CAST(d3.dot AS DOUBLE) * 10000.0 /
+               (sqrt(CAST(n2.nn AS DOUBLE)) * sqrt(CAST(n3.nn AS DOUBLE))))
+               AS BIGINT) AS align_bp
+      FROM d3 CROSS JOIN n2 CROSS JOIN n3
+      ORDER BY to_version""")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(pcaTop, anisotropy, projection, outliers, labelSeparation, pcaStream)
+    Seq(pcaTop, anisotropy, projection, outliers, labelSeparation, pcaStream,
+      pcDrift)
 }

@@ -93,14 +93,23 @@ object PcaStream {
     * constant-size stat rows into the batch eigen-solve verbatim.
     */
   def liveModel(spark: SparkSession, root: String): Option[EmbedPca.Model] =
-    SnapshotTable.read(spark, root).map { t =>
-      val m = t.select(col("kk"), col("v")).collect()
-        .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
-      val n = m(0L)
-      val d = m.keysIterator.map(k => (k / 100000).toInt).max
-      val sx = Array.tabulate(d)(i => m((i + 1) * 100000L))
-      val tri = for { i <- 0 until d; j <- i until d }
-        yield (i, j, m((i + 1) * 100000L + j + 1))
-      EmbedPca.solveFromStats(n, sx, tri)
-    }
+    SnapshotTable.latestVersion(root).map(v => modelAt(spark, root, v))
+
+  /** The model at a PUBLISHED version — version ids are batch ids, so
+    * this is the spectral state as of that batch: the time-travel read
+    * the drift monitor (`embed_pc_drift`) diffs consecutive versions
+    * with.
+    */
+  def modelAt(spark: SparkSession, root: String,
+      version: String): EmbedPca.Model = {
+    val m = SnapshotTable.readVersion(spark, root, version)
+      .select(col("kk"), col("v")).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    val n = m(0L)
+    val d = m.keysIterator.map(k => (k / 100000).toInt).max
+    val sx = Array.tabulate(d)(i => m((i + 1) * 100000L))
+    val tri = for { i <- 0 until d; j <- i until d }
+      yield (i, j, m((i + 1) * 100000L + j + 1))
+    EmbedPca.solveFromStats(n, sx, tri)
+  }
 }

@@ -131,6 +131,25 @@ class EmbedPcaSpec extends SparkSpec {
     CacheRegistry.clearAll()
   }
 
+  test("pc drift: a planted stable axis reads near-total alignment across batches") {
+    import spark.implicits._
+    // the dominant ±10 axis is present in every vec_id-mod-3 batch, so
+    // each published model recovers (up to sign) the same eigenvector
+    val rows = (0L until 60L).map { k =>
+      val big = if (k % 2 == 0) 10.0f else -10.0f
+      (k, Seq(0.01f * (k % 3), big, 0.02f * (k % 2)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pcadrift").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("embed_pc_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(2L, 3L), s"one row per published pair: $out")
+    assert(out.values.forall(v => math.abs(v) > 9900L && math.abs(v) <= 10000L),
+      s"a stable planted axis must stay aligned across versions: $out")
+    CacheRegistry.clearAll()
+  }
+
   test("outlier scan surfaces a planted far vector first, in total order") {
     import spark.implicits._
     val rows = (0L until 40L).map { k =>
