@@ -335,6 +335,11 @@ class CorpusStreamSpec extends SparkSpec {
         s"after batch ${i + 1} the scaled scatter matrix must equal the rebuild")
       graft.CacheRegistry.clear()
     }
+    // the constant-state claim, mechanically: the maintained table holds
+    // EXACTLY 1 + d + d(d+1)/2 rows (d = 3 → 10) no matter how many
+    // batches landed — the scaladoc's "smallest state of any twin"
+    assert(graft.sources.SnapshotTable.read(spark, root).get.count() == 10L,
+      "moment table must stay at 1 + d + d(d+1)/2 rows")
     // replay idempotence: the moment fold short-circuits a committed head
     val before = graft.streaming.PcaStream.liveModel(spark, root).get.v.toSeq
     graft.streaming.PcaStream.applyBatch(embOf(batches.last),
