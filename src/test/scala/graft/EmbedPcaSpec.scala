@@ -169,4 +169,19 @@ class EmbedPcaSpec extends SparkSpec {
     assert(order == order.sorted, "(dist2 DESC, vec_id) total order")
     CacheRegistry.clearAll()
   }
+
+  test("plan pin: the outlier top-k is TakeOrdered, never a global sort") {
+    // (label separation and drift return driver-built local frames, so
+    // their returned plans carry nothing to pin — the distributed work
+    // is the collected aggregations, already budget-bounded by design)
+    val df = SparkEntry.queries("embed_centroid_outliers")(spark, sf)
+    df.count()
+    val nodes = unwrap(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
+    assert(nodes.exists(_.contains("TakeOrderedAndProject")),
+      s"top-20 must be TakeOrderedAndProject, not a global sort: $nodes")
+    assert(!nodes.exists(_ == "SortExec"),
+      s"no global sort may materialize: $nodes")
+    CacheRegistry.clearAll()
+  }
 }
