@@ -547,6 +547,65 @@ object EmbedPca {
     def oracle: Option[String] = pcaTop.oracle
   }
 
+  /** Per-DIMENSION feature health — the diagnostic a pipeline runs
+    * before it spends anything on PCA or quantization: a dead dimension
+    * (zero variance — an encoder bug or a padded tail) wastes PQ
+    * codebook bits and ANN plane budget; a dimension with an extreme
+    * range dominates unnormalized L2. Per dim over the floored x1000
+    * domain: min, max, count of exact zeros, the truncating mean
+    * ⌊Σx/n⌋, and the truncating population variance ⌊(n·Σx² − (Σx)²)/n²⌋
+    * — every value integer-exact cross-engine (sums in DECIMAL/HUGEINT,
+    * divisions via the shared sign-preserving CASE).
+    *
+    * Scale shape: ONE n·d posexplode partial-agg to d grouped rows
+    * (map-side combine — nothing but d aggregate cells shuffles), the
+    * stats assembled driver-side from the collected d rows (the
+    * model-on-the-driver bound class). Zero joins, zero extra passes.
+    */
+  val dimStats: GraftQuery = new GraftQuery {
+    val name = "embed_dim_stats"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perDim = flooredVectors(spark, sfDir)
+        .select(posexplode(col("fx")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          count(lit(1)).as("n"),
+          sum((col("x") === 0L).cast("long")).as("zero_ct"))
+        .collect()
+      require(perDim.nonEmpty, "embed_dim_stats: empty embeddings table")
+      val rows = perDim.map { r =>
+        val n = BigInt(r.getLong(5))
+        val sx = BigInt(r.getDecimal(3).toBigInteger)
+        val sxx = BigInt(r.getDecimal(4).toBigInteger)
+        (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+          (sx / n).toLong, ((n * sxx - sx * sx) / (n * n)).toLong,
+          r.getLong(6))
+      }.sortBy(_._1).toSeq
+      import spark.implicits._
+      rows.toDF("dim", "x_min", "x_max", "mean_floor", "var_floor",
+        "zero_ct")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH $pexCte,
+      g AS (
+        SELECT i, min(xi) AS mn, max(xi) AS mx,
+               sum(CAST(xi AS HUGEINT)) AS sx,
+               sum(CAST(xi AS HUGEINT) * xi) AS sxx,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS zero_ct
+        FROM pex GROUP BY 1)
+      SELECT CAST(i AS BIGINT) AS dim, mn AS x_min, mx AS x_max,
+             CAST(${sdivSql("sx", "n")} AS BIGINT) AS mean_floor,
+             CAST(${sdivSql("n * sxx - sx * sx", "n * n")} AS BIGINT)
+               AS var_floor,
+             CAST(zero_ct AS BIGINT) AS zero_ct
+      FROM g ORDER BY dim""")
+  }
+
   /** Spectral DRIFT monitor over the published stream models — the read
     * that tells an embedding pipeline its representation axis moved
     * (a new source came online, an encoder version changed): three
@@ -621,5 +680,5 @@ object EmbedPca {
 
   val all: Seq[GraftQuery] =
     Seq(pcaTop, anisotropy, projection, outliers, labelSeparation, pcaStream,
-      pcDrift)
+      pcDrift, dimStats)
 }

@@ -170,6 +170,29 @@ class EmbedPcaSpec extends SparkSpec {
     CacheRegistry.clearAll()
   }
 
+  test("dim stats: a planted dead dimension reads zero variance, full zero count") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { k =>
+      val big = if (k % 2 == 0) 10.0f else -10.0f
+      (k, Seq(0.0f, big, 0.001f * k))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pcadim").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("embed_dim_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(0L) == ((0L, 0L, 0L, 0L, 40L)),
+      s"dead dim: all-zero, zero variance, zero_ct = n: ${out(0L)}")
+    // dim 1 = ±10 → floored ±10000, mean 0, var exactly 1e8, no zeros
+    assert(out(1L) == ((-10000L, 10000L, 0L, 100000000L, 0L)),
+      s"planted ±10 axis stats: ${out(1L)}")
+    assert(out(2L)._4 > 0L && out(2L)._5 == 1L,
+      s"ramp dim varies and zeroes only at k=0: ${out(2L)}")
+    CacheRegistry.clearAll()
+  }
+
   test("plan pin: the outlier top-k is TakeOrdered, never a global sort") {
     // (label separation and drift return driver-built local frames, so
     // their returned plans carry nothing to pin — the distributed work
