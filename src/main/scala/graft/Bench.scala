@@ -21,6 +21,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Shared-frame release schedule: query name → key-prefix families to
+    * release AFTER that query's second run (the query is the family's
+    * last consumer in sorted-name order). Derived empirically by
+    * `tools.SharedConsumers` — rerun it and refresh this map whenever a
+    * query is added/renamed; a stale map shows up as a non-empty
+    * `shared_rebuilds` field in the capture, never as wrong results.
+    */
+  private val releaseAfter: Map[String, Seq[String]] = Map(
+    "ann_pq_m16_recall" -> Seq("pq_sub:16:emb"),
+    "ann_pq_m16_recall_clustered" -> Seq("pq_sub:16:clu"),
+    "ann_pq_rerank_recall" -> Seq("pq_ranked:emb", "pq_sub:8:emb"),
+    "ann_pq_recall_clustered" -> Seq("pq_ranked:clu", "pq_sub:8:clu"),
+    "ann_prefix_recall_clustered" -> Seq("clu_vecs"),
+    "dedup_ngram_jaccard" -> Seq("ngram_sk"),
+    "embed_outliers" -> Seq("clusterCurate"),
+    "embed_pc_projection" -> Seq("embed_fx"),
+    "knn_classify" -> Seq("knn"),
+    "pipeline_manifest" -> Seq("pm_dup_losers", "pm_sem_losers",
+      "pm_span_losers", "vecs"),
+    "search_hybrid_rrf" -> Seq("doc_embed"),
+    "search_snippets" -> Seq("bm25dl"),
+    "span_coverage" -> Seq("doc_toks", "span_pairs"),
+    "text_stats" -> Seq("bpe_counts"),
+    "visitor_stats" -> Seq("enriched"),
+    "vocab_growth" -> Seq("bm25tf"),
+  )
+
   /** The three /proc/loadavg load averages (1/5/15 min), or NaNs where
     * unreadable (non-Linux) — the contention telemetry a gate reads to
     * flag a noisy capture instead of ingesting 10x-contended numbers as
@@ -85,10 +112,11 @@ object Bench {
     // time and a perf gate could pass on a broken capture)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
+      CacheRegistry.beginQuery(name)
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => if (!errors.contains(name)) errors += name; false }
-        finally CacheRegistry.clear()
+        finally { CacheRegistry.endQuery(); CacheRegistry.clear() }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -96,6 +124,13 @@ object Bench {
       .map { case (name, fn) =>
         val (run1, ok1) = runOnce(name, fn)
         val (run2, ok2) = runOnce(name, fn)
+        // family-scoped release boundary: once a shared frame's LAST
+        // consumer (sorted order — tools.SharedConsumers derives the map)
+        // has run, the frame stops competing for executor storage with
+        // the families still to come. A stale map cannot corrupt results
+        // — a released-too-early frame rebuilds lazily — but the event
+        // lands in `shared_rebuilds` so the capture flags its own noise.
+        releaseAfter.get(name).foreach(CacheRegistry.releaseShared)
         // no successful run → a loud 1e9 sentinel (valid JSON, impossible
         // as a real duration), so a gate reading total_min FAILS instead
         // of seeing a fast crash as the query's best time
@@ -103,8 +138,14 @@ object Bench {
           .minOption.getOrElse(1e9)
         (name, run1, best)
       }
+    val sharedRebuilds = CacheRegistry.rebuiltAfterRelease
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // millisecond precision everywhere: full double repr at 175 queries
+    // x 2 maps pushed the line past the driver artifact's tail window,
+    // truncating the blob's head — 3dp keeps the whole record in the tail
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(sel: ((String, Double, Double)) => (String, Double)) = results
-      .map { r => val (k, v) = sel(r); s"\"" + k + "\":" + v }
+      .map { r => val (k, v) = sel(r); s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qs = json { case (k, v, _) => (k, v) }
     val qsMin = json { case (k, _, m) => (k, m) }
@@ -129,13 +170,16 @@ object Bench {
     // or segregate lever-mode numbers instead of ingesting them silently
     val approxLever = sys.env.get("SPARK_GRAFT_APPROX_DISTINCT")
       .map(v => "\"" + v + "\"").getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","shared_build":$sharedBuild,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":$wallSec,"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended,"levers":{"approx_distinct":$approxLever,"shuffle_partitions":$shufflePartitions,"cpus":$cpus}}"""
-    println(line)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_build":${fmt(sharedBuild)},"total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":${fmt(wallSec)},"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended,"shared_rebuilds":$sharedRebuilds,"levers":{"approx_distinct":$approxLever,"shuffle_partitions":$shufflePartitions,"cpus":$cpus}}"""
     // stdout goes through sbt, which interleaves its own log lines — also
     // land the result in a file so a gate never depends on log scraping
     try java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: failed to write $benchOut: $e") }
+    // the JSON line is the LAST stdout act — after spark.stop()'s
+    // shutdown logging — so a gate tailing the run output always finds
+    // the complete record at the very end
     spark.stop()
+    println(line)
   }
 }

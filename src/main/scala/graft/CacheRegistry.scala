@@ -10,6 +10,11 @@ import org.apache.spark.sql.DataFrame
 object CacheRegistry {
   private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val sharedDfs = scala.collection.mutable.Map.empty[String, DataFrame]
+  private var currentQuery: Option[String] = None
+  private val accessLog =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+  private val releasedKeys = scala.collection.mutable.Set.empty[String]
+  private val rebuilt = scala.collection.mutable.ArrayBuffer.empty[String]
 
   def persist(df: DataFrame): DataFrame = synchronized {
     registered += df
@@ -20,10 +25,57 @@ object CacheRegistry {
     * the enriched events derivation feeding the whole log suite — the DWD
     * layer materialized once for its DWS/ADS consumers, as the reference
     * stages through a Kafka topic). Survives per-query [[clear]]; released
-    * by [[clearAll]].
+    * by [[clearAll]] or a [[releaseShared]] boundary.
     */
   def shared(key: String)(build: => DataFrame): DataFrame = synchronized {
+    currentQuery.foreach(q =>
+      accessLog.getOrElseUpdate(key, scala.collection.mutable.Set.empty) += q)
+    // a rebuild after an explicit release means the release schedule's
+    // last-consumer map is STALE (a later query still reads this frame):
+    // correctness is unaffected (the frame rebuilds lazily) but the
+    // consumer's timing silently absorbs the rebuild — so the event is
+    // recorded and surfaced in the bench capture's `shared_rebuilds`
+    if (!sharedDfs.contains(key) && releasedKeys.contains(key)) rebuilt += key
     sharedDfs.getOrElseUpdate(key, build.persist())
+  }
+
+  /** Harness attribution scope: shared-frame accesses between
+    * [[beginQuery]] and [[endQuery]] are logged under `name` — the data
+    * [[tools.SharedConsumers]] derives the bench release schedule from.
+    */
+  def beginQuery(name: String): Unit = synchronized { currentQuery = Some(name) }
+  def endQuery(): Unit = synchronized { currentQuery = None }
+
+  /** (shared key → query names that accessed it) for this session. */
+  private[graft] def sharedAccesses: Map[String, Set[String]] = synchronized {
+    accessLog.map { case (k, v) => k -> v.toSet }.toMap
+  }
+
+  /** Keys rebuilt after an explicit release — nonempty means the release
+    * schedule is stale and should be regenerated ([[tools.SharedConsumers]]).
+    */
+  private[graft] def rebuiltAfterRelease: Seq[String] = synchronized {
+    rebuilt.toSeq
+  }
+
+  /** Family-scoped release boundary: unpersist shared frames whose key
+    * matches a prefix (exactly, or `prefix:`-qualified — keys embed the
+    * fixture dir and subspace counts as `:`-suffixes). Called by Bench
+    * after a frame family's LAST consumer has run, so long-lived shared
+    * frames stop competing for executor storage with the families still
+    * to come (the in-suite eviction effect that inflated the PQ family
+    * ~2x vs isolated). Returns the released keys.
+    */
+  def releaseShared(keyPrefixes: Seq[String]): Seq[String] = synchronized {
+    val hit = sharedDfs.keysIterator
+      .filter(k => keyPrefixes.exists(p => k == p || k.startsWith(p + ":")))
+      .toSeq
+    hit.foreach { k =>
+      sharedDfs(k).unpersist(blocking = false)
+      sharedDfs.remove(k)
+      releasedKeys += k
+    }
+    hit
   }
 
   /** Eagerly materialize `df` behind a lineage LEAF and register the cache
@@ -59,10 +111,19 @@ object CacheRegistry {
     registered.clear()
   }
 
-  /** Release everything, shared frames included (end of harness run). */
+  /** Release everything, shared frames included (end of harness run).
+    * Also resets the release/rebuild/access bookkeeping so a second
+    * harness run in the same JVM starts clean (a key released last run
+    * must not count as "rebuilt after release" when the next run builds
+    * it fresh).
+    */
   def clearAll(): Unit = synchronized {
     clear()
     sharedDfs.values.foreach(_.unpersist(blocking = false))
     sharedDfs.clear()
+    releasedKeys.clear()
+    rebuilt.clear()
+    accessLog.clear()
+    currentQuery = None
   }
 }

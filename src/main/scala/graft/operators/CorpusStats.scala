@@ -174,8 +174,7 @@ object CorpusStats {
     private val TopK = 50
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_colloc_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("colloc", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")
@@ -277,8 +276,7 @@ object CorpusStats {
     val name = "corpus_divergence_stream_maintained"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_divstream_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("divstream", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")
@@ -411,8 +409,7 @@ object CorpusStats {
     val name = "vocab_growth_stream_maintained"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_vocabstream_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("vocabstream", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")

@@ -93,6 +93,27 @@ object EmbedPca {
         .select(col("vec_id"), expr(floorSql).as("fx"))
     }
 
+  /** Loud guard for the queries whose ORACLE keys on vec_id while the
+    * Spark side works per physical row (`embed_pc_projection`'s GROUP BY
+    * vec_id) or partitions rows by pmod(vec_id, N) against an
+    * all-physical-rows oracle (the stream twins): a NULL or duplicated
+    * vec_id would silently diverge the two sides — the same failure
+    * class the scatter oracle's synthesized-rid comment defends against.
+    * One aggregate pass; at fixture scale it is free, at corpus scale it
+    * is a single count-style scan — the price of a guard that turns a
+    * silent hash mismatch into a named error.
+    */
+  private[graft] def requireUniqueVecIds(emb: DataFrame, qname: String): Unit = {
+    val r = emb.agg(count(lit(1)).as("n"), count(col("vec_id")).as("nn"),
+      countDistinct(col("vec_id")).as("nd")).collect().head
+    require(r.getLong(0) == r.getLong(1) && r.getLong(1) == r.getLong(2),
+      s"$qname: embeddings.vec_id must be non-null and distinct " +
+        s"(rows=${r.getLong(0)}, non-null=${r.getLong(1)}, " +
+        s"distinct=${r.getLong(2)}) — the oracle keys on vec_id while " +
+        "the engine works per physical row, so the two would silently " +
+        "diverge")
+  }
+
   /** The real computation — exposed so the determinism spec can rerun
     * it for REAL (asserting through the memo would be vacuous).
     */
@@ -318,6 +339,7 @@ object EmbedPca {
     val name = "embed_pc_projection"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      requireUniqueVecIds(Tables.load(spark, sfDir, "embeddings"), name)
       val m = solve(spark, sfDir)
       val vArr = m.v.map(_.toLong).mkString(",")
       flooredVectors(spark, sfDir).select(col("vec_id"),
@@ -530,13 +552,20 @@ object EmbedPca {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val emb = Tables.load(spark, sfDir, "embeddings")
-      val root = sys.props("java.io.tmpdir") + "/graft_pcastream_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      requireUniqueVecIds(emb, name)
+      val root = SnapshotDiff.scratchRoot("pcastream", sfDir)
       SnapshotDiff.rmTree(root)
-      graft.streaming.PcaStream.applyBatch(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 0), 1L, root)
-      graft.streaming.PcaStream.applyBatch(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 1), 2L, root)
+      (0 to 1).foreach { k =>
+        val slice = emb.filter(pmod(col("vec_id"), lit(2)) === k)
+        // loud on an empty parity slice: applyBatch publishes nothing
+        // for an empty batch, so the serve would silently cover only
+        // half the corpus while the oracle reads every row
+        require(!slice.isEmpty,
+          s"$name: vec_id % 2 = $k selects no rows — both parity " +
+            "batches must be non-empty for the streamed model to cover " +
+            "the full corpus")
+        graft.streaming.PcaStream.applyBatch(slice, k + 1L, root)
+      }
       val m = graft.streaming.PcaStream.liveModel(spark, root).get
       import spark.implicits._
       m.v.zipWithIndex.map { case (vi, i) => (i.toLong, vi.toLong) }.toSeq
@@ -626,8 +655,8 @@ object EmbedPca {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val emb = Tables.load(spark, sfDir, "embeddings")
-      val root = sys.props("java.io.tmpdir") + "/graft_pcdrift_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      requireUniqueVecIds(emb, name)
+      val root = SnapshotDiff.scratchRoot("pcdrift", sfDir)
       SnapshotDiff.rmTree(root)
       def vAt(ver: Int) =
         graft.streaming.PcaStream.modelAt(spark, root, s"v$ver").v
@@ -635,8 +664,16 @@ object EmbedPca {
       // retention window (default retain = 2) always holds the pair,
       // so the drift trail needs no extended history
       val rows = (0 to 2).flatMap { k =>
-        graft.streaming.PcaStream.applyBatch(
-          emb.filter(pmod(col("vec_id"), lit(3)) === k), k + 1L, root)
+        val slice = emb.filter(pmod(col("vec_id"), lit(3)) === k)
+        // loud on an empty mod-3 slice (small or filtered fixture):
+        // applyBatch skips empty batches WITHOUT publishing, so the
+        // subsequent modelAt(v<k+1>) would fail with an opaque parquet
+        // path error instead of naming the real problem
+        require(!slice.isEmpty,
+          s"$name: vec_id % 3 = $k selects no rows — each drift batch " +
+            "must be non-empty to publish its version (fixture too " +
+            "small or over-filtered)")
+        graft.streaming.PcaStream.applyBatch(slice, k + 1L, root)
         if (k == 0) Nil
         else {
           val a = vAt(k)

@@ -258,8 +258,7 @@ object Graph {
     val name = "pagerank_stream_maintained"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_rankstream_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("rankstream", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = pageEvents(spark, sfDir)
@@ -300,8 +299,7 @@ object Graph {
     val name = "pagerank_stream_periodic"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_rankperiodic_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("rankperiodic", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = pageEvents(spark, sfDir)

@@ -46,8 +46,7 @@ object IncrementalDedup {
     * never share state).
     */
   private[graft] def indexDir(sfDir: String): String =
-    sys.props("java.io.tmpdir") + "/graft_band_index_" +
-      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    SnapshotDiff.scratchRoot("band_index", sfDir)
 
   /** Marker a live [[graft.streaming.DedupStream]] plants in the index
     * root so batch maintenance ([[clearIndex]], [[compactIndex]]) cannot

@@ -22,8 +22,7 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   private def root(sfDir: String): String =
-    sys.props("java.io.tmpdir") + "/graft_invidx_" +
-      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    SnapshotDiff.scratchRoot("invidx", sfDir)
 
   /** Target posting rows per tile — the Lucene-segment economics knob:
     * tile SIZE stays ~constant and the tile COUNT grows with the corpus,

@@ -168,8 +168,7 @@ object LineDedup {
     val name = "line_dedup_stream_maintained"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_linededup_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("linededup", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")

@@ -58,8 +58,7 @@ object LsmIndex {
   private[graft] val MaxSegments = 8
 
   private def root(sfDir: String): String =
-    sys.props("java.io.tmpdir") + "/graft_lsmidx_" +
-      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    SnapshotDiff.scratchRoot("lsmidx", sfDir)
 
   // --- the segment manifest (the _LATEST pattern, one level up) ---
   //

@@ -120,15 +120,35 @@ object ProductQuant {
     * probe and the sub-vector table are seedK-independent and session-
     * shared, so the 4-bit and 8-bit points pay for them once.
     */
+  /** A pluggable vector source for the PQ chain: the default embeddings
+    * table (near-orthogonal — the worst-case regime every recall number
+    * was historically measured on) or the mixed-radii planted-cluster
+    * fixture ([[Similarity.mixedVecs]] — the realistic-manifold regime).
+    * `tag` keys the session-shared caches; `duckE` is the oracle's
+    * `e(vec_id, v)` CTE body.
+    */
+  private[graft] final case class VecSrc(tag: String, duckE: String,
+      frame: (SparkSession, String) => DataFrame)
+
+  private[graft] val SrcEmb = VecSrc("emb",
+    """
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings""",
+    Similarity.vecs)
+
+  private[graft] val SrcClu =
+    VecSrc("clu", Similarity.duckMixedVecs, Similarity.mixedVecs)
+
   /** The session-shared IVF cell ranking (pq_ranked) — exposed for
     * [[Warmup]] so the first ann_ivf_pq* query is not charged the build.
     */
-  private[graft] def sharedRanked(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Similarity.vecs(spark, sfDir)
+  private[graft] def sharedRanked(spark: SparkSession, sfDir: String,
+      src: VecSrc = SrcEmb): DataFrame = {
+    val e = src.frame(spark, sfDir)
     // IVF candidate generation — identical cell machinery to ann_ivf
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    graft.CacheRegistry.shared(s"pq_ranked:$sfDir") {
+    graft.CacheRegistry.shared(s"pq_ranked:${src.tag}:$sfDir") {
       Similarity.cellRanked(e, cents).select("vec_id", "cid", "crank")
     }
   }
@@ -137,14 +157,16 @@ object ProductQuant {
     * — [[Warmup]]-visible for the same reason.
     */
   private[graft] def sharedSub(spark: SparkSession, sfDir: String,
-      mCount: Int): DataFrame = {
-    val e = Similarity.vecs(spark, sfDir)
-    graft.CacheRegistry.shared(s"pq_sub:$mCount:$sfDir")(subVectors(e, mCount))
+      mCount: Int, src: VecSrc = SrcEmb): DataFrame = {
+    val e = src.frame(spark, sfDir)
+    graft.CacheRegistry.shared(s"pq_sub:$mCount:${src.tag}:$sfDir")(
+      subVectors(e, mCount))
   }
 
   private def pqChain(spark: SparkSession, sfDir: String,
-      seedK: Int, mCount: Int): (DataFrame, DataFrame, DataFrame) = {
-    val ranked = sharedRanked(spark, sfDir)
+      seedK: Int, mCount: Int,
+      src: VecSrc = SrcEmb): (DataFrame, DataFrame, DataFrame) = {
+    val ranked = sharedRanked(spark, sfDir, src)
     val pairs = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
       .join(ranked.filter(col("crank") === 1)
@@ -152,7 +174,7 @@ object ProductQuant {
       .filter(col("qid") =!= col("vec_id"))
       .select("qid", "vec_id")
     // PQ codebook: deterministic seeds + one exact Lloyd step
-    val sub = sharedSub(spark, sfDir, mCount)
+    val sub = sharedSub(spark, sfDir, mCount, src)
     val seeds = sub.filter(col("vec_id") < seedK)
       .select(col("m"), col("vec_id").as("k"), col("s").as("cw"))
     val cb = graft.CacheRegistry.persist(refine(assign(sub, seeds)))
@@ -459,19 +481,71 @@ object ProductQuant {
   val pqM16Recall: GraftQuery =
     pqRecallOf("ann_pq_m16_recall", SeedK, annIvfPqM16, M16)
 
+  /** CLUSTERED-regime recall twin: the identical IVF-PQ chain run over
+    * the mixed-radii planted-cluster fixture, so each compression point
+    * states its recall in BOTH regimes — worst-case near-orthogonal
+    * (the base `ann_pq*_recall` numbers) and realistic clustered
+    * manifold (these). BASELINE.md's storage-for-recall table carries
+    * both columns; config guidance reads the clustered column first.
+    */
+  private def pqRecallClustered(qName: String, seedK: Int,
+      mCount: Int = M): GraftQuery = new GraftQuery {
+    val name = qName
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Similarity.mixedVecs(spark, sfDir)
+      val (pairs, codes, lut) = pqChain(spark, sfDir, seedK, mCount, SrcClu)
+      val got = adcRanked(pairs, codes, lut).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.recallOf(Similarity.bruteTop3(e), got)
+    }
+
+    def oracle: Option[String] =
+      Some(duckPqCtes(seedK, mCount, SrcClu.duckE) + """
+      , brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      pq3 AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN pq3 l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """)
+  }
+
+  /** recall@3 at 4-bit/128x on the clustered fixture. */
+  val pqRecallClu: GraftQuery =
+    pqRecallClustered("ann_pq_recall_clustered", SeedK)
+
+  /** recall@3 at 8-bit/64x on the clustered fixture. */
+  val pq8RecallClu: GraftQuery =
+    pqRecallClustered("ann_pq8_recall_clustered", SeedK8)
+
+  /** recall@3 at 16 subspaces/64x on the clustered fixture. */
+  val pqM16RecallClu: GraftQuery =
+    pqRecallClustered("ann_pq_m16_recall_clustered", SeedK, M16)
+
   /** DuckDB mirror of the whole IVF-PQ chain up to
     * `pq_ranked(query_id, neighbor_id, adc_bp, rank)`.
     */
-  private def duckPqCtes(seedK: Int, mCount: Int): String = {
+  private def duckPqCtes(seedK: Int, mCount: Int,
+      eBody: String = SrcEmb.duckE): String = {
     val dsub = Dims / mCount
     def dot(a: String, b: String, len: String) =
       s"list_sum(list_transform(generate_series(1, $len), i -> $a[i] * $b[i]))"
     val d2 = s"floor((${dot("s", "s", "len(s)")} - 2.0 * ${dot("s", "cw", "len(s)")} + " +
       s"${dot("cw", "cw", "len(cw)")}) * 100000000.0)"
     s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+      WITH e AS ($eBody),
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
@@ -663,5 +737,6 @@ object ProductQuant {
 
   val all: Seq[GraftQuery] = Seq(annIvfPq, annIvfPqFlat, pqRecall, annIvfPq8,
     pq8Recall, annIvfPqM16, pqM16Recall, annInt8, int8Recall,
-    annIvfPqRerank, pqRerankRecall)
+    annIvfPqRerank, pqRerankRecall,
+    pqRecallClu, pq8RecallClu, pqM16RecallClu)
 }

@@ -189,8 +189,7 @@ object Retrieval {
     val name = "search_bm25_maintained"
 
     private def root(sfDir: String): String =
-      sys.props("java.io.tmpdir") + "/graft_searchstream_" +
-        sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      SnapshotDiff.scratchRoot("searchstream", sfDir)
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.load(spark, sfDir, "documents")

@@ -683,6 +683,168 @@ object Similarity {
                    AS DOUBLE) / 16e0) AS v
         FROM embeddings"""
 
+  /** MIXED-RADII planted-cluster fixture — the realistic-manifold twin of
+    * [[clusteredVecs]] for the recall-curve measurements: every ANN
+    * config number measured on the near-orthogonal `embeddings` table is
+    * the WORST case (no structure for cells/codebooks to exploit), so
+    * each compressed path also reports recall here, where clusters exist
+    * and their spreads differ. Cluster of vec v = v % 8 (signature dims
+    * 8k..8k+7 carry [[SignalUnits]]/16 = 10.0, as before); the md5
+    * jitter is scaled by a per-cluster RADIUS multiplier 1 + (c % 3) ∈
+    * {1, 2, 3} — tight (jitter < 16), medium (< 32) and loose (< 48)
+    * clusters coexist, the mixed-spread shape real embedding corpora
+    * show. All values stay exact multiples of 1/16 (dyadic) and the
+    * construction is pure SQL mirrored verbatim in DuckDB, so both
+    * engines build bit-identical doubles. Session-shared: up to six
+    * recall twins read it.
+    */
+  private[graft] def mixedVecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.DotProductDouble.register(spark)
+    graft.CacheRegistry.shared(s"clu_vecs:$sfDir") {
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"))
+        .withColumn("v", expr(s"""
+          transform(sequence(1, 64), d ->
+            CAST((CASE WHEN (d - 1) div 8 = vec_id % 8 THEN $SignalUnits ELSE 0 END)
+              + ((instr('0123456789abcdef', substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(d AS STRING))), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(d AS STRING))), 2, 1)) - 1))
+                * (1 + (vec_id % 8) % 3)
+              AS DOUBLE) / 16e0)"""))
+        .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+    }
+  }
+
+  /** DuckDB twin of [[mixedVecs]] as a `e(vec_id, v)` CTE body. */
+  private[graft] def duckMixedVecs: String = s"""
+        SELECT vec_id,
+               list_transform(range(1, 65), d ->
+                 CAST((CASE WHEN (d - 1) // 8 = vec_id % 8 THEN $SignalUnits ELSE 0 END)
+                   + ((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 2, 1)) - 1))
+                     * (1 + (vec_id % 8) % 3)
+                   AS DOUBLE) / 16e0) AS v
+        FROM embeddings"""
+
+  /** Brute-force cosine top-3 (query_id, neighbor_id) over any
+    * (vec_id, v, nrm) frame, query panel vec_id < 10 — the ground-truth
+    * pass every recall twin shares.
+    */
+  private[graft] def bruteTop3(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+    val scored = q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_bp", cosBp("q", "c"))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos_bp").desc, col("c.vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+  }
+
+  /** (truth, got) → per-query recall_bp frame — the join+agg shape all
+    * recall metrics share.
+    */
+  private[graft] def recallOf(truth: DataFrame, got: DataFrame): DataFrame =
+    truth
+      .join(got
+          .select(col("query_id").as("g_query"), col("neighbor_id").as("g_neighbor")),
+        col("query_id") === col("g_query") &&
+          col("neighbor_id") === col("g_neighbor"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("truth_k"), count(col("g_neighbor")).as("hits"))
+      .withColumn("recall_bp",
+        floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+      .orderBy("query_id")
+
+  /** IVF top-3 over any (vec_id, v, nrm) frame: seed centers = the 16
+    * lowest vec_ids, corpus in its top-1 cell, queries (vec_id < 10)
+    * probe their top-2 cells — [[annIvf]]'s contract through the
+    * map-only [[cellRanked]] kernel.
+    */
+  private[graft] def ivfTop3(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val ranked = cellRanked(e, cents)
+    val corpusCell = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val queryProbe = ranked.filter(col("crank") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val scored = queryProbe.as("q")
+      .join(corpusCell.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_bp", cosBp("q", "c"))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos_bp").desc, col("c.vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+  }
+
+  /** Shared oracle tail: brute + ivf recall compare over CTEs
+    * `n(vec_id, v, nrm)` — parameterized on the e-body so the
+    * near-orthogonal and clustered fixtures ride the same SQL.
+    */
+  private def duckIvfRecall(eBody: String): String = s"""
+      WITH e AS ($eBody),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign AS (
+        SELECT n.vec_id, n.v, n.nrm, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * cents.cv[i])) * 10000.0 / (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      corpus AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1),
+      qp AS (SELECT vec_id, v, nrm, cid AS cell FROM ranked
+             WHERE crank <= 2 AND vec_id < 10),
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM qp q JOIN corpus c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3)
+      SELECT b.query_id,
+             count(*) AS truth_k,
+             count(l.neighbor_id) AS hits,
+             CAST(floor(count(l.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+      FROM brute b LEFT JOIN ivf l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1 ORDER BY b.query_id
+    """
+
+  /** recall@3 of the IVF path on the MIXED-RADII clustered fixture —
+    * the clustered-regime companion of [[annRecallIvf]] (measured 0.23
+    * on the near-orthogonal table, where cells cannot beat chance; here
+    * cells align with real clusters). Same machinery, same metric shape;
+    * the pair states the IVF storage/recall row under both regimes.
+    */
+  val annRecallIvfClustered: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_recall_clustered"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = mixedVecs(spark, sfDir)
+      recallOf(bruteTop3(e), ivfTop3(e))
+    }
+
+    def oracle: Option[String] = Some(duckIvfRecall(duckMixedVecs))
+  }
+
   /** One DuckDB Lloyd step: cents$i (cid, cv, cnrm) -> cents${i+1}n. */
   private[graft] def duckLloydStep(i: Int): String = s"""
       assign$i AS (
@@ -954,7 +1116,95 @@ object Similarity {
     """)
   }
 
+  /** Matryoshka prefix recall on the MIXED-RADII clustered fixture — the
+    * clustered-regime twin of [[annPrefixRecall]]. Structurally sharper
+    * here than on the near-orthogonal table: cluster k's signature lives
+    * in dims 8k..8k+7, so a w-dim truncation ERASES the signature of
+    * every cluster with 8k ≥ w — the untrained-truncation worst case for
+    * tail clusters, which is exactly what an MRL-untrained model risks.
+    * Same metric shape (per width w ∈ {8,16,32,64}: prefix-cosine brute
+    * top-3 vs full-64-dim truth).
+    */
+  val annPrefixRecallClustered: GraftQuery = new GraftQuery {
+    val name = "ann_prefix_recall_clustered"
+    private val Widths = Seq(8, 16, 32, 64)
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = mixedVecs(spark, sfDir)
+      val truth = bruteTop3(e)
+      val perWidth = Widths.map { w =>
+        val p = e.select(col("vec_id"), expr(s"slice(v, 1, $w)").as("v"))
+          .withColumn("nrm", sqrt(expr("dot_double(v, v)")))
+          .filter(col("nrm") > 0)
+        val win = Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_bp").desc, col("c.vec_id"))
+        p.filter(col("vec_id") < 10).as("q")
+          .join(p.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .withColumn("cos_bp", cosBp("q", "c"))
+          .withColumn("rank", row_number().over(win))
+          .filter(col("rank") <= 3)
+          .select(lit(w.toLong).as("w"),
+            col("q.vec_id").as("g_query"), col("c.vec_id").as("g_neighbor"))
+      }.reduce(_ unionByName _)
+      import spark.implicits._
+      val widths = Widths.map(_.toLong).toDF("prefix_dims")
+      truth.crossJoin(widths)
+        .join(perWidth,
+          col("prefix_dims") === col("w") &&
+            col("query_id") === col("g_query") &&
+            col("neighbor_id") === col("g_neighbor"), "left")
+        .groupBy(col("prefix_dims"), col("query_id"))
+        .agg(count(lit(1)).as("truth_k"), count(col("g_neighbor")).as("hits"))
+        .withColumn("recall_bp",
+          floor(col("hits") * lit(10000.0) / col("truth_k")).cast("long"))
+        .orderBy("prefix_dims", "query_id")
+    }
+
+    def oracle: Option[String] = Some(s"""
+      WITH e AS ($duckMixedVecs),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3),
+      widths(w) AS (VALUES (8), (16), (32), (64)),
+      pn AS (
+        SELECT ws.w AS w, vec_id, v[1 : ws.w] AS v
+        FROM e CROSS JOIN widths ws),
+      pz AS (
+        SELECT w, vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM pn),
+      pnz AS (SELECT * FROM pz WHERE nrm > 0),
+      pref AS (
+        SELECT w, query_id, neighbor_id FROM (
+          SELECT q.w AS w, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.w, q.vec_id ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.vec_id) AS rank
+          FROM pnz q JOIN pnz c
+            ON q.w = c.w AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 3)
+      SELECT CAST(ws.w AS BIGINT) AS prefix_dims, b.query_id,
+             count(*) AS truth_k, count(p.neighbor_id) AS hits,
+             CAST(floor(count(p.neighbor_id) * 10000.0 / count(*)) AS BIGINT)
+               AS recall_bp
+      FROM brute b CROSS JOIN widths ws
+      LEFT JOIN pref p ON p.w = ws.w AND p.query_id = b.query_id
+        AND p.neighbor_id = b.neighbor_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined,
-      ivfKmeansGain, annPrefixRecall)
+      ivfKmeansGain, annPrefixRecall, annRecallIvfClustered,
+      annPrefixRecallClustered)
 }

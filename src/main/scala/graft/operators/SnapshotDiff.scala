@@ -27,9 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  private[graft] def root(sfDir: String): String =
-    sys.props("java.io.tmpdir") + "/graft_snapdiff_" +
+  /** Per-JVM nonce for scratch roots (pid@host — no RNG, debuggable):
+    * two concurrent harness JVMs over the SAME fixture dir otherwise race
+    * on one fixed path (rmTree in one vs applyBatch/modelAt reads in the
+    * other) and fail or corrupt each other under the correctness gate.
+    * One JVM's sequential sessions still share the root — each stream-twin
+    * query rmTrees it up front, so that reuse is by design.
+    */
+  private[graft] lazy val jvmNonce: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** The ONE scratch-root recipe for stream-twin/maintained-state queries:
+    * tmpdir/graft_<tag>_<jvmNonce>_<sfDir-slug> — per-fixture (concurrent
+    * scale runs never share state) AND per-JVM (concurrent harness
+    * sessions never share state).
+    */
+  private[graft] def scratchRoot(tag: String, sfDir: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${tag}_${jvmNonce}_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  private[graft] def root(sfDir: String): String = scratchRoot("snapdiff", sfDir)
 
   /** Fresh-root helper: each query rebuilds its table state from sfDir.
     * Shared with every snapshot-backed query (diff/merge/ivm/inverted).

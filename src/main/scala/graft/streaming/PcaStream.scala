@@ -28,9 +28,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Key packing (single-BIGINT merge key, d < 99999 by construction):
   * kk = 0 → n; kk = (i+1)·10⁵ → Σxᵢ; kk = (i+1)·10⁵ + (j+1) with
   * j ≥ i → Σxᵢxⱼ. Values are BIGINT: |Σxᵢxⱼ| ≤ n·(1000·max|coord|)²,
-  * safe past 3e13 rows at unit-norm coordinates; a corpus beyond that
-  * swaps the fold's value column to DECIMAL(38,0) (one-line change in
-  * the delta aggregation — [[AdditiveFold]] is type-agnostic).
+  * safe past 3e13 rows at unit-norm coordinates. The per-batch deltas
+  * accumulate in DECIMAL(38,0) (exact at any batch size — a long sum
+  * would wrap silently under non-ANSI Spark), and BOTH the delta and the
+  * merged table are guarded to |v| < 2^61 per batch, so every long
+  * addition inside the fold is provably exact and a corpus past the
+  * bound fails LOUDLY naming the migration (value column →
+  * DECIMAL(38,0); [[AdditiveFold]] is type-agnostic) instead of
+  * breaking the streamed-equals-batch law silently.
   *
   * Exactly-once: the table versions by batch id; a replayed batch
   * short-circuits the merge ([[AdditiveFold]]'s discipline); the
@@ -80,13 +85,53 @@ object PcaStream {
     // (the PLANS.md lambda trap EmbedPca documents)
     val fx = batch.select(expr(EmbedPca.floorSql).as("fx")).persist()
     try {
+      // the per-batch deltas accumulate in DECIMAL(38,0) — exact at any
+      // batch size, where a LongType sum would WRAP silently under
+      // non-ANSI Spark past the ~3e13-row moment bound — and downcast to
+      // the table's BIGINT only after the driver-side magnitude guard
+      // below proves they fit with headroom
       val deltas = fx.select(explode(expr(momentSql)).as("m"))
         .select(col("m.kk").as("kk"), col("m.v").as("v"))
-        .groupBy(col("kk")).agg(sum(col("v")).as("v"))
-      AdditiveFold.foldInto(deltas, root, "kk", "v", "v", batchId,
-        clusterFiles)
+        .groupBy(col("kk"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("vd"))
+        .persist()
+      try {
+        requireWithinBound(deltas, "vd",
+          s"PcaStream batch $batchId moment delta")
+        AdditiveFold.foldInto(
+          deltas.select(col("kk"), col("vd").cast("long").as("v")),
+          root, "kk", "v", "v", batchId, clusterFiles)
+      } finally { deltas.unpersist(blocking = false); () }
+      // post-fold: the MERGED values stay under the bound too. Induction
+      // keeps every long addition exact: |old| < 2^61 (this check, last
+      // batch) and |delta| < 2^61 (the check above) mean |old + delta| <
+      // 2^62 < Long.Max — no wrap inside the fold — and this check then
+      // re-establishes the invariant or fails LOUDLY naming the fix
+      // (swap the fold's value column to DECIMAL(38,0)) instead of
+      // letting the streamed-equals-batch law break silently.
+      val merged = SnapshotTable.latestVersion(root)
+        .map(v => SnapshotTable.readVersion(batch.sparkSession, root, v))
+      merged.foreach(t => requireWithinBound(t, "v",
+        s"PcaStream maintained moment table after batch $batchId"))
     } finally { fx.unpersist(blocking = false); () }
     graft.CacheRegistry.clear()
+  }
+
+  /** |max| headroom bound for the BIGINT moment table: 2^61, so one
+    * guarded delta added to one guarded maintained value cannot reach
+    * Long overflow (2^61 + 2^61 = 2^62 < 2^63).
+    */
+  private val MomentBound = BigDecimal(2).pow(61)
+
+  private def requireWithinBound(df: DataFrame, valueCol: String,
+      what: String): Unit = {
+    val m = df.agg(max(abs(col(valueCol).cast("decimal(38,0)")))).collect()
+      .head.getDecimal(0)
+    require(m == null || BigDecimal(m).abs < MomentBound,
+      s"$what magnitude $m exceeds the BIGINT headroom bound " +
+        s"$MomentBound — the corpus has outgrown the long-valued moment " +
+        "table; migrate the fold value column to DECIMAL(38,0) " +
+        "(AdditiveFold is type-agnostic)")
   }
 
   /** The solved model off the maintained table — a collect of the
