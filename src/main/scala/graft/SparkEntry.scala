@@ -13,7 +13,7 @@ object SparkEntry {
     ProvinceStats.all ++ LogStats.all ++ OrderWide.all ++
       ProductStats.all ++ KeywordStats.all ++ AdsQueries.all ++ CdcRoute.all ++
       TextAnalysis.all ++ Dedup.all ++ BloomPrefilter.all ++ SpanDedup.all ++ IncrementalDedup.all ++ LineDedup.all ++
-      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ TextEmbed.all ++ ClusterCurate.all ++ EmbedPca.all ++
+      Similarity.all ++ KnnJoin.all ++ ProductQuant.all ++ Opq.all ++ TextEmbed.all ++ ClusterCurate.all ++ EmbedPca.all ++
       Multimodal.all ++ MultimodalAv.all ++
       SqlSurface.all ++ Relevance.all ++ RowParity.all ++ Sampling.all ++
       Packing.all ++ PipelineManifest.all ++ Temporal.all ++ HllDistinct.all ++

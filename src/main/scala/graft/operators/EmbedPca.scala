@@ -70,6 +70,14 @@ object EmbedPca {
   private[graft] def solve(spark: SparkSession, sfDir: String): Model =
     solved.computeIfAbsent(sfDir, _ => solveUncached(spark, sfDir))
 
+  /** Memoized solve over an arbitrary floored frame (the OPQ rotation
+    * solves over the clustered fixture's geometry, not the embeddings
+    * table). The CALLER guarantees the fx frame sits behind a cache
+    * boundary (the PLANS.md lambda trap).
+    */
+  private[graft] def solveMemo(key: String)(fx: => DataFrame): Model =
+    solved.computeIfAbsent(key, _ => solveOver(fx))
+
   /** The floor transform as SQL — the ONE definition of the integer
     * coordinate domain, shared with [[graft.streaming.PcaStream]]'s
     * per-batch moment deltas.
@@ -212,53 +220,62 @@ object EmbedPca {
     * every CTE name carries `tag` so several solves — over different row
     * subsets — can ride one statement (the drift oracle runs three). The
     * eigenvector lands in `<tag>v[[Iters]]`; `where` filters the rows
-    * the solve sees (the streaming prefix).
+    * the solve sees (the streaming prefix); `from` swaps the source
+    * relation (any derived table exposing an `embedding` list column —
+    * the OPQ oracle solves over the clustered fixture).
     */
-  private def solveCtes(tag: String, where: String): String = {
+  private[operators] def solveCtes(tag: String, where: String,
+      from: String = "embeddings", materialize: Boolean = false): String = {
+    // AS MATERIALIZED pins each CTE to one evaluation: DuckDB inlines
+    // CTE references by default, and a consumer that embeds this solve
+    // under further multiply-referenced CTEs (the OPQ rotation chain)
+    // otherwise re-expands it combinatorially — thousands of parquet
+    // scans ("too many open files"). Semantics are unchanged.
+    val mz = if (materialize) "MATERIALIZED " else ""
     val iterCtes = (1 to Iters).map { k =>
       s"""
-      ${tag}w$k AS (
+      ${tag}w$k AS $mz(
         SELECT sn.i, sum(sn.sn * v${k - 1}.v) AS w
         FROM ${tag}sn sn JOIN ${tag}v${k - 1} v${k - 1}
           ON v${k - 1}.i = sn.j GROUP BY 1),
-      ${tag}m$k AS (SELECT max(abs(w)) AS m FROM ${tag}w$k),
-      ${tag}v$k AS (
+      ${tag}m$k AS $mz(SELECT max(abs(w)) AS m FROM ${tag}w$k),
+      ${tag}v$k AS $mz(
         SELECT i, ${sdivSql(s"w * $VecScale", "m")} AS v
         FROM ${tag}w$k CROSS JOIN ${tag}m$k)"""
     }.mkString(",")
-    s"""${tag}base AS (
+    s"""${tag}base AS $mz(
         -- pairing key = a synthesized per-ROW id, NOT vec_id: the Spark
         -- side pairs coordinates within each physical row, so the
         -- oracle must too (a duplicated or NULL vec_id would otherwise
         -- cross-pair rows in the self-join and diverge)
         SELECT row_number() OVER () AS rid, embedding
-        FROM embeddings WHERE $where),
-      ${tag}ex AS (
+        FROM $from WHERE $where),
+      ${tag}ex AS $mz(
         SELECT rid,
                unnest(generate_series(1, len(embedding))) - 1 AS i,
                unnest(list_transform(generate_series(1, len(embedding)),
                  d -> CAST(floor(CAST(embedding[d] AS DOUBLE) * $CoordScale)
                       AS BIGINT))) AS xi
         FROM ${tag}base),
-      ${tag}mom AS (
+      ${tag}mom AS $mz(
         SELECT a.i AS i, b.i AS j,
                sum(CAST(a.xi AS HUGEINT) * b.xi) AS sxy
         FROM ${tag}ex a JOIN ${tag}ex b USING (rid) GROUP BY 1, 2),
-      ${tag}sums AS (
+      ${tag}sums AS $mz(
         SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM ${tag}ex GROUP BY 1),
-      ${tag}nn AS (
-        SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings WHERE $where),
-      ${tag}s AS (
+      ${tag}nn AS $mz(
+        SELECT CAST(count(*) AS HUGEINT) AS n FROM $from WHERE $where),
+      ${tag}s AS $mz(
         SELECT m.i, m.j, nn.n * m.sxy - si.sx * sj.sx AS s
         FROM ${tag}mom m
         JOIN ${tag}sums si ON si.i = m.i
         JOIN ${tag}sums sj ON sj.i = m.j
         CROSS JOIN ${tag}nn nn),
-      ${tag}sc AS (SELECT max(abs(s)) // $MatCap + 1 AS scale FROM ${tag}s),
-      ${tag}sn AS (
+      ${tag}sc AS $mz(SELECT max(abs(s)) // $MatCap + 1 AS scale FROM ${tag}s),
+      ${tag}sn AS $mz(
         SELECT i, j, ${sdivSql("s", "scale")} AS sn
         FROM ${tag}s CROSS JOIN ${tag}sc sc),
-      ${tag}v0 AS (SELECT i, CAST($VecScale AS HUGEINT) AS v FROM ${tag}sums),
+      ${tag}v0 AS $mz(SELECT i, CAST($VecScale AS HUGEINT) AS v FROM ${tag}sums),
       $iterCtes"""
   }
 

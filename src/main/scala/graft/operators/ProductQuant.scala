@@ -163,7 +163,7 @@ object ProductQuant {
       subVectors(e, mCount))
   }
 
-  private def pqChain(spark: SparkSession, sfDir: String,
+  private[operators] def pqChain(spark: SparkSession, sfDir: String,
       seedK: Int, mCount: Int,
       src: VecSrc = SrcEmb): (DataFrame, DataFrame, DataFrame) = {
     val ranked = sharedRanked(spark, sfDir, src)
@@ -189,7 +189,7 @@ object ProductQuant {
     * adc_bp, rank) — the shared first stage of the top-k and the
     * rerank queries.
     */
-  private def adcRanked(pairs: DataFrame, codes: DataFrame,
+  private[operators] def adcRanked(pairs: DataFrame, codes: DataFrame,
       lut: DataFrame): DataFrame = {
     val scored = pairs
       .join(codes, "vec_id")
@@ -537,15 +537,16 @@ object ProductQuant {
   /** DuckDB mirror of the whole IVF-PQ chain up to
     * `pq_ranked(query_id, neighbor_id, adc_bp, rank)`.
     */
-  private def duckPqCtes(seedK: Int, mCount: Int,
-      eBody: String = SrcEmb.duckE): String = {
+  private[operators] def duckPqCtes(seedK: Int, mCount: Int,
+      eBody: String = SrcEmb.duckE, pre: String = ""): String = {
     val dsub = Dims / mCount
     def dot(a: String, b: String, len: String) =
       s"list_sum(list_transform(generate_series(1, $len), i -> $a[i] * $b[i]))"
     val d2 = s"floor((${dot("s", "s", "len(s)")} - 2.0 * ${dot("s", "cw", "len(s)")} + " +
       s"${dot("cw", "cw", "len(cw)")}) * 100000000.0)"
     s"""
-      WITH e AS ($eBody),
+      WITH ${if (pre.nonEmpty) pre + "," else ""}
+      e AS ($eBody),
       n AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
