@@ -134,6 +134,17 @@ object EmbedPca {
     * collapse into the pair lambda and re-floor d times per row).
     */
   private[graft] def solveOver(fx: DataFrame): Model = {
+    val (n, sx, tri) = collectStats(fx)
+    solveFromStats(n, sx, tri)
+  }
+
+  /** The distributed half of the solve — the n·d² scatter pass collected
+    * to (n, per-dim sums, upper-triangle moments). Split from
+    * [[solveFromStats]] so the d-ceiling probe can attribute the
+    * data-pass cost and the driver-solve cost separately.
+    */
+  private[graft] def collectStats(
+      fx: DataFrame): (BigInt, Array[BigInt], Seq[(Int, Int, BigInt)]) = {
       val n = fx.count()
       // the scatter matrix is symmetric and x·y is commutative, so the
       // pass emits only the upper triangle (j ≥ i): d(d+1)/2 cells per
@@ -157,7 +168,7 @@ object EmbedPca {
       sums.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
       val tri = moments.map(r =>
         (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))).toSeq
-      solveFromStats(BigInt(n), sx, tri)
+      (BigInt(n), sx, tri)
   }
 
   /** The eigen-solve over collected ADDITIVE statistics — n, per-dim

@@ -125,7 +125,7 @@ object Similarity {
     }
   }
 
-  private def cosBp(a: String, b: String) =
+  private[graft] def cosBp(a: String, b: String) =
     floor(expr(s"dot_double($a.v, $b.v)") *
       lit(10000.0) / (col(s"$a.nrm") * col(s"$b.nrm"))).cast("long")
 
@@ -1203,8 +1203,41 @@ object Similarity {
     """)
   }
 
+  /** The streaming twin ([[graft.streaming.AnnStream]]) under the
+    * CORRECTNESS gate: vectors arrive as three CONTIGUOUS-id batches
+    * (arrival order is id order — new vectors take new ids, and the
+    * first batch therefore carries the 16 lowest ids that pin the
+    * centroid model), the cell-posting table maintains per batch, and
+    * the top-3 served off the MAINTAINED cells must hash-match the very
+    * same oracle as the batch [[annIvf]] scan-and-probe — the
+    * served ≡ batch law, checked by DuckDB. The pcaStream /
+    * search_bm25_maintained precedent.
+    */
+  val annIvfStreamMaintained: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_stream_maintained"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = vecs(spark, sfDir)
+      val root = SnapshotDiff.scratchRoot("annstream", sfDir)
+      SnapshotDiff.rmTree(root)
+      val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      (0 until 3).foreach { b =>
+        graft.streaming.AnnStream.applyBatch(
+          e.filter(col("vec_id") >= mn + b * span / 3 &&
+            col("vec_id") < mn + (b + 1) * span / 3), b + 1L, root)
+      }
+      graft.streaming.AnnStream
+        .serve(spark, root, e.filter(col("vec_id") < 10)).get
+    }
+
+    // the BATCH query's oracle verbatim — that equality is the point
+    def oracle: Option[String] = annIvf.oracle
+  }
+
   val all: Seq[GraftQuery] =
     Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined,
       ivfKmeansGain, annPrefixRecall, annRecallIvfClustered,
-      annPrefixRecallClustered)
+      annPrefixRecallClustered, annIvfStreamMaintained)
 }

@@ -85,6 +85,14 @@ object PcaStream {
     // (the PLANS.md lambda trap EmbedPca documents)
     val fx = batch.select(expr(EmbedPca.floorSql).as("fx")).persist()
     try {
+      // LOUD at the packing bound, BEFORE the d² explode: kk =
+      // (i+1)·10⁵ + (j+1) collides with the next dimension's sum key at
+      // d ≥ 10⁵, which would silently merge unrelated moments
+      val d = fx.agg(max(size(col("fx")))).collect().head.getInt(0)
+      require(d < 100000,
+        s"PcaStream: embedding dimension $d exceeds the moment-key " +
+          "packing bound (d < 100000) — widen the kk packing before " +
+          "ingesting vectors this wide")
       // the per-batch deltas accumulate in DECIMAL(38,0) — exact at any
       // batch size, where a LongType sum would WRAP silently under
       // non-ANSI Spark past the ~3e13-row moment bound — and downcast to
