@@ -328,6 +328,161 @@ object Retrieval {
       FROM top ORDER BY rank""")
   }
 
+  /** Hybrid retrieval served off MAINTAINED indexes — [[hybridRrf]]'s
+    * deployment shape: the lexical leg reads the
+    * [[graft.streaming.SearchStream]] LSM index + additive stat tables
+    * (ingested as three batches under a segment cap of 2, so the serve
+    * crosses a compaction), and the semantic leg reads
+    * [[graft.streaming.AnnStream]]'s maintained IVF cell postings over
+    * the derived doc embeddings (top-2-cell probe — the real pruned
+    * serving path, NOT the relational brute scan, which is why this
+    * query carries its own oracle: the same IVF probe mirrored
+    * relationally). Query = document 0 (its top-3 tf tokens for the
+    * lexical leg, its embedding for the semantic leg — the
+    * one-document point read standing in for a user query); fusion is
+    * [[hybridRrf]]'s integer RRF verbatim.
+    *
+    * Scale: ingest ∝ batch on both legs; serve is 3 term lookups (≤1
+    * pruned tile per live segment each), candidate-tile dl reads, 2
+    * probed-cell tile reads, and a 50x50 fusion join. Zero corpus
+    * rescans at query time.
+    */
+  val hybridMaintained: GraftQuery = new GraftQuery {
+    val name = "search_hybrid_maintained"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.streaming.{AnnStream, SearchStream}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val r = SnapshotDiff.scratchRoot("hybridstream", sfDir)
+      SnapshotDiff.rmTree(r)
+      SearchStream.contiguousBatches(docs, 3).zipWithIndex.foreach {
+        case (b, i) => SearchStream.applyBatch(b, i + 1L, r, maxSegments = 2)
+      }
+      val dv = TextEmbed.normalizedDocVectors(spark, sfDir)
+      SearchStream.contiguousBatches(dv, 3).zipWithIndex.foreach {
+        case (b, i) => AnnStream.applyBatch(
+          b.withColumnRenamed("doc_id", "vec_id"), i + 1L, s"$r/ann")
+      }
+      hybridServe(spark, sfDir, r, s"$r/ann")
+    }
+
+    def oracle: Option[String] = hybridMaintainedOracle
+  }
+
+  /** The fused query-time read over already-ingested hybrid state —
+    * split from the ingest so the serve-across-compaction spec can
+    * drive it under its own batching/replay schedule. `r` is the
+    * lexical SearchStream root, `ar` the AnnStream root over the
+    * derived doc vectors.
+    */
+  private[graft] def hybridServe(spark: SparkSession, sfDir: String,
+      r: String, ar: String): DataFrame = {
+      import graft.streaming.{AnnStream, SearchStream}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val dv = TextEmbed.normalizedDocVectors(spark, sfDir)
+      // query formulation: ONE document's point read (doc 0) — tokens
+      // ranked by tf for the lexical leg, its vector for the semantic
+      val q0toks = termFreqs(docs.filter(col("doc_id") === 0))
+        .orderBy(col("tf").desc, col("token")).limit(3)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+      val head = graft.sources.SnapshotTable
+        .latestVersion(SearchStream.statsRoot(r)).get
+      val qtRows = SearchStream.dfRelation(spark, r, head)
+        .filter(col("token").isin(q0toks: _*)).collect()
+        .map(rr => (rr.getString(0), rr.getLong(1))).toSeq
+      val lexTop = SearchStream.scoredAt(spark, r, head, qtRows)
+        .filter(col("doc_id") =!= 0)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score_x1000")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(FuseDepth)
+      val lex = lexTop.withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val sem = AnnStream.serve(spark, ar,
+          dv.filter(col("doc_id") === 0)
+            .withColumnRenamed("doc_id", "vec_id"), k = FuseDepth).get
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("sem_rank"))
+      val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+        .withColumn("rrf_x1e6",
+          when(col("lex_rank") > 0, expr(s"1000000L div (${RrfK}L + lex_rank)"))
+            .otherwise(lit(0L)) +
+          when(col("sem_rank") > 0, expr(s"1000000L div (${RrfK}L + sem_rank)"))
+            .otherwise(lit(0L)))
+        .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(TopK)
+      fused.withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf_x1e6").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+          col("rrf_x1e6"))
+  }
+
+  private def hybridMaintainedOracle: Option[String] = Some(TextEmbed.duckEmbedCtes + s"""
+      , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      ldf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      q0 AS (SELECT token FROM tf WHERE doc_id = 0 ORDER BY tf DESC, token LIMIT 3),
+      qterms AS (SELECT q0.token, ldf.df FROM q0 JOIN ldf USING (token)),
+      lscored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE tf.doc_id <> 0),
+      lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+        FROM (SELECT doc_id, sum(term_score_x1000) AS s FROM lscored GROUP BY 1
+              ORDER BY s DESC, doc_id LIMIT $FuseDepth)),
+      n2 AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n2 WHERE nrm > 0),
+      scents AS (
+        SELECT doc_id AS cid, v AS cv, nrm AS cnrm
+        FROM nz ORDER BY doc_id LIMIT 16),
+      sassign AS (
+        SELECT nz.doc_id, nz.v, nz.nrm, c.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(nz.v)),
+                      i -> nz.v[i] * c.cv[i])) * 10000.0 / (nz.nrm * c.cnrm)) AS BIGINT) AS ccos_bp
+        FROM nz CROSS JOIN scents c),
+      sranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM sassign),
+      scorpus AS (SELECT doc_id, v, nrm, cid AS cell FROM sranked WHERE crank = 1),
+      sqp AS (SELECT doc_id, v, nrm, cid AS cell FROM sranked
+              WHERE crank <= 2 AND doc_id = 0),
+      sem AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cos_bp DESC, doc_id) AS sem_rank
+        FROM (
+          SELECT c.doc_id,
+                 CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                        i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) AS cos_bp
+          FROM sqp q JOIN scorpus c ON q.cell = c.cell AND q.doc_id <> c.doc_id
+          ORDER BY cos_bp DESC, c.doc_id LIMIT $FuseDepth)),
+      fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               coalesce(lex_rank, 0) AS lex_rank,
+               coalesce(sem_rank, 0) AS sem_rank,
+               (CASE WHEN lex_rank IS NULL THEN 0
+                     ELSE 1000000 // ($RrfK + lex_rank) END
+                + CASE WHEN sem_rank IS NULL THEN 0
+                       ELSE 1000000 // ($RrfK + sem_rank) END) AS rrf_x1e6
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+      top AS (SELECT * FROM fused ORDER BY rrf_x1e6 DESC, doc_id LIMIT $TopK)
+      SELECT row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS rank, doc_id,
+             CAST(lex_rank AS BIGINT) AS lex_rank,
+             CAST(sem_rank AS BIGINT) AS sem_rank,
+             CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+      FROM top ORDER BY rank""")
+
   /** Per-doc occurrence counts of doc 0's opening 2-token phrase over any
     * (doc_id, text) frame — fixture-testable body of [[phrase]].
     */
@@ -609,6 +764,7 @@ object Retrieval {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(bm25, bm25Maintained, bm25Multi, hybridRrf, phrase, snippets)
+    Seq(bm25, bm25Maintained, bm25Multi, hybridRrf, hybridMaintained,
+      phrase, snippets)
 }
 

@@ -96,12 +96,17 @@ object AnnStream {
         (c, Some(c.select(
           concat(lit("m:"), lpad(col("cid").cast("string"), 6, "0")).as("sk"),
           col("cid").as("vec_id"), col("cid").as("cell"),
-          col("cv").as("v"), col("cnrm").as("nrm"), lit(1L).as("cnt"))))
+          col("cv").cast("array<double>").as("v"), col("cnrm").as("nrm"),
+          lit(1L).as("cnt"))))
     }
     val assigned = Similarity.cellRanked(batch, cents)
       .filter(col("crank") === 1)
       .select(cellKey(col("cid"), col("vec_id")).as("sk"),
-        col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"),
+        col("vec_id"), col("cid").as("cell"),
+        // pin the element nullability: parquet reads arrays back as
+        // containsNull=true, and the merge schema check would reject a
+        // second batch whose source derivation produced containsNull=false
+        col("v").cast("array<double>").as("v"), col("nrm"),
         lit(1L).as("cnt"))
     val deltas = modelDelta.map(_.unionByName(assigned)).getOrElse(assigned)
     AdditiveFold.foldInto(deltas, root, "sk", "cnt", "cnt", batchId,

@@ -155,28 +155,27 @@ object SearchStream {
     } finally { post.unpersist(blocking = false); () }
   }
 
-  /** The maintained BM25 ranking — the query-time path. Returns None
-    * before the first batch lands.
+  /** The maintained df relation (token, df) at a published head — the
+    * query-formulation input, pruned to the `d:` tiles.
     */
-  def serve(spark: SparkSession, root: String): Option[DataFrame] = for {
-    head <- SnapshotTable.latestVersion(statsRoot(root))
-  } yield {
+  private[graft] def dfRelation(spark: SparkSession, root: String,
+      head: String): DataFrame =
+    SnapshotTable.readPrunedVersion(spark, statsRoot(root), head,
+        "sk", "d:", "d;")
+      .filter(col("sk").startsWith("d:"))
+      .select(col("token"), col("cnt").as("df"))
+
+  /** BM25 per-(doc, term) scores off maintained state for EXPLICIT query
+    * terms, every read pinned to the ONE captured `head` — a concurrent
+    * ingest fold committing mid-serve must not mix versions within a
+    * single ranking. Shared by [[serve]] (df-ranked 3-term formulation)
+    * and the hybrid fused read (caller-supplied terms).
+    */
+  private[graft] def scoredAt(spark: SparkSession, root: String,
+      head: String, qtRows: Seq[(String, Long)]): DataFrame = {
     val sr = statsRoot(root)
-    // every stat read pins to the ONE captured head — a concurrent
-    // ingest fold committing mid-serve must not mix versions within a
-    // single ranking (qterms/stats from v(n+1) against dl from vn)
-    // the ONE corpus-relation pass at query time: the d:-tile
-    // TakeOrdered that FORMULATES the 3-term query; the ≤3 collected
-    // rows re-emit as a LOCAL frame, so the scoring join's broadcast
-    // side costs no second tile read
-    val qtRows = Retrieval.queryTerms(
-        SnapshotTable.readPrunedVersion(spark, sr, head, "sk", "d:", "d;")
-          .filter(col("sk").startsWith("d:"))
-          .select(col("token"), col("cnt").as("df")))
-      .collect()
     import spark.implicits._
-    val qterms = qtRows.map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("token", "df")
+    val qterms = qtRows.toDF("token", "df")
     // avgdl via the SAME double-op sequence the corpus derivation uses
     // (long * 1.0 / long), so maintained scores are bit-equal
     val stats = SnapshotTable
@@ -187,7 +186,7 @@ object SearchStream {
       .select(col("n_docs"),
         (col("total_dl") * lit(1.0) / col("n_docs")).as("avgdl"))
     val postings = qtRows
-      .map(r => LsmIndex.termLookup(spark, indexRoot(root), r.getString(0)))
+      .map { case (t, _) => LsmIndex.termLookup(spark, indexRoot(root), t) }
       .reduceOption(_ unionByName _)
       .getOrElse(spark.range(0)
         .select(lit("").as("token"), lit(0L).as("doc_id"), lit(0L).as("tf"))
@@ -200,6 +199,22 @@ object SearchStream {
         cand.select(dlKey(col("doc_id")).as("sk")))
       .filter(col("sk").startsWith("l:"))
       .select(col("doc_id"), col("cnt").as("dl"))
-    Retrieval.topDocs(Retrieval.bm25Scores(cand, qterms, dl, stats))
+    Retrieval.bm25Scores(cand, qterms, dl, stats)
+  }
+
+  /** The maintained BM25 ranking — the query-time path. Returns None
+    * before the first batch lands.
+    */
+  def serve(spark: SparkSession, root: String): Option[DataFrame] = for {
+    head <- SnapshotTable.latestVersion(statsRoot(root))
+  } yield {
+    // the ONE corpus-relation pass at query time: the d:-tile
+    // TakeOrdered that FORMULATES the 3-term query; the ≤3 collected
+    // rows re-emit as a LOCAL frame, so the scoring join's broadcast
+    // side costs no second tile read
+    val qtRows = Retrieval.queryTerms(dfRelation(spark, root, head))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Retrieval.topDocs(scoredAt(spark, root, head, qtRows))
   }
 }
