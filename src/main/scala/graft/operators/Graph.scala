@@ -330,6 +330,138 @@ object Graph {
       """)
   }
 
+  /** RESIDUAL-PUSH PageRank (Berkhin 2006's bookmark-coloring /
+    * Gauss-Southwell family, public) against the exact power iteration,
+    * as ONE divergence-report query — the foundation for incremental
+    * rank repair: push maintains a VALUE vector p and a RESIDUAL vector
+    * r (p grows by the teleport share of r each round, r re-propagates
+    * through the damped transition operator), and the residual is the
+    * LIVE error certificate: because the engine's exact iteration starts
+    * from the uniform vector — which IS the teleport vector — the
+    * algebraic identity `exact_R = p_R + r_R` holds term for term, up to
+    * integer-floor noise of a few 10⁻¹² units per node.
+    *
+    * The report states, in exact integers both engines reproduce:
+    * the L1 and max-node divergence |exact − (p + r)|, the residual
+    * mass (measured ≈ d^R·M — the geometric tail), and two asserted
+    * bounds: `bound_ok` (L1 ≤ 3·R·n floor-noise slack) and
+    * `tail_bound_ok` (residual mass ≤ (d^R·M) div 100^R). A violated
+    * bound fails BOTH as a driver-side require and as a hash mismatch.
+    *
+    * Why it matters at 100 TB: push generalizes to THRESHOLDED and
+    * DELTA-SEEDED forms (only nodes with |r| > ε push; a batch of new
+    * edges seeds r only at touched sources), making per-batch repair
+    * cost ∝ batch neighborhood instead of ∝ corpus — with r's mass as
+    * the queryable staleness certificate, strictly stronger than the
+    * periodic contract's batch-count staleness.
+    */
+  val pageRankPushDivergence: GraftQuery = new GraftQuery {
+    val name = "pagerank_push_divergence"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = pageEvents(spark, sfDir)
+      val edges = pageEdges(ev)
+      val nodes = ev.select(col("page").as("node")).distinct()
+      val exact = pagerank(nodes, edges, Iterations)
+        .select(col("node"), col("r"))
+
+      // the push trajectory over the SAME materialized graph frames:
+      // p/r state per round; the transition operator is the exact
+      // query's contrib + dangling machinery minus the teleport term
+      val ed = graft.CacheRegistry.persist(pageEdges(ev))
+      val outDeg = ed.groupBy(col("src")).agg(sum(col("n")).as("out_n"))
+      val pM = graft.CacheRegistry.materialize(
+        ed.join(outDeg, "src")
+          .withColumn("p_ppm", expr("(n * 1000000) div out_n"))
+          .select("src", "dst", "p_ppm"))
+      val nodeF = graft.CacheRegistry.materialize(
+        nodes.join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("out_n"), lit(0L)).as("out_n")))
+      val nRow = broadcast(nodeF.agg(count(lit(1)).as("nn")))
+      val state0 = nodeF.crossJoin(nRow)
+        .select(col("node"), lit(0L).as("pv"), expr(s"$Mass div nn").as("rv"))
+      val stateR = (1 to Iterations).foldLeft(state0) { case (st, _) =>
+        val sc = graft.CacheRegistry.persist(st)
+        val contrib = pM.join(sc, pM("src") === sc("node"))
+          .withColumn("part", expr("(rv * p_ppm) div 1000000"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("part")).as("c"))
+        val dang = broadcast(
+          sc.join(nodeF.filter(col("out_n") === 0), "node")
+            .agg(coalesce(sum(col("rv")), lit(0L)).as("dang")))
+        sc.select(col("node"),
+            (col("pv") + expr(s"((${100 - Damp}) * rv) div 100")).as("pv"))
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(nRow).crossJoin(dang)
+          .select(col("node"), col("pv"),
+            expr(s"($Damp * (coalesce(c, 0) + (dang div nn))) div 100")
+              .as("rv"))
+      }
+      val joined = exact.join(stateR, "node")
+        .select(col("node"), col("r"), col("pv"), col("rv"))
+      val tailBound = {
+        // (Damp^R · Mass) div 100^R as exact integers
+        val num = BigInt(Damp).pow(Iterations) * BigInt(Mass)
+        (num / BigInt(100).pow(Iterations)).toLong
+      }
+      val out = joined.agg(
+          count(lit(1)).as("nodes"),
+          sum(abs(col("r") - (col("pv") + col("rv")))).as("l1_div_fp"),
+          max(abs(col("r") - (col("pv") + col("rv")))).as("max_node_div_fp"),
+          sum(col("rv")).as("residual_mass_fp"))
+        .select(col("nodes"), col("l1_div_fp"), col("max_node_div_fp"),
+          col("residual_mass_fp"),
+          (lit(3L * Iterations) * col("nodes")).as("slack_fp"),
+          (col("l1_div_fp") <= lit(3L * Iterations) * col("nodes"))
+            .as("bound_ok"),
+          (col("residual_mass_fp") <= lit(tailBound)).as("tail_bound_ok"))
+      // loud in-engine: a violated certificate is a bug, not a report row
+      val row = out.collect().head
+      require(row.getBoolean(5) && row.getBoolean(6),
+        s"pagerank_push_divergence: certificate violated — $row")
+      out
+    }
+
+    def oracle: Option[String] = {
+      val pushCtes = (1 to Iterations).map { i =>
+        val prev = if (i == 1) "rr0" else s"rr${i - 1}"
+        val pprev = if (i == 1) "pp0" else s"pp${i - 1}"
+        s"""
+      pd$i AS (SELECT CAST(COALESCE(sum(rv), 0) AS BIGINT) AS dang
+               FROM $prev JOIN nf USING (node) WHERE nf.out_n = 0),
+      pc$i AS (SELECT dst AS node,
+                      CAST(sum((rv * p_ppm) // 1000000) AS BIGINT) AS c
+               FROM p JOIN $prev ON p.src = $prev.node GROUP BY 1),
+      pp$i AS MATERIALIZED (
+        SELECT pp.node, CAST(pp.pv + ((${100 - Damp} * rr.rv) // 100) AS BIGINT) AS pv
+        FROM $pprev pp JOIN $prev rr USING (node)),
+      rr$i AS MATERIALIZED (
+        SELECT nf.node, CAST(
+            ($Damp * (COALESCE(c.c, 0)
+                      + ((SELECT dang FROM pd$i) // (SELECT nn FROM nc)))) // 100
+          AS BIGINT) AS rv
+        FROM nf LEFT JOIN pc$i c USING (node))"""
+      }.mkString(",")
+      val tailBound =
+        (BigInt(Damp).pow(Iterations) * BigInt(Mass) /
+          BigInt(100).pow(Iterations)).toLong
+      Some(duckRankCtes("1") + s""",
+      pp0 AS (SELECT node, CAST(0 AS BIGINT) AS pv FROM nf),
+      rr0 AS (SELECT node, r AS rv FROM r0),$pushCtes
+      SELECT (SELECT nn FROM nc) AS nodes,
+             CAST(sum(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv))) AS BIGINT) AS l1_div_fp,
+             CAST(max(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv))) AS BIGINT) AS max_node_div_fp,
+             CAST(sum(rr$Iterations.rv) AS BIGINT) AS residual_mass_fp,
+             CAST(3 * $Iterations * (SELECT nn FROM nc) AS BIGINT) AS slack_fp,
+             sum(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv)))
+               <= 3 * $Iterations * (SELECT nn FROM nc) AS bound_ok,
+             sum(rr$Iterations.rv) <= $tailBound AS tail_bound_ok
+      FROM r$Iterations JOIN pp$Iterations USING (node)
+      JOIN rr$Iterations USING (node)
+      """)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded, pageRankStream,
-    pageRankStreamPeriodic)
+    pageRankStreamPeriodic, pageRankPushDivergence)
 }
