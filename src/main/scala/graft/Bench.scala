@@ -29,10 +29,13 @@ object Bench {
     * `shared_rebuilds` field in the capture, never as wrong results.
     */
   private val releaseAfter: Map[String, Seq[String]] = Map(
+    "ann_opq_recall" -> Seq("opq_vecs:emb", "pq_ranked:opqe", "pq_sub:8:opqe"),
+    "ann_opq_recall_clustered" -> Seq("opq_vecs:clu", "pq_ranked:opqc",
+      "pq_sub:8:opqc"),
     "ann_pq_m16_recall" -> Seq("pq_sub:16:emb"),
     "ann_pq_m16_recall_clustered" -> Seq("pq_sub:16:clu"),
-    "ann_pq_rerank_recall" -> Seq("pq_ranked:emb", "pq_sub:8:emb"),
     "ann_pq_recall_clustered" -> Seq("pq_ranked:clu", "pq_sub:8:clu"),
+    "ann_pq_rerank_recall" -> Seq("pq_ranked:emb", "pq_sub:8:emb"),
     "ann_prefix_recall_clustered" -> Seq("clu_vecs"),
     "dedup_ngram_jaccard" -> Seq("ngram_sk"),
     "embed_outliers" -> Seq("clusterCurate"),

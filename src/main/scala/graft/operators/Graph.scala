@@ -404,20 +404,30 @@ object Graph {
         val num = BigInt(Damp).pow(Iterations) * BigInt(Mass)
         (num / BigInt(100).pow(Iterations)).toLong
       }
+      // floor-noise slack: each round every node floors its own
+      // p-accumulate and damping terms (≤ 3 units) and every EDGE can
+      // contribute one more floor-unit difference when the two
+      // trajectories' r values diverge — so the sound per-suite bound
+      // is (edges + 3·nodes)·rounds, not 3·nodes·rounds (measured:
+      // 131/1770 at 54 edges, 1558/19800 at 3660 edges)
+      val edgeKeys = pM.count()
       val out = joined.agg(
           count(lit(1)).as("nodes"),
           sum(abs(col("r") - (col("pv") + col("rv")))).as("l1_div_fp"),
           max(abs(col("r") - (col("pv") + col("rv")))).as("max_node_div_fp"),
           sum(col("rv")).as("residual_mass_fp"))
-        .select(col("nodes"), col("l1_div_fp"), col("max_node_div_fp"),
+        .select(col("nodes"), lit(edgeKeys).as("edge_keys"),
+          col("l1_div_fp"), col("max_node_div_fp"),
           col("residual_mass_fp"),
-          (lit(3L * Iterations) * col("nodes")).as("slack_fp"),
-          (col("l1_div_fp") <= lit(3L * Iterations) * col("nodes"))
+          (lit(Iterations.toLong) * (lit(edgeKeys) + lit(3L) * col("nodes")))
+            .as("slack_fp"),
+          (col("l1_div_fp") <=
+            lit(Iterations.toLong) * (lit(edgeKeys) + lit(3L) * col("nodes")))
             .as("bound_ok"),
           (col("residual_mass_fp") <= lit(tailBound)).as("tail_bound_ok"))
       // loud in-engine: a violated certificate is a bug, not a report row
       val row = out.collect().head
-      require(row.getBoolean(5) && row.getBoolean(6),
+      require(row.getBoolean(6) && row.getBoolean(7),
         s"pagerank_push_divergence: certificate violated — $row")
       out
     }
@@ -449,12 +459,15 @@ object Graph {
       pp0 AS (SELECT node, CAST(0 AS BIGINT) AS pv FROM nf),
       rr0 AS (SELECT node, r AS rv FROM r0),$pushCtes
       SELECT (SELECT nn FROM nc) AS nodes,
+             (SELECT count(*) FROM p) AS edge_keys,
              CAST(sum(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv))) AS BIGINT) AS l1_div_fp,
              CAST(max(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv))) AS BIGINT) AS max_node_div_fp,
              CAST(sum(rr$Iterations.rv) AS BIGINT) AS residual_mass_fp,
-             CAST(3 * $Iterations * (SELECT nn FROM nc) AS BIGINT) AS slack_fp,
+             CAST($Iterations * ((SELECT count(*) FROM p)
+                                 + 3 * (SELECT nn FROM nc)) AS BIGINT) AS slack_fp,
              sum(abs(r$Iterations.r - (pp$Iterations.pv + rr$Iterations.rv)))
-               <= 3 * $Iterations * (SELECT nn FROM nc) AS bound_ok,
+               <= $Iterations * ((SELECT count(*) FROM p)
+                                 + 3 * (SELECT nn FROM nc)) AS bound_ok,
              sum(rr$Iterations.rv) <= $tailBound AS tail_bound_ok
       FROM r$Iterations JOIN pp$Iterations USING (node)
       JOIN rr$Iterations USING (node)

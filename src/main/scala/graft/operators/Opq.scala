@@ -131,7 +131,7 @@ object Opq {
   /** The embeddings-table OPQ source: rotation solved over (and applied
     * to) the embeddings table — [[EmbedPca.solve]]'s memoized model.
     */
-  private def opqEmb(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def opqEmb(spark: SparkSession, sfDir: String): DataFrame =
     rotatedFrame(spark, sfDir, "emb",
       EmbedPca.solve(spark, sfDir),
       Similarity.vecs(spark, sfDir))
@@ -141,7 +141,7 @@ object Opq {
     * pass — the floored projection persists behind a cache boundary,
     * the PLANS.md lambda trap).
     */
-  private def opqClu(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def opqClu(spark: SparkSession, sfDir: String): DataFrame =
     rotatedFrame(spark, sfDir, "clu",
       EmbedPca.solveMemo(s"opq_clu:$sfDir") {
         graft.CacheRegistry.persist(

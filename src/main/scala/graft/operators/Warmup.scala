@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Materializes the session-shared frames ([[graft.CacheRegistry.shared]])
-  * outside any per-query timer. Eleven frames are shared across the suite —
+  * outside any per-query timer. The frames shared across the suite —
   * the enriched-events derivation (seven log queries), the normalized
   * embedding vectors (the ANN family), the char-5-gram sketches (ngram
   * dedup + contamination), the tokenized corpus (the span family +
@@ -38,6 +38,12 @@ object Warmup {
     ProductQuant.sharedRanked(spark, sfDir).count()
     ProductQuant.sharedSub(spark, sfDir, 8).count()
     ProductQuant.sharedSub(spark, sfDir, 16).count()
+    Similarity.mixedVecs(spark, sfDir).count()
+    ProductQuant.sharedRanked(spark, sfDir, ProductQuant.SrcClu).count()
+    ProductQuant.sharedSub(spark, sfDir, 8, ProductQuant.SrcClu).count()
+    ProductQuant.sharedSub(spark, sfDir, 16, ProductQuant.SrcClu).count()
+    Opq.opqEmb(spark, sfDir).count()
+    Opq.opqClu(spark, sfDir).count()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -63,7 +69,16 @@ object Warmup {
       time("span_pairs")(SpanDedup.sharedSpanPairs(spark, sfDir).count()),
       time("pq_ranked")(ProductQuant.sharedRanked(spark, sfDir).count()),
       time("pq_sub8")(ProductQuant.sharedSub(spark, sfDir, 8).count()),
-      time("pq_sub16")(ProductQuant.sharedSub(spark, sfDir, 16).count()))
+      time("pq_sub16")(ProductQuant.sharedSub(spark, sfDir, 16).count()),
+      time("clu_vecs")(Similarity.mixedVecs(spark, sfDir).count()),
+      time("pq_ranked_clu")(
+        ProductQuant.sharedRanked(spark, sfDir, ProductQuant.SrcClu).count()),
+      time("pq_sub8_clu")(
+        ProductQuant.sharedSub(spark, sfDir, 8, ProductQuant.SrcClu).count()),
+      time("pq_sub16_clu")(
+        ProductQuant.sharedSub(spark, sfDir, 16, ProductQuant.SrcClu).count()),
+      time("opq_vecs_emb")(Opq.opqEmb(spark, sfDir).count()),
+      time("opq_vecs_clu")(Opq.opqClu(spark, sfDir).count()))
   }
 
   /** (name, rows, materialized partitions) for every shared frame —
@@ -82,6 +97,9 @@ object Warmup {
       ("span_pairs", SpanDedup.sharedSpanPairs(spark, sfDir)),
       ("pq_ranked", ProductQuant.sharedRanked(spark, sfDir)),
       ("pq_sub8", ProductQuant.sharedSub(spark, sfDir, 8)),
-      ("pq_sub16", ProductQuant.sharedSub(spark, sfDir, 16))
+      ("pq_sub16", ProductQuant.sharedSub(spark, sfDir, 16)),
+      ("clu_vecs", Similarity.mixedVecs(spark, sfDir)),
+      ("opq_vecs_emb", Opq.opqEmb(spark, sfDir)),
+      ("opq_vecs_clu", Opq.opqClu(spark, sfDir))
     ).map { case (n, df) => (n, df.count(), df.rdd.getNumPartitions) }
 }
