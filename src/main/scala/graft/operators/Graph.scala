@@ -344,7 +344,8 @@ object Graph {
     * The report states, in exact integers both engines reproduce:
     * the L1 and max-node divergence |exact − (p + r)|, the residual
     * mass (measured ≈ d^R·M — the geometric tail), and two asserted
-    * bounds: `bound_ok` (L1 ≤ 3·R·n floor-noise slack) and
+    * bounds: `bound_ok` (L1 ≤ R·(E + 3n) floor-noise slack — noise
+    * propagates per EDGE once the trajectories' residuals diverge) and
     * `tail_bound_ok` (residual mass ≤ (d^R·M) div 100^R). A violated
     * bound fails BOTH as a driver-side require and as a hash mismatch.
     *
@@ -367,8 +368,11 @@ object Graph {
 
       // the push trajectory over the SAME materialized graph frames:
       // p/r state per round; the transition operator is the exact
-      // query's contrib + dangling machinery minus the teleport term
-      val ed = graft.CacheRegistry.persist(pageEdges(ev))
+      // query's contrib + dangling machinery minus the teleport term.
+      // `edges` is the very frame pagerank() just persisted — deriving
+      // from it again hits the cache instead of re-running the
+      // sessionized window pass a second time
+      val ed = edges
       val outDeg = ed.groupBy(col("src")).agg(sum(col("n")).as("out_n"))
       val pM = graft.CacheRegistry.materialize(
         ed.join(outDeg, "src")
