@@ -1443,6 +1443,28 @@ object SnapshotTable {
       !(below || above)
     }
 
+  /** The COMPLEMENT prune: files that can hold a row OUTSIDE
+    * [lower, upper] — i.e. skip only files whose stats prove every row
+    * lies inside the band. The active-set discovery read of a residual
+    * table (PLANS.md "incremental residual-push"): tiles whose |r| is
+    * provably under the push threshold never load. Falls back to the
+    * full version when stats are missing; files with missing min/max on
+    * `column` are conservatively KEPT (non-prunable). Like
+    * [[readPrunedVersion]], the result is file-granular — callers still
+    * apply the row predicate.
+    */
+  def readOutsideRange(spark: SparkSession, root: String, version: String,
+      column: String, lower: Any, upper: Any): DataFrame =
+    readStatsVersion(root, version) match {
+      case Some(stats) => readFiles(spark, root, version,
+        stats.filterNot { fs =>
+          val minIn = fs.mins.get(column).flatMap(cmp(_, lower)).exists(_ >= 0)
+          val maxIn = fs.maxs.get(column).flatMap(cmp(_, upper)).exists(_ <= 0)
+          minIn && maxIn
+        }.map(_.file))
+      case None => readVersion(spark, root, version)
+    }
+
   /** A frame over exactly `files` of version `v` (schema-preserving empty
     * frame when none survive pruning).
     */
