@@ -179,10 +179,26 @@ object Bench {
     try java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: failed to write $benchOut: $e") }
-    // the JSON line is the LAST stdout act — after spark.stop()'s
-    // shutdown logging — so a gate tailing the run output always finds
-    // the complete record at the very end
+    // stdout emits SHORT self-contained lines instead of one giant blob:
+    // a driver that keeps only the tail of the run output then always
+    // holds complete rows — per-family records first, the compact
+    // summary (no per-query maps — those live in the family lines and
+    // in the benchOut file) as the very LAST stdout act after
+    // spark.stop()'s shutdown logging. Three rounds of head-truncated
+    // single-line captures motivated this shape.
+    val familyLines = results
+      .groupBy { case (n, _, _) => n.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        val q = rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val qm = rs.map { case (k, _, m) => "\"" + k + "\":" + fmt(m) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"family","family":"$fam","value":${fmt(rs.map(_._2).sum)},"value_min":${fmt(rs.map(_._3).sum)},"n":${rs.size},"queries":$q,"queries_min":$qm}"""
+      }
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","shared_build":${fmt(sharedBuild)},"total_min":${fmt(totalMin)},"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","ts_ms":${System.currentTimeMillis()},"harness_wall_sec":${fmt(wallSec)},"loadavg_start":${jsonArr(loadStart)},"loadavg_end":${jsonArr(loadEnd)},"load_threshold":$loadThreshold,"host_cpus":${Runtime.getRuntime.availableProcessors()},"contended":$contended,"shared_rebuilds":$sharedRebuilds,"levers":{"approx_distinct":$approxLever,"shuffle_partitions":$shufflePartitions,"cpus":$cpus}}"""
     spark.stop()
-    println(line)
+    familyLines.foreach(println)
+    println(summary)
   }
 }

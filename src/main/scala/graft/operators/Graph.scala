@@ -429,11 +429,16 @@ object Graph {
             lit(Iterations.toLong) * (lit(edgeKeys) + lit(3L) * col("nodes")))
             .as("bound_ok"),
           (col("residual_mass_fp") <= lit(tailBound)).as("tail_bound_ok"))
-      // loud in-engine: a violated certificate is a bug, not a report row
-      val row = out.collect().head
+      // loud in-engine: a violated certificate is a bug, not a report
+      // row. Materialize the 1-row report FIRST so the driver check and
+      // the harness's downstream count/hash share one execution — a bare
+      // collect-then-return would re-run the 5-round push chain whenever
+      // the per-round persists were evicted under suite memory pressure
+      val outM = graft.CacheRegistry.materialize(out)
+      val row = outM.collect().head
       require(row.getBoolean(6) && row.getBoolean(7),
         s"pagerank_push_divergence: certificate violated — $row")
-      out
+      outM
     }
 
     def oracle: Option[String] = {

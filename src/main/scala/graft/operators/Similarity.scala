@@ -1223,6 +1223,22 @@ object Similarity {
       val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
       val span = mx - mn + 1
+      // the oracle pins the centroid model as `vec_id < 16`, while the
+      // stream trains on the 16 lowest ids of the FIRST batch — these
+      // coincide only for a dense 0-based id space (this fixture's). A
+      // sparse or offset id space would produce a bare hash mismatch
+      // with no hint the centroid models differ; fail by name instead.
+      val trained = e.filter(col("vec_id") < mn + span / 3)
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val pinned = e.filter(col("vec_id") < 16)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      require(trained == pinned,
+        "ann_ivf_stream_maintained: first-batch centroid ids " +
+          s"${trained.toSeq.sorted.mkString(",")} != the oracle's vec_id<16 " +
+          s"pin ${pinned.toSeq.sorted.mkString(",")} — the served ≡ batch " +
+          "law assumes dense 0-based vec_ids (train-on-first-batch picks " +
+          "the 16 lowest ids of batch 1; the oracle picks vec_id < 16)")
       (0 until 3).foreach { b =>
         graft.streaming.AnnStream.applyBatch(
           e.filter(col("vec_id") >= mn + b * span / 3 &&

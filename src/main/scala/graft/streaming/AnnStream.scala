@@ -45,10 +45,15 @@ object AnnStream {
   private val Seeds = 16
   private val ProbeCells = 2
 
+  // format_string WIDENS past the pad width (lpad would TRUNCATE a
+  // cell ≥ 1e6 / vec_id ≥ 1e12 into a silently wrong sort key while the
+  // serve side's %06d widened — range reads would then miss postings);
+  // with both key forms built from the same %0Nd, an oversized id keeps
+  // its exact prefix and the per-cell range read stays correct at any
+  // magnitude — only the fixed-width clustering aesthetic degrades
   private def cellKey(cell: org.apache.spark.sql.Column,
       vecId: org.apache.spark.sql.Column) =
-    concat(lit("c:"), lpad(cell.cast("string"), 6, "0"), lit(":"),
-      lpad(vecId.cast("string"), 12, "0"))
+    format_string("c:%06d:%012d", cell, vecId)
 
   private def padCell(cell: Long): String = f"c:$cell%06d"
 
@@ -94,7 +99,7 @@ object AnnStream {
           .select(col("vec_id").as("cid"), col("v").as("cv"),
             col("nrm").as("cnrm"))
         (c, Some(c.select(
-          concat(lit("m:"), lpad(col("cid").cast("string"), 6, "0")).as("sk"),
+          format_string("m:%06d", col("cid")).as("sk"),
           col("cid").as("vec_id"), col("cid").as("cell"),
           col("cv").cast("array<double>").as("v"), col("cnrm").as("nrm"),
           lit(1L).as("cnt"))))
