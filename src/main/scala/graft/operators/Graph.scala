@@ -484,6 +484,152 @@ object Graph {
     }
   }
 
+  /** The INCREMENTAL residual-push streaming twin under the gate
+    * ([[graft.streaming.PushStream]]): three insertion batches
+    * (deterministic src+dst mod-3 split) fold into the edge table and
+    * REPAIR the maintained (p, r) state with delta-seeded threshold
+    * pushes; a fourth batch RETRACTS every edge with (src+dst) % 5 = 0
+    * in full — the signed dynamic case (edge deletions seed negative
+    * residuals; Zhang/Ohsaka-style dynamic PageRank, public). The serve
+    * is the state head with TRUE residuals plus the live certificate
+    * columns: ‖r‖₁ and the implied L1 distance bound to the exact
+    * fixpoint, ‖p* − p‖₁ ≤ ‖r‖₁·100/(100−d).
+    *
+    * The oracle never sees the delta algebra: because the maintained
+    * residual preserves the Bellman invariant r = b + T(p) − p
+    * BIT-FOR-BIT through seeding and every push round (the
+    * [[PushRank]] law, spec-proven), DuckDB recomputes each round's
+    * residual FROM SCRATCH over the stage's full edge set and must land
+    * on the identical integers — the strongest cross-engine check the
+    * wrapper's incrementality can get. Nodes are never retired (a
+    * fully-disconnected node keeps its state row and decays toward the
+    * teleport share), so the node set is the endpoints of every edge
+    * key EVER folded, mirrored in the oracle's per-stage node CTEs.
+    */
+  val pageRankPushMaintained: GraftQuery = new GraftQuery {
+    val name = "pagerank_push_maintained"
+    private val Eps = 1000000L
+    private val Rounds = 3
+
+    private def root(sfDir: String): String =
+      SnapshotDiff.scratchRoot("pushstream", sfDir)
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = pageEvents(spark, sfDir)
+      val pairs = Behavior.sessionPairs(ev, "page").select("src", "dst")
+      val rt = graft.streaming.PushStream.roots(root(sfDir))
+      Seq(rt.edges, rt.state, rt.scalars).foreach(SnapshotDiff.rmTree)
+      (1 to 3).foreach { b =>
+        graft.streaming.PushStream.applyBatch(
+          pairs.filter(pmod(col("src") + col("dst"), lit(3)) === (b - 1))
+            .withColumn("n_d", lit(1L)),
+          b.toLong, rt, Eps, Rounds)
+      }
+      // the deletion batch: full retraction of the mod-5 edge class,
+      // derived from the committed edge head (pinned at read time)
+      val retract = graft.sources.SnapshotTable.read(spark, rt.edges).get
+        .filter(pmod(col("src") + col("dst"), lit(5)) === 0 && col("n") > 0)
+        .select(col("src"), col("dst"), (-col("n")).as("n_d"))
+      graft.streaming.PushStream.applyBatch(retract, 4L, rt, Eps, Rounds)
+      val served = graft.CacheRegistry.materialize(
+        graft.streaming.PushStream.liveState(spark, rt).get)
+      val mass = broadcast(served.agg(
+        coalesce(sum(abs(col("r"))), lit(0L)).as("residual_mass_fp")))
+      served.crossJoin(mass)
+        .select(col("node").as("page"), col("out_n"),
+          col("p").as("p_fp"), col("r").as("r_fp"),
+          col("residual_mass_fp"),
+          expr(s"(residual_mass_fp * 100) div ${100 - Damp}")
+            .as("l1_bound_fp"))
+        .orderBy("page")
+    }
+
+    // stage s edge sets are CUMULATIVE (mod-3 prefixes, then the mod-5
+    // deletion); each stage = 1 seed + Rounds bellman/advance blocks,
+    // every residual a FROM-SCRATCH recompute (see the class scaladoc)
+    def oracle: Option[String] = {
+      val edgePred = Map(1 -> "(src + dst) % 3 = 0",
+        2 -> "(src + dst) % 3 <= 1", 3 -> "TRUE",
+        4 -> "(src + dst) % 5 <> 0")
+      val nodePred = Map(1 -> "(src + dst) % 3 = 0",
+        2 -> "(src + dst) % 3 <= 1", 3 -> "TRUE", 4 -> "TRUE")
+      def bellman(s: Int, k: Int): String = {
+        val tag = s"${s}_$k"
+        s"""
+      dg_$tag AS (SELECT CAST(COALESCE(sum(p.p), 0) AS BIGINT) AS dang
+                  FROM p_$tag p JOIN nf$s USING (node)
+                  WHERE nf$s.out_n = 0),
+      c_$tag AS (SELECT t.dst AS node,
+                   CAST(sum(($Damp * ((p.p * t.p_ppm) // 1000000)) // 100)
+                     AS BIGINT) AS c
+                 FROM t$s t JOIN p_$tag p ON t.src = p.node GROUP BY 1),
+      r_$tag AS MATERIALIZED (
+        SELECT nf.node, CAST((SELECT b FROM b$s) + COALESCE(c.c, 0)
+            + ($Damp * ((SELECT dang FROM dg_$tag)
+                        // (SELECT nn FROM nn$s))) // 100
+            - p.p AS BIGINT) AS r
+        FROM nf$s nf LEFT JOIN c_$tag c USING (node)
+        JOIN p_$tag p USING (node))"""
+      }
+      def advance(s: Int, k: Int): String = s"""
+      p_${s}_${k + 1} AS MATERIALIZED (
+        SELECT p.node, CAST(p.p + CASE WHEN abs(r.r) > $Eps
+                                       THEN r.r ELSE 0 END AS BIGINT) AS p
+        FROM p_${s}_$k p JOIN r_${s}_$k r USING (node))"""
+      def stage(s: Int): String = {
+        val carry =
+          if (s == 1) s"""
+      p_1_0 AS (SELECT node, CAST(0 AS BIGINT) AS p FROM nodes1)"""
+          else s"""
+      p_${s}_0 AS (SELECT n.node, CAST(COALESCE(pp.p, 0) AS BIGINT) AS p
+                   FROM nodes$s n LEFT JOIN p_${s - 1}_$Rounds pp
+                   USING (node))"""
+        s"""
+      ed$s AS (SELECT src, dst, count(*) AS n FROM fp
+               WHERE ${edgePred(s)} GROUP BY 1, 2),
+      out$s AS (SELECT src, CAST(sum(n) AS BIGINT) AS o
+                FROM ed$s GROUP BY 1),
+      t$s AS MATERIALIZED (
+        SELECT src, dst, (n * 1000000) // o AS p_ppm
+        FROM ed$s JOIN out$s USING (src)),
+      nodes$s AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM fp WHERE ${nodePred(s)}
+        UNION ALL SELECT dst FROM fp WHERE ${nodePred(s)})),
+      nf$s AS MATERIALIZED (
+        SELECT node, COALESCE(o, 0) AS out_n
+        FROM nodes$s LEFT JOIN out$s ON nodes$s.node = out$s.src),
+      nn$s AS (SELECT count(*) AS nn FROM nodes$s),
+      b$s AS (SELECT CAST(((${100 - Damp}) * $Mass) // (100 * nn)
+                AS BIGINT) AS b FROM nn$s),$carry,""" +
+          (0 until Rounds).map(k => bellman(s, k) + "," + advance(s, k))
+            .mkString(",")
+      }
+      Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS page
+        FROM events
+        WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
+      prs AS (SELECT page AS src, lead(page) OVER w AS dst,
+                     lead(tsn) OVER w - tsn AS gap_ns
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      fp AS (SELECT src, dst FROM prs
+             WHERE dst IS NOT NULL AND gap_ns <= ${Behavior.GapNs}),""" +
+        (1 to 4).map(stage).mkString(",") + "," +
+        bellman(4, Rounds) + s"""
+      SELECT nf4.node AS page, nf4.out_n, p.p AS p_fp, r.r AS r_fp,
+             (SELECT CAST(sum(abs(r)) AS BIGINT) FROM r_4_$Rounds)
+               AS residual_mass_fp,
+             (SELECT CAST((sum(abs(r)) * 100) // ${100 - Damp} AS BIGINT)
+              FROM r_4_$Rounds) AS l1_bound_fp
+      FROM nf4 JOIN p_4_$Rounds p USING (node)
+      JOIN r_4_$Rounds r USING (node)
+      ORDER BY page
+      """)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(pageRank, pageRankSeeded, pageRankStream,
-    pageRankStreamPeriodic, pageRankPushDivergence)
+    pageRankStreamPeriodic, pageRankPushDivergence, pageRankPushMaintained)
 }

@@ -1465,6 +1465,52 @@ object SnapshotTable {
       case None => readVersion(spark, root, version)
     }
 
+  /** The MULTI-RANGE prune: files whose [min, max] on `column` intersects
+    * ANY of `ranges` — the "all out-edges of a batch's touched sources"
+    * read the incremental residual-push wrapper needs (PLANS.md): each
+    * touched source contributes one key-prefix range, and a table
+    * clustered by that key loads only the tiles holding those sources'
+    * rows. String-typed because the one consumer probes string sort keys;
+    * files with missing/other-typed stats are conservatively KEPT.
+    *
+    * Driver cost: ranges sort once (the caller's range list is
+    * batch-scale by contract — the same bound as [[readMatchingTiles]]'
+    * key-to-tile collect), then each file binary-searches the sorted
+    * lowers with a prefix-max over uppers: files·log(ranges), metadata
+    * work at any table size. Like every pruned read, the result is
+    * file-granular — callers still apply the row predicate.
+    */
+  def readPrunedRanges(spark: SparkSession, root: String, version: String,
+      column: String, ranges: Seq[(String, String)]): DataFrame =
+    if (ranges.isEmpty) // zero ranges hold zero rows, with or without stats
+      readVersion(spark, root, version).filter(lit(false))
+    else readStatsVersion(root, version) match {
+      case Some(stats) =>
+        val sorted = ranges.sortBy(_._1)
+        val los = sorted.map(_._1).toArray
+        // prefMaxHi(j) = max upper among sorted(0..j) — lets the
+        // "any range with lo <= fmax has hi >= fmin" test run on the
+        // binary-searched prefix in O(1)
+        val prefMaxHi = sorted.map(_._2)
+          .scanLeft("")((m, h) => if (h > m) h else m).drop(1).toArray
+        val kept = stats.filter { fs =>
+          (fs.mins.get(column).flatMap(decode),
+            fs.maxs.get(column).flatMap(decode)) match {
+            case (Some(fmin: String), Some(fmax: String)) =>
+              var lo = 0; var hi = los.length - 1; var j = -1
+              while (lo <= hi) {
+                val m = (lo + hi) >>> 1
+                if (los(m) <= fmax) { j = m; lo = m + 1 } else hi = m - 1
+              }
+              j >= 0 && prefMaxHi(j) >= fmin
+            case _ => true // non-prunable stats: keep (pruning may only
+              // skip PROVABLY irrelevant files)
+          }
+        }
+        readFiles(spark, root, version, kept.map(_.file))
+      case None => readVersion(spark, root, version)
+    }
+
   /** A frame over exactly `files` of version `v` (schema-preserving empty
     * frame when none survive pruning).
     */

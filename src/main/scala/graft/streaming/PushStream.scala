@@ -1,0 +1,385 @@
+package graft.streaming
+
+import graft.operators.PushRank
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL residual-push PageRank — the streaming wrapper over the
+  * spec-proven [[graft.operators.PushRank]] kernels, and the engine's
+  * answer to the periodic-publish contract's corpus-proportional rank
+  * rebuild ([[RankStream]]): instead of re-running `iters` power
+  * iterations over ALL edges every K batches, the rank VALUE vector p
+  * and its Bellman RESIDUAL r are maintained as one [[SnapshotTable]],
+  * and each edge batch (insertions AND retractions — the signed
+  * Zhang/Ohsaka dynamic case) repairs the state with work proportional
+  * to the batch's graph neighborhood plus the surviving push frontier,
+  * never to the corpus.
+  *
+  * The invariant that makes both the efficiency and the oracle work:
+  * at every commit, `r = b + T(p) − p` — the Bellman residual of the
+  * per-edge-floor damped transition operator
+  * ([[PushRank.bellmanResidual]]) — holds BIT-FOR-BIT. The maintained
+  * side restores it incrementally; the DuckDB oracle can therefore
+  * express every intermediate state as a from-scratch recompute, and
+  * the serve hash-matches without the oracle replicating any delta
+  * algebra. ‖r‖₁ is the LIVE staleness/error certificate:
+  * ‖p* − p‖₁ ≤ ‖r‖₁ · 100/(100 − d) (geometric series of the damped
+  * operator), strictly stronger than a batch-count staleness.
+  *
+  * Three uniform-scalar tricks keep per-batch row writes ∝ neighborhood:
+  *
+  *  - LAZY SHIFT: the teleport share b(nn) and the dangling share
+  *    gterm(dang, nn) are uniform across nodes, so their changes (new
+  *    nodes, dangling flips, pushed dangling mass) ride in ONE scalar
+  *    `shift` with `r_true(v) = r_stored(v) + shift` — a node-set or
+  *    dangling-mass change never rewrites the corpus.
+  *  - PER-EDGE-FLOOR deltas: every transition term floors ALONE
+  *    ([[PushRank]]'s operator), so an edge change alters exactly one
+  *    summand and the residual repair is the batch-neighborhood join
+  *    `Δr(v) = Σ_u term(p_u, ppm_new) − term(p_u, ppm_old)` over
+  *    touched sources' out-edges only ([[SnapshotTable.readPrunedRanges]]
+  *    — one key-prefix range per touched source).
+  *  - PUSH-ROUND cancellation: a synchronized threshold-push round
+  *    changes stored residuals ONLY at active nodes and their
+  *    out-neighbors (the uniform gterm shift cancels against `shift` for
+  *    everyone else), so each round's write set is the frontier
+  *    neighborhood; converged tiles are discovered-and-skipped by the
+  *    complement prune ([[SnapshotTable.readOutsideRange]]).
+  *
+  * Within a batch the seed + `rounds` push rounds evolve an in-memory
+  * OVERLAY of changed rows; the state table commits ONCE per batch
+  * (tile-local merge), the scalar sidecar (nn, dang, shift) LAST — its
+  * head at/past the batch id is the replay short-circuit, and every
+  * read below pins to versions `< batchId` (or the batch's own edge
+  * version), so a crash replay between any two commits recomputes the
+  * identical overlay. Reference for the semantics being maintained:
+  * the reference keys its dashboards on visit counts
+  * (`RT/app/dws/VisitorStatsApp.java`); rank-over-transitions is the
+  * [[graft.operators.Graph]] family's derived authority metric.
+  */
+object PushStream {
+
+  private val Damp = graft.operators.Graph.Damp
+
+  /** The three roots of one maintained push-rank: the additive edge
+    * table, the (node, out_n, p, r) state, and the 1-row scalar sidecar
+    * (nn, dang, shift).
+    */
+  final case class Roots(edges: String, state: String, scalars: String)
+
+  def roots(base: String): Roots =
+    Roots(base + "_edges", base + "_state", base + "_scalars")
+
+  private def emptyEdges(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"),
+      col("id").as("n"))
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("node"), col("id").as("out_n"),
+      col("id").as("p"), col("id").as("r"))
+
+  /** (src, dst, p_ppm) with out-degrees derived from the frame itself —
+    * self-contained so a pruned out-edge read renormalizes exactly.
+    */
+  private def ppmOf(e: DataFrame): DataFrame =
+    e.join(e.groupBy(col("src")).agg(sum(col("n")).as("__o")), "src")
+      .select(col("src"), col("dst"),
+        expr("(n * 1000000) div __o").as("p_ppm"))
+
+  /** Latest version committed strictly BEFORE `batchId` — the replay-safe
+    * read pin (the head itself may already be this batch's own commit).
+    */
+  private def prevOf(root: String, batchId: Long): Option[String] =
+    SnapshotTable.versions(root).map(_.drop(1).toLong)
+      .filter(_ < batchId).maxOption.map(i => s"v$i")
+
+  /** One micro-batch of SIGNED edge-count deltas (src, dst, n_d): fold
+    * into the edge table, restore the Bellman invariant for the new
+    * graph (delta seeding), run `rounds` synchronized threshold-push
+    * rounds at `eps`, commit. Idempotent per batchId; `eps`/`rounds`
+    * must be stable across replays (same-caller contract as iters).
+    */
+  def applyBatch(deltas0: DataFrame, batchId: Long, rt: Roots,
+      eps: Long, rounds: Int, clusterFiles: Int = 8): Unit = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(eps >= 0, s"eps must be >= 0, got $eps")
+    val spark = deltas0.sparkSession
+    val committed = SnapshotTable.latestVersion(rt.scalars)
+      .map(_.drop(1).toLong)
+    committed.foreach { lv =>
+      require(batchId >= lv,
+        s"PushStream batch $batchId is behind ${rt.scalars}'s v$lv: " +
+          "fresh checkpoint against existing tables — wipe all three " +
+          "roots and the checkpoint together, or resume the original.")
+    }
+    if (committed.contains(batchId)) return // scalars commit LAST: done
+    val v = s"v$batchId"
+    val deltas = deltas0.groupBy(col("src"), col("dst"))
+      .agg(sum(col("n_d")).as("n_d"))
+      .filter(col("n_d") =!= 0)
+      .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
+      .persist()
+    try {
+      // ---- 1. additive edge fold (exactly-once inside AdditiveFold) --
+      AdditiveFold.foldInto(
+        deltas.select(col("edge_key"), col("src"), col("dst"), col("n_d")),
+        rt.edges, "edge_key", "n_d", "n", batchId, clusterFiles,
+        carried = Seq("src", "dst"))
+      // a retraction may cancel an edge exactly (n = 0 keeps the key,
+      // transitions filter it) but never overdraw it — an n < 0 count is
+      // a corrupted-upstream contract violation, failed by name
+      val overdrawn = SnapshotTable
+        .readMatchingTiles(spark, rt.edges, v, "edge_key",
+          deltas.select(col("edge_key")))
+        .join(deltas.select(col("edge_key")), Seq("edge_key"), "left_semi")
+        .filter(col("n") < 0).limit(1).count()
+      require(overdrawn == 0,
+        s"PushStream batch $batchId: an edge retraction exceeded the " +
+          "maintained count — deltas must never drive an edge below zero")
+
+      // ---- 2. pinned reads + previous scalars -----------------------
+      val prevStateV = prevOf(rt.state, batchId)
+      val prevEdgeV = prevOf(rt.edges, batchId)
+      val (nn0, dang0, shift0) = prevOf(rt.scalars, batchId) match {
+        case Some(pv) =>
+          val r = SnapshotTable.readVersion(spark, rt.scalars, pv)
+            .collect().head
+          (r.getAs[Long]("nn"), r.getAs[Long]("dang"), r.getAs[Long]("shift"))
+        case None => (0L, 0L, 0L)
+      }
+
+      // ---- 3. touched sources and their old/new out-edges -----------
+      val srcs = graft.CacheRegistry.persist(
+        deltas.select(col("src")).distinct())
+      // one "<src> " prefix range per touched source — driver list is
+      // batch-scale by the same contract as readMatchingTiles' key
+      // collect ('!' sorts between the ' ' separator and digit '0', so
+      // the range brackets exactly this source's keys)
+      val srcRanges = srcs.collect().map(_.getLong(0)).sorted
+        .map(s => (s"$s ", s"$s!")).toSeq
+      def outEdgesOf(version: String): DataFrame =
+        SnapshotTable.readPrunedRanges(spark, rt.edges, version,
+            "edge_key", srcRanges)
+          .filter(col("n") > 0)
+          .join(srcs, Seq("src"), "left_semi")
+          .select(col("src"), col("dst"), col("n"))
+      val oldE = prevEdgeV.map(outEdgesOf).getOrElse(emptyEdges(spark))
+      val newE = outEdgesOf(v)
+      val outNew = newE.groupBy(col("src")).agg(sum(col("n")).as("out_new"))
+
+      // ---- 4. node-set growth ---------------------------------------
+      val batchNodes = graft.CacheRegistry.persist(
+        deltas.select(col("src").as("node"))
+          .union(deltas.select(col("dst").as("node"))).distinct())
+      val existing = prevStateV.map { pv =>
+        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
+            batchNodes)
+          .select(col("node"))
+          .join(batchNodes, Seq("node"), "left_semi")
+      }.getOrElse(emptyState(spark).select(col("node")))
+      val newNodes = graft.CacheRegistry.persist(
+        batchNodes.join(existing, Seq("node"), "left_anti"))
+      val nn1 = nn0 + newNodes.count()
+      require(nn1 > 0, "PushStream: empty node set")
+
+      // ---- 5. dangling flips among touched sources ------------------
+      val stateTouched = prevStateV.map { pv =>
+        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
+            srcs.select(col("src").as("node")))
+          .join(srcs.select(col("src").as("node")), Seq("node"), "left_semi")
+      }.getOrElse(emptyState(spark))
+      val touched = graft.CacheRegistry.persist(stateTouched
+        .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), col("out_n"), col("p"), col("r"),
+          coalesce(col("out_new"), lit(0L)).as("out_new")))
+      val dangFlip = touched.agg(coalesce(sum(
+          when(col("out_new") === 0 && col("out_n") =!= 0, col("p"))
+            .when(col("out_new") =!= 0 && col("out_n") === 0, -col("p"))
+            .otherwise(lit(0L))), lit(0L)))
+        .collect().head.getLong(0)
+      val dang1 = dang0 + dangFlip
+
+      // ---- 6. the uniform part of the re-seeded residual ------------
+      // r_true = b(nn) + contrib + gterm(dang, nn) − p; b and gterm are
+      // uniform, so their change under the new graph is one scalar
+      val shift1 = shift0 +
+        (PushRank.bOf(nn1) -
+          (if (nn0 > 0) PushRank.bOf(nn0) else 0L)) +
+        (PushRank.gtermOf(dang1, nn1) -
+          (if (nn0 > 0) PushRank.gtermOf(dang0, nn0) else 0L))
+
+      // ---- 7. the per-edge part: Δr(v) over touched out-edges -------
+      // term(u,v) = (d·((p_u·ppm) div 1e6)) div 100 floors ALONE, so the
+      // exact new-minus-old difference decomposes edge by edge; sources
+      // new this batch have p = 0 on both sides (terms 0) and skip
+      val pOfSrc = touched.select(col("node").as("src"), col("p"))
+      def termsOf(e: DataFrame, alias: String): DataFrame =
+        ppmOf(e).join(pOfSrc, "src")
+          .select(col("dst"),
+            expr(s"($Damp * ((p * p_ppm) div 1000000)) div 100").as(alias))
+      val seedDr = termsOf(oldE, "t_old")
+        .groupBy(col("dst")).agg(sum(col("t_old")).as("o"))
+        .join(termsOf(newE, "t_new")
+          .groupBy(col("dst")).agg(sum(col("t_new")).as("nw")),
+          Seq("dst"), "full")
+        .select(col("dst").as("node"),
+          (coalesce(col("nw"), lit(0L)) - coalesce(col("o"), lit(0L)))
+            .as("dr"))
+        .filter(col("dr") =!= 0)
+
+      // ---- 8. seed overlay: rows whose stored state changes ---------
+      val candNodes = srcs.select(col("src").as("node"))
+        .union(seedDr.select(col("node")))
+        .union(newNodes).distinct()
+      val stateCand = prevStateV.map { pv =>
+        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
+            candNodes)
+          .join(candNodes, Seq("node"), "left_semi")
+      }.getOrElse(emptyState(spark))
+      // a node new this batch starts at p = 0 with the full uniform
+      // residual: stored = b + gterm − shift so that r_true = b + gterm
+      val newRows = newNodes.select(col("node"), lit(0L).as("out_n"),
+        lit(0L).as("p"),
+        lit(PushRank.bOf(nn1) + PushRank.gtermOf(dang1, nn1) - shift1)
+          .as("r"))
+      val isSrc = srcs.select(col("src").as("node"), lit(1).as("__s"))
+      var overlay = graft.CacheRegistry.materialize(
+        stateCand.unionByName(newRows)
+          .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .join(isSrc, Seq("node"), "left")
+          .select(col("node"),
+            when(col("__s") === 1, coalesce(col("out_new"), lit(0L)))
+              .otherwise(col("out_n")).as("out_n"),
+            col("p"), col("r"))
+          .join(seedDr, Seq("node"), "left")
+          .select(col("node"), col("out_n"), col("p"),
+            (col("r") + coalesce(col("dr"), lit(0L))).as("r")))
+
+      // ---- 9. synchronized threshold-push rounds --------------------
+      var shift = shift1
+      var dang = dang1
+      var k = 0
+      var drained = false
+      while (k < rounds && !drained) {
+        k += 1
+        // active set: |r_true| > eps — overlay rows by filter, table
+        // rows by the complement prune (tiles provably inside the band
+        // never load), overlay taking precedence
+        val shiftPre = shift
+        val fromTable = prevStateV.map { pv =>
+          SnapshotTable.readOutsideRange(spark, rt.state, pv, "r",
+              -eps - shiftPre, eps - shiftPre)
+            .join(overlay.select(col("node")), Seq("node"), "left_anti")
+        }.getOrElse(emptyState(spark))
+        val active = graft.CacheRegistry.materialize(
+          fromTable.unionByName(overlay)
+            .filter(abs(col("r") + lit(shiftPre)) > eps))
+        if (active.isEmpty) {
+          // an empty active set makes this and all remaining rounds the
+          // identity (the oracle's CASE mirrors this as a no-op)
+          drained = true
+        } else {
+          val activeS = active.select(col("node").as("src"),
+            col("p").as("p_old"),
+            (col("p") + col("r") + lit(shiftPre)).as("p_new"),
+            col("out_n"), col("r").as("r_a"))
+          // pushed dangling mass re-spreads uniformly: scalar, not rows
+          val dangDelta = activeS.filter(col("out_n") === 0)
+            .agg(coalesce(sum(col("r_a") + lit(shiftPre)), lit(0L)))
+            .collect().head.getLong(0)
+          shift += PushRank.gtermOf(dang + dangDelta, nn1) -
+            PushRank.gtermOf(dang, nn1)
+          dang += dangDelta
+          // exact per-edge new-minus-old deltas over the frontier's
+          // out-edges (frontier-scale driver range list, same contract
+          // as the seed's)
+          val aSrcRanges = activeS.filter(col("out_n") > 0)
+            .select(col("src")).collect().map(_.getLong(0)).sorted
+            .map(s => (s"$s ", s"$s!")).toSeq
+          val aEdges =
+            if (aSrcRanges.isEmpty) emptyEdges(spark)
+            else SnapshotTable.readPrunedRanges(spark, rt.edges, v,
+                "edge_key", aSrcRanges)
+              .filter(col("n") > 0)
+              .join(activeS.select(col("src")), Seq("src"), "left_semi")
+              .select(col("src"), col("dst"), col("n"))
+          val drR = ppmOf(aEdges).join(activeS, "src")
+            .select(col("dst"),
+              (expr(s"($Damp * ((p_new * p_ppm) div 1000000)) div 100") -
+                expr(s"($Damp * ((p_old * p_ppm) div 1000000)) div 100"))
+                .as("d"))
+            .groupBy(col("dst")).agg(sum(col("d")).as("dr"))
+            .select(col("dst").as("node"), col("dr"))
+            .filter(col("dr") =!= 0)
+          // out-neighbors not yet in the overlay enter it now
+          val needFromTable = drR.select(col("node"))
+            .join(overlay.select(col("node")), Seq("node"), "left_anti")
+          val tableRows = prevStateV.map { pv =>
+            SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
+                needFromTable)
+              .join(needFromTable, Seq("node"), "left_semi")
+          }.getOrElse(emptyState(spark))
+          // pushed node: p += r_true, stored r ← (incoming dr − shiftPre)
+          // (gterm's uniform shift cancels into `shift` for everyone);
+          // non-pushed: stored r += dr
+          val activeNodes = active.select(col("node"))
+          val nextNonActive = overlay
+            .join(activeNodes, Seq("node"), "left_anti")
+            .unionByName(tableRows
+              .join(activeNodes, Seq("node"), "left_anti"))
+            .join(drR, Seq("node"), "left")
+            .select(col("node"), col("out_n"), col("p"),
+              (col("r") + coalesce(col("dr"), lit(0L))).as("r"))
+          val nextActive = active.join(drR, Seq("node"), "left")
+            .select(col("node"), col("out_n"),
+              (col("p") + col("r") + lit(shiftPre)).as("p"),
+              (coalesce(col("dr"), lit(0L)) - lit(shiftPre)).as("r"))
+          overlay = graft.CacheRegistry.materialize(
+            nextNonActive.unionByName(nextActive))
+        }
+      }
+
+      // ---- 10. one tile-local state commit + the scalar sidecar -----
+      prevStateV match {
+        case None => SnapshotTable.publish(overlay, rt.state, v,
+          statsCols = Seq("node", "r"), clusterFiles = Some(clusterFiles))
+        case Some(_) =>
+          SnapshotTable.merge(overlay, rt.state, "node", v,
+            clusterFiles = Some(clusterFiles))
+      }
+      import spark.implicits._
+      SnapshotTable.publish(Seq((nn1, dang, shift)).toDF(
+        "nn", "dang", "shift"), rt.scalars, v)
+    } finally {
+      deltas.unpersist(blocking = false)
+      // the long-stream discipline (RankStream's): release per batch or
+      // the per-round overlays pin storage forever
+      graft.CacheRegistry.clear()
+    }
+  }
+
+  /** The maintained state at its committed head, with TRUE residuals
+    * (stored + shift). None before the first batch.
+    */
+  def liveState(spark: SparkSession, rt: Roots): Option[DataFrame] =
+    for {
+      sv <- SnapshotTable.latestVersion(rt.state)
+      cv <- SnapshotTable.latestVersion(rt.scalars)
+    } yield {
+      val shift = SnapshotTable.readVersion(spark, rt.scalars, cv)
+        .collect().head.getAs[Long]("shift")
+      SnapshotTable.readVersion(spark, rt.state, sv)
+        .select(col("node"), col("out_n"), col("p"),
+          (col("r") + lit(shift)).as("r"))
+    }
+
+  /** ‖r_true‖₁ — the live certificate: the serve's distance to the exact
+    * fixpoint is at most this × 100/(100 − d). One map-side aggregation;
+    * the per-batch repair never needs it (pushes threshold row-locally).
+    */
+  def residualMass(spark: SparkSession, rt: Roots): Option[Long] =
+    liveState(spark, rt).map(
+      _.agg(coalesce(sum(abs(col("r"))), lit(0L)))
+        .collect().head.getLong(0))
+}
