@@ -99,5 +99,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomHits].getName, "bloom_hits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         { val a = arity("bloom_hits", 2, exprs); BloomHits(a(0), a(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("tri_moments"),
+      new ExpressionInfo(classOf[TriMoments].getName, "tri_moments"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        { val a = arity("tri_moments", 1, exprs); TriMoments(a(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("moment_cells"),
+      new ExpressionInfo(classOf[MomentCells].getName, "moment_cells"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        { val a = arity("moment_cells", 1, exprs); MomentCells(a(0)) }))
   }
 }

@@ -150,13 +150,16 @@ object EmbedPca {
       // pass emits only the upper triangle (j ≥ i): d(d+1)/2 cells per
       // row instead of d² — half the explode volume and half the
       // partial-sum state; the lower triangle mirrors on the driver
-      // bit-identically to what the full pass computed
-      val moments = fx.select(explode(expr(
-          "flatten(transform(fx, (x, i) -> " +
-            "transform(slice(fx, i + 1, size(fx) - i), (y, jj) -> " +
-            "named_struct('i', i, 'j', i + jj, 'xy', x * y))))")).as("p"))
-        .select(col("p.i"), col("p.j"), col("p.xy"))
-        .groupBy(col("i"), col("j"))
+      // bit-identically to what the full pass computed. The per-row
+      // expansion is the codegen'd [[graft.expressions.TriMoments]]
+      // kernel (position-packed, row-major) — the interpreted
+      // nested-transform lambda it replaced was the family's measured
+      // ceiling at d = 1024 (DimCeilingProbe, ~88 ms/row); aggregated
+      // values are bit-identical, so every downstream hash stands
+      graft.expressions.TriMoments.register(fx.sparkSession)
+      val moments = fx
+        .select(posexplode(expr("tri_moments(fx)")).as(Seq("pos", "xy")))
+        .groupBy(col("pos"))
         .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
         .collect()
       val sums = fx.select(posexplode(col("fx")).as(Seq("i", "x")))
@@ -166,8 +169,19 @@ object EmbedPca {
       val d = sums.length
       val sx = Array.ofDim[BigInt](d)
       sums.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
-      val tri = moments.map(r =>
-        (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))).toSeq
+      // unpack pos = i·d − i(i−1)/2 + (j − i) back to (i, j ≥ i): the
+      // row starts are monotone, so a binary search per cell suffices
+      val rowStart = Array.tabulate(d)(i => i * d - i * (i - 1) / 2)
+      val tri = moments.map { r =>
+        val pos = r.getInt(0)
+        var lo = 0; var hi = d - 1; var i = 0
+        while (lo <= hi) {
+          val m = (lo + hi) >>> 1
+          if (rowStart(m) <= pos) { i = m; lo = m + 1 } else hi = m - 1
+        }
+        (i, i + (pos - rowStart(i)),
+          BigInt(r.getDecimal(1).toBigInteger))
+      }.toSeq
       (BigInt(n), sx, tri)
   }
 

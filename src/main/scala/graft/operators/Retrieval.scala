@@ -215,6 +215,9 @@ object Retrieval {
   /** RRF's rank-damping constant (Cormack, Clarke & Büttcher 2009). */
   private val RrfK = 60
 
+  /** Concurrent queries in the maintained hybrid panel (docs 0..4). */
+  private val HybridQ = 5L
+
   /** Hybrid retrieval: reciprocal-rank fusion of a LEXICAL ranking (BM25,
     * query = the 3 highest-tf tokens of document 0) and a SEMANTIC ranking
     * (cosine over the deterministic feature-hash doc embeddings against
@@ -351,6 +354,27 @@ object Retrieval {
     val name = "search_hybrid_maintained"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val (r, ar) = hybridRoots(spark, sfDir)
+      hybridServe(spark, sfDir, r, ar)
+    }
+
+    def oracle: Option[String] = hybridMaintainedOracle
+  }
+
+  /** Per-sfDir memo of the ingested hybrid state: BOTH maintained-serve
+    * queries (the doc-0 point read and the query panel) serve off ONE
+    * three-batch-plus-compaction ingest per session — the ingest is a
+    * pure function of the fixture tables, so the memo is safe for the
+    * fixed-fixture Verify/Bench sessions it serves (the
+    * [[EmbedPca.solved]] precedent: a regenerated fixture under the
+    * SAME path needs a new session). The multi-batch rehearsal contract
+    * is untouched — it runs, once, with both serves reading its result.
+    */
+  private val hybridIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def hybridRoots(spark: SparkSession, sfDir: String): (String, String) =
+    hybridIngested.computeIfAbsent(sfDir, _ => {
       import graft.streaming.{AnnStream, SearchStream}
       val docs = Tables.load(spark, sfDir, "documents")
       val r = SnapshotDiff.scratchRoot("hybridstream", sfDir)
@@ -363,10 +387,75 @@ object Retrieval {
         case (b, i) => AnnStream.applyBatch(
           b.withColumnRenamed("doc_id", "vec_id"), i + 1L, s"$r/ann")
       }
-      hybridServe(spark, sfDir, r, s"$r/ann")
+      (r, s"$r/ann")
+    })
+
+  /** Hybrid retrieval for a QUERY PANEL off the same maintained indexes
+    * — the deployment shape past [[hybridMaintained]]'s single point
+    * read: [[HybridQ]] concurrent queries (docs 0..4 standing in for a
+    * user-query batch) share one serve pass. Per-query cost stays
+    * bounded: the lexical leg's term lookups are DISTINCT-token-bounded
+    * with posting rows fanning out through the broadcast (qid, token,
+    * df) frame ([[graft.streaming.SearchStream.scoredAtPanel]]), the
+    * per-query top-[[FuseDepth]] is the exact two-phase salted form
+    * ([[topKPerQuery]] — no query funnels its candidate set through one
+    * window partition), and the semantic leg probes ≤ 2·[[HybridQ]]
+    * cells total ([[graft.streaming.AnnStream.serve]]'s panel path) —
+    * no N× corpus amplification anywhere.
+    */
+  val hybridMulti: GraftQuery = new GraftQuery {
+    val name = "search_hybrid_multi"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.streaming.{AnnStream, SearchStream}
+      val (r, ar) = hybridRoots(spark, sfDir)
+      val docs = Tables.load(spark, sfDir, "documents")
+      val dv = TextEmbed.normalizedDocVectors(spark, sfDir)
+      // query formulation: each panel doc's top-3 tf tokens (the
+      // hybridServe rule per query; ≤ 3·HybridQ driver rows)
+      val wq = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("token"))
+      val qtoks = termFreqs(docs.filter(col("doc_id") < HybridQ))
+        .withColumn("qr", row_number().over(wq))
+        .filter(col("qr") <= 3)
+        .select(col("doc_id").as("qid"), col("token")).collect()
+        .map(rr => (rr.getLong(0), rr.getString(1)))
+      val head = graft.sources.SnapshotTable
+        .latestVersion(SearchStream.statsRoot(r)).get
+      val dfByTok = SearchStream.dfRelation(spark, r, head)
+        .filter(col("token").isin(qtoks.map(_._2).distinct: _*))
+        .collect().map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+      val panel = qtoks.collect { case (q, t) if dfByTok.contains(t) =>
+        (q, t, dfByTok(t)) }.toSeq
+      val perDoc = SearchStream.scoredAtPanel(spark, r, head, panel)
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("term_score_x1000")).as("score_x1000"))
+      val lex = topKPerQuery(perDoc, FuseDepth, MultiSalt)
+        .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+      val sem = AnnStream.serve(spark, ar,
+          dv.filter(col("doc_id") < HybridQ)
+            .withColumnRenamed("doc_id", "vec_id"), k = FuseDepth).get
+        .select(col("query_id").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+        .withColumn("rrf_x1e6",
+          when(col("lex_rank") > 0,
+            expr(s"1000000L div (${RrfK}L + lex_rank)")).otherwise(lit(0L)) +
+          when(col("sem_rank") > 0,
+            expr(s"1000000L div (${RrfK}L + sem_rank)")).otherwise(lit(0L)))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("doc_id"), col("lex_rank"),
+          col("sem_rank"), col("rrf_x1e6"))
+        .orderBy(col("qid"), col("rank"))
     }
 
-    def oracle: Option[String] = hybridMaintainedOracle
+    def oracle: Option[String] = hybridMultiOracle
   }
 
   /** The fused query-time read over already-ingested hybrid state —
@@ -482,6 +571,88 @@ object Retrieval {
              CAST(sem_rank AS BIGINT) AS sem_rank,
              CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
       FROM top ORDER BY rank""")
+
+  /** [[hybridMaintainedOracle]] generalized to the query panel: per-qid
+    * 3-term formulation, per-qid lexical/semantic rankings (the sqp
+    * probe keeps the crank ≤ 2 pruned-cell mirror — candidates live in
+    * exactly one cell, so no per-query dedup is needed), per-qid RRF.
+    */
+  private def hybridMultiOracle: Option[String] = Some(
+    TextEmbed.duckEmbedCtes + s"""
+      , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      ldf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      qp AS (
+        SELECT doc_id AS qid, token FROM (
+          SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf DESC, token) AS qr
+          FROM tf WHERE doc_id < $HybridQ) WHERE qr <= 3),
+      qterms AS (SELECT qp.qid, qp.token, ldf.df FROM qp JOIN ldf USING (token)),
+      lscored AS (
+        SELECT qterms.qid, tf.doc_id,
+               CAST(floor(
+                 ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(${K1 + 1.0} AS DOUBLE) /
+                    (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / stats.avgdl)))
+                 * 1000.0) AS BIGINT) AS term_score_x1000
+        FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE tf.doc_id <> qterms.qid),
+      lex AS (
+        SELECT qid, doc_id, lex_rank FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY s DESC, doc_id) AS lex_rank
+          FROM (SELECT qid, doc_id, sum(term_score_x1000) AS s
+                FROM lscored GROUP BY 1, 2))
+        WHERE lex_rank <= $FuseDepth),
+      n2 AS (
+        SELECT doc_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM vec),
+      nz AS (SELECT * FROM n2 WHERE nrm > 0),
+      scents AS (
+        SELECT doc_id AS cid, v AS cv, nrm AS cnrm
+        FROM nz ORDER BY doc_id LIMIT 16),
+      sassign AS (
+        SELECT nz.doc_id, nz.v, nz.nrm, c.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(nz.v)),
+                      i -> nz.v[i] * c.cv[i])) * 10000.0 / (nz.nrm * c.cnrm)) AS BIGINT) AS ccos_bp
+        FROM nz CROSS JOIN scents c),
+      sranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM sassign),
+      scorpus AS (SELECT doc_id, v, nrm, cid AS cell FROM sranked WHERE crank = 1),
+      sqp AS (SELECT doc_id AS qid, v, nrm, cid AS cell FROM sranked
+              WHERE crank <= 2 AND doc_id < $HybridQ),
+      sem AS (
+        SELECT qid, doc_id, sem_rank FROM (
+          SELECT q.qid, c.doc_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   CAST(floor(list_sum(list_transform(generate_series(1, len(q.v)),
+                          i -> q.v[i] * c.v[i])) * 10000.0 / (q.nrm * c.nrm)) AS BIGINT) DESC,
+                   c.doc_id) AS sem_rank
+          FROM sqp q JOIN scorpus c ON q.cell = c.cell AND q.qid <> c.doc_id)
+        WHERE sem_rank <= $FuseDepth),
+      fused AS (
+        SELECT coalesce(lex.qid, sem.qid) AS qid,
+               coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               coalesce(lex_rank, 0) AS lex_rank,
+               coalesce(sem_rank, 0) AS sem_rank,
+               (CASE WHEN lex_rank IS NULL THEN 0
+                     ELSE 1000000 // ($RrfK + lex_rank) END
+                + CASE WHEN sem_rank IS NULL THEN 0
+                       ELSE 1000000 // ($RrfK + sem_rank) END) AS rrf_x1e6
+        FROM lex FULL OUTER JOIN sem
+          ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id),
+      franked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_x1e6 DESC, doc_id) AS rank
+        FROM fused)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+             doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+             CAST(sem_rank AS BIGINT) AS sem_rank,
+             CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+      FROM franked WHERE rank <= $TopK ORDER BY qid, rank""")
 
   /** Per-doc occurrence counts of doc 0's opening 2-token phrase over any
     * (doc_id, text) frame — fixture-testable body of [[phrase]].
@@ -765,6 +936,6 @@ object Retrieval {
 
   val all: Seq[GraftQuery] =
     Seq(bm25, bm25Maintained, bm25Multi, hybridRrf, hybridMaintained,
-      phrase, snippets)
+      hybridMulti, phrase, snippets)
 }
 

@@ -56,17 +56,14 @@ object PcaStream {
   /** All three moment kinds in ONE explode — per row: the d(d+1)/2
     * upper-triangle products, the d coordinate sums, and a count-1 cell
     * — so the batch is scanned once and the delta aggregation is a
-    * single map-side-combinable groupBy over ≤ 2 145 keys.
+    * single map-side-combinable groupBy over ≤ 2 145 keys. The per-row
+    * expansion is the codegen'd [[graft.expressions.MomentCells]]
+    * kernel, kk-packed exactly as the declarative lambda it replaced
+    * (the fold's key space and every committed tile are untouched; the
+    * interpreted nested-transform was the spectral family's measured
+    * d = 1024 ceiling, see [[graft.expressions.TriMoments]]).
     */
-  private val momentSql =
-    "concat(" +
-      "flatten(transform(fx, (x, i) -> " +
-        "transform(slice(fx, i + 1, size(fx) - i), (y, jj) -> " +
-        "named_struct('kk', CAST(i + 1 AS BIGINT) * 100000 + i + jj + 1, " +
-        "'v', x * y)))), " +
-      "transform(fx, (x, i) -> " +
-        "named_struct('kk', CAST(i + 1 AS BIGINT) * 100000, 'v', x)), " +
-      "array(named_struct('kk', CAST(0 AS BIGINT), 'v', CAST(1 AS BIGINT))))"
+  private val momentSql = "moment_cells(fx)"
 
   /** One micro-batch of (…, embedding) rows: fold its moment deltas into
     * the maintained table. Idempotent per batchId.
@@ -98,6 +95,7 @@ object PcaStream {
       // non-ANSI Spark past the ~3e13-row moment bound — and downcast to
       // the table's BIGINT only after the driver-side magnitude guard
       // below proves they fit with headroom
+      graft.expressions.MomentCells.register(fx.sparkSession)
       val deltas = fx.select(explode(expr(momentSql)).as("m"))
         .select(col("m.kk").as("kk"), col("m.v").as("v"))
         .groupBy(col("kk"))

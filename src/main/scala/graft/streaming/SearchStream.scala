@@ -172,10 +172,24 @@ object SearchStream {
     * and the hybrid fused read (caller-supplied terms).
     */
   private[graft] def scoredAt(spark: SparkSession, root: String,
-      head: String, qtRows: Seq[(String, Long)]): DataFrame = {
+      head: String, qtRows: Seq[(String, Long)]): DataFrame =
+    scoredAtPanel(spark, root, head,
+      qtRows.map { case (t, df) => (0L, t, df) }).drop("qid")
+
+  /** The QUERY-PANEL form of [[scoredAt]] — (qid, token, df) rows for N
+    * concurrent queries: each DISTINCT token's postings are looked up
+    * ONCE (term lookups stay query-term-bounded, not query-COUNT-
+    * bounded), and a posting row fans out to the queries containing its
+    * term through the broadcast qterms join — the
+    * [[graft.operators.Retrieval]] `search_bm25_multi` discipline moved
+    * onto maintained state.
+    */
+  private[graft] def scoredAtPanel(spark: SparkSession, root: String,
+      head: String, panelRows: Seq[(Long, String, Long)]): DataFrame = {
     val sr = statsRoot(root)
     import spark.implicits._
-    val qterms = qtRows.toDF("token", "df")
+    val qterms = panelRows.toDF("qid", "token", "df")
+    val qtRows = panelRows.map { case (_, t, df) => (t, df) }.distinct
     // avgdl via the SAME double-op sequence the corpus derivation uses
     // (long * 1.0 / long), so maintained scores are bit-equal
     val stats = SnapshotTable
