@@ -1252,8 +1252,70 @@ object Similarity {
     def oracle: Option[String] = annIvf.oracle
   }
 
+  /** The maintained index's BALANCE metric under the gate
+    * ([[graft.streaming.AnnStream.cellBalance]]): ingest the corpus as
+    * three batches, then read the per-cell posting counters — `g:` keys
+    * folded additively beside the postings, so the drift signal is a
+    * METADATA-scale read (≤ model-size rows) at any corpus — and report
+    * each cell's share of the uniform load (x100). The oracle recomputes
+    * the same counts from the relational crank-1 assignment. This is the
+    * signal an operator schedules [[graft.streaming.AnnStream.recluster]]
+    * on; `AnnReclusterSpec` pins the re-cluster publish itself.
+    */
+  val annIvfCellBalance: GraftQuery = new GraftQuery {
+    val name = "ann_ivf_cell_balance"
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = vecs(spark, sfDir)
+      val root = SnapshotDiff.scratchRoot("annbalance", sfDir)
+      SnapshotDiff.rmTree(root)
+      val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      (0 until 3).foreach { b =>
+        graft.streaming.AnnStream.applyBatch(
+          e.filter(col("vec_id") >= mn + b * span / 3 &&
+            col("vec_id") < mn + (b + 1) * span / 3), b + 1L, root)
+      }
+      val bal = graft.streaming.AnnStream.cellBalance(spark, root).get
+      val tot = broadcast(bal.agg(sum(col("postings")).as("total")))
+      bal.crossJoin(tot)
+        .select(col("cell"), col("postings"),
+          expr("(postings * 1600) div total").as("pct_of_uniform_x100"),
+          col("total"))
+        .orderBy("cell")
+    }
+
+    def oracle: Option[String] = Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      assign AS (
+        SELECT n.vec_id, cents.cid,
+               CAST(floor(list_sum(list_transform(generate_series(1, len(n.v)),
+                      i -> n.v[i] * cents.cv[i])) * 10000.0 / (n.nrm * cents.cnrm)) AS BIGINT) AS ccos_bp
+        FROM n CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos_bp DESC, cid) AS crank
+        FROM assign),
+      corpus AS (SELECT vec_id, cid AS cell FROM ranked WHERE crank = 1),
+      bal AS (SELECT cell, CAST(count(*) AS BIGINT) AS postings
+              FROM corpus GROUP BY 1),
+      tot AS (SELECT CAST(sum(postings) AS BIGINT) AS total FROM bal)
+      SELECT cell, postings,
+             CAST((postings * 1600) // (SELECT total FROM tot) AS BIGINT)
+               AS pct_of_uniform_x100,
+             (SELECT total FROM tot) AS total
+      FROM bal ORDER BY cell""")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(annTopK, annLsh, annIvf, annRecall, annRecallIvf, annIvfRefined,
       ivfKmeansGain, annPrefixRecall, annRecallIvfClustered,
-      annPrefixRecallClustered, annIvfStreamMaintained)
+      annPrefixRecallClustered, annIvfStreamMaintained, annIvfCellBalance)
 }

@@ -113,9 +113,94 @@ object AnnStream {
         // second batch whose source derivation produced containsNull=false
         col("v").cast("array<double>").as("v"), col("nrm"),
         lit(1L).as("cnt"))
-    val deltas = modelDelta.map(_.unionByName(assigned)).getOrElse(assigned)
-    AdditiveFold.foldInto(deltas, root, "sk", "cnt", "cnt", batchId,
-      clusterFiles, carried = Seq("vec_id", "cell", "v", "nrm"))
+    // per-cell posting counters fold alongside (`g:` keys — between the
+    // c: postings and the m: model in the sort order): the drift/balance
+    // signal stays a METADATA-scale read at any corpus, because reading
+    // it back never touches a posting tile ([[cellBalance]]). The
+    // assignment persists for the fold's duration — the posting rows and
+    // the counter rows both root it, and without the persist the
+    // cell-ranking kernel would run twice per batch
+    val assignedP = assigned.persist()
+    try {
+      val deltas = modelDelta.map(_.unionByName(assignedP))
+        .getOrElse(assignedP)
+        .unionByName(counterRows(assignedP))
+      AdditiveFold.foldInto(deltas, root, "sk", "cnt", "cnt", batchId,
+        clusterFiles, carried = Seq("vec_id", "cell", "v", "nrm"))
+    } finally { assignedP.unpersist(blocking = false); () }
+  }
+
+  /** `g:<cell>` counter deltas for an assigned (…, cell, cnt) frame —
+    * the same 6-column shape as the posting rows (null vector fields),
+    * so the one additive fold carries both.
+    */
+  private def counterRows(assigned: org.apache.spark.sql.DataFrame) =
+    assigned.groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .select(format_string("g:%06d", col("cell")).as("sk"),
+        lit(null).cast("long").as("vec_id"), col("cell"),
+        lit(null).cast("array<double>").as("v"),
+        lit(null).cast("double").as("nrm"), col("cnt"))
+
+  /** Maintained per-cell posting counts at the committed head — the
+    * queryable balance/staleness metric the pinned first-batch model
+    * needs: under distribution drift the max/uniform skew grows and an
+    * operator can schedule [[recluster]] on it. Reads ONLY the `g:`
+    * tiles (≤ model-size rows); None before the first batch.
+    */
+  def cellBalance(spark: SparkSession, root: String): Option[DataFrame] =
+    SnapshotTable.latestVersion(root).map { head =>
+      SnapshotTable.readPrunedVersion(spark, root, head, "sk", "g:", "g;")
+        .filter(col("sk").startsWith("g:"))
+        .select(col("cell"), col("cnt").as("postings"))
+    }
+
+  /** PERIODIC re-cluster publish — the model-maintenance answer to the
+    * pinned first-batch centroids: one exact Lloyd step from the stored
+    * model over ALL postings ([[Similarity.lloydCenters]] — per-cell
+    * exact DECIMAL coordinate sums, scale-free under cosine), a full
+    * re-assignment, and ONE atomic publish of the rebuilt key space
+    * (new `m:` model, re-assigned `c:` postings, rebuilt `g:` counters).
+    * Cost ∝ corpus BY DESIGN — invoked every K ingest batches it
+    * amortizes to corpus/K per batch (the RankStream periodic-publish
+    * discipline), while serves keep reading the previous version until
+    * the publish lands. Cells that lose every member drop out (k-means
+    * semantics); cell IDS are stable, so committed serve plans keep
+    * their meaning. Idempotent per version id; `AnnReclusterSpec` pins
+    * serve ≡ a fresh index rebuilt from the post-Lloyd model.
+    */
+  def recluster(spark: SparkSession, root: String, batchId: Long,
+      clusterFiles: Int = 8): Unit = {
+    val headOpt = SnapshotTable.latestVersion(root)
+    require(headOpt.nonEmpty, "AnnStream.recluster: nothing ingested yet")
+    val head = headOpt.get
+    require(batchId >= head.drop(1).toLong,
+      s"AnnStream.recluster id $batchId is behind $root's published " +
+        s"$head: fresh checkpoint against an existing table")
+    if (head.drop(1).toLong >= batchId) return // replay: already current
+    val posts = SnapshotTable
+      .readPrunedVersion(spark, root, head, "sk", "c:", "c;")
+      .filter(col("sk").startsWith("c:"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val (newCents, _) =
+      Similarity.lloydCenters(posts, centroids(spark, root, head), 1)
+    val assigned = Similarity.cellRanked(posts, newCents)
+      .filter(col("crank") === 1)
+      .select(cellKey(col("cid"), col("vec_id")).as("sk"),
+        col("vec_id"), col("cid").as("cell"),
+        col("v").cast("array<double>").as("v"), col("nrm"),
+        lit(1L).as("cnt"))
+      .persist()
+    try {
+      val model = newCents.select(
+        format_string("m:%06d", col("cid")).as("sk"),
+        col("cid").as("vec_id"), col("cid").as("cell"),
+        col("cv").cast("array<double>").as("v"), col("cnrm").as("nrm"),
+        lit(1L).as("cnt"))
+      SnapshotTable.publish(
+        model.unionByName(assigned).unionByName(counterRows(assigned)),
+        root, s"v$batchId", statsCols = Seq("sk"),
+        clusterFiles = Some(clusterFiles))
+    } finally { assigned.unpersist(blocking = false); () }
   }
 
   /** Top-`k` maintained-IVF search for a (vec_id, v, nrm) query panel —

@@ -62,6 +62,15 @@ object PushStream {
 
   private val Damp = graft.operators.Graph.Damp
 
+  /** Past this many touched/active sources a per-source driver range
+    * list stops being "metadata-scale" — the adaptive reads below fall
+    * back to one full scan + semi-join, the right plan when the touched
+    * set approaches the corpus (bulk loads, initial convergence). The
+    * incremental steady state — the regime this wrapper exists for —
+    * stays far below it.
+    */
+  private val RangeListCap = 100000L
+
   /** The three roots of one maintained push-rank: the additive edge
     * table, the (node, out_n, p, r) state, and the 1-row scalar sidecar
     * (nn, dang, shift).
@@ -155,12 +164,21 @@ object PushStream {
       // one "<src> " prefix range per touched source — driver list is
       // batch-scale by the same contract as readMatchingTiles' key
       // collect ('!' sorts between the ' ' separator and digit '0', so
-      // the range brackets exactly this source's keys)
-      val srcRanges = srcs.collect().map(_.getLong(0)).sorted
-        .map(s => (s"$s ", s"$s!")).toSeq
+      // the range brackets exactly this source's keys). ADAPTIVE: past
+      // RangeListCap sources (a bulk load, not an incremental batch) a
+      // driver range list would itself be corpus-scale — fall back to
+      // one full scan + semi-join, which is the right plan when the
+      // touched set IS the corpus
+      val nSrcs = srcs.count()
+      val srcRanges =
+        if (nSrcs > RangeListCap) Nil
+        else srcs.collect().map(_.getLong(0)).sorted
+          .map(s => (s"$s ", s"$s!")).toSeq
       def outEdgesOf(version: String): DataFrame =
-        SnapshotTable.readPrunedRanges(spark, rt.edges, version,
-            "edge_key", srcRanges)
+        (if (srcRanges.isEmpty && nSrcs > 0)
+          SnapshotTable.readVersion(spark, rt.edges, version)
+        else SnapshotTable.readPrunedRanges(spark, rt.edges, version,
+          "edge_key", srcRanges))
           .filter(col("n") > 0)
           .join(srcs, Seq("src"), "left_semi")
           .select(col("src"), col("dst"), col("n"))
@@ -292,18 +310,26 @@ object PushStream {
             PushRank.gtermOf(dang, nn1)
           dang += dangDelta
           // exact per-edge new-minus-old deltas over the frontier's
-          // out-edges (frontier-scale driver range list, same contract
-          // as the seed's)
-          val aSrcRanges = activeS.filter(col("out_n") > 0)
-            .select(col("src")).collect().map(_.getLong(0)).sorted
-            .map(s => (s"$s ", s"$s!")).toSeq
+          // out-edges — frontier-scale driver range list in the
+          // incremental regime, one full scan + semi-join past
+          // RangeListCap (bulk convergence, where the frontier IS the
+          // corpus and a range list would be corpus-scale)
+          val aSrcF = activeS.filter(col("out_n") > 0).select(col("src"))
+          val nASrcs = aSrcF.count()
           val aEdges =
-            if (aSrcRanges.isEmpty) emptyEdges(spark)
-            else SnapshotTable.readPrunedRanges(spark, rt.edges, v,
-                "edge_key", aSrcRanges)
-              .filter(col("n") > 0)
-              .join(activeS.select(col("src")), Seq("src"), "left_semi")
-              .select(col("src"), col("dst"), col("n"))
+            if (nASrcs == 0) emptyEdges(spark)
+            else {
+              val base =
+                if (nASrcs > RangeListCap)
+                  SnapshotTable.readVersion(spark, rt.edges, v)
+                else SnapshotTable.readPrunedRanges(spark, rt.edges, v,
+                  "edge_key",
+                  aSrcF.collect().map(_.getLong(0)).sorted
+                    .map(s => (s"$s ", s"$s!")).toSeq)
+              base.filter(col("n") > 0)
+                .join(aSrcF, Seq("src"), "left_semi")
+                .select(col("src"), col("dst"), col("n"))
+            }
           val drR = ppmOf(aEdges).join(activeS, "src")
             .select(col("dst"),
               (expr(s"($Damp * ((p_new * p_ppm) div 1000000)) div 100") -
@@ -335,8 +361,14 @@ object PushStream {
             .select(col("node"), col("out_n"),
               (col("p") + col("r") + lit(shiftPre)).as("p"),
               (coalesce(col("dr"), lit(0L)) - lit(shiftPre)).as("r"))
+          val prevOverlay = overlay
           overlay = graft.CacheRegistry.materialize(
             nextNonActive.unionByName(nextActive))
+          // materialize cut the lineage and cached the new overlay —
+          // the superseded round frames release NOW, or a long drain
+          // (bulk convergence) pins O(rounds) corpus-sized copies
+          prevOverlay.unpersist(blocking = false)
+          active.unpersist(blocking = false)
         }
       }
 
