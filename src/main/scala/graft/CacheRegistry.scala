@@ -85,14 +85,50 @@ object CacheRegistry {
     * answer — caches storage the registry cannot see (freed only when the
     * ContextCleaner notices the GC'd RDD, which across a 50-query harness
     * session accumulates into storage pressure `clear()` exists to
-    * prevent). Round-tripping through the row RDD cuts the plan to a
-    * `LogicalRDD` leaf while the persist stays registry-managed.
+    * prevent). Re-rooting on the physical plan's own internal-row RDD
+    * ([[org.apache.spark.sql.GraftPlanUtil.cutLineage]]) cuts the plan to
+    * a `LogicalRDD` leaf while the persist stays registry-managed, and —
+    * unlike the stock `createDataFrame(df.rdd, schema)` round-trip —
+    * never converts rows to the external format.
     */
-  def materialize(df: DataFrame): DataFrame = {
-    val cut = df.sparkSession.createDataFrame(df.rdd, df.schema)
+  def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
+
+  /** [[materialize]] that also returns the row count its eager `count()`
+    * already paid for — callers that next ask "is it empty?" (the push
+    * rounds' drain check) read the returned count instead of launching a
+    * second job against the cache.
+    */
+  def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    // internal-row lineage cut: the previous createDataFrame(df.rdd, …)
+    // form paid an InternalRow→Row conversion on materialization AND a
+    // Row→InternalRow conversion on every read of the cached result —
+    // measured as the dominant per-round cost of the iterative
+    // operators (pagerank trajectories, PushStream overlays)
+    val cut = org.apache.spark.sql.GraftPlanUtil.cutLineage(df)
     val p = persist(cut)
-    p.count()
-    p
+    (p, p.count())
+  }
+
+  /** Batch-scoped release: run `body`, then unpersist ONLY the per-query
+    * frames registered INSIDE it. The streaming `applyBatch` templates
+    * release their internal frames every batch (the long-stream
+    * discipline — RankStream's pagerank leaves, PushStream's per-round
+    * overlays), but a bare [[clear]] there also drops the CALLER's
+    * persists — e.g. a query that materializes the sessionized pair
+    * frame once and feeds each micro-batch a filter of it would silently
+    * lose the cache after batch 1 and re-run the window pass per batch.
+    * Scoping the release to the batch's own registrations keeps the
+    * discipline (nothing batch-local outlives the batch) while letting
+    * multi-batch drivers share ingest-side frames.
+    */
+  def scoped[T](body: => T): T = {
+    val mark = synchronized { registered.size }
+    try body
+    finally synchronized {
+      // frames registered within the scope release; earlier ones stay
+      registered.drop(mark).foreach(_.unpersist(blocking = false))
+      registered.remove(mark, registered.size - mark)
+    }
   }
 
   /** Test visibility: how many per-query persists are registered, and the

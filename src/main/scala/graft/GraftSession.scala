@@ -24,6 +24,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r13 optimization round, measured and REJECTED): setting
+      // coalescePartitions.parallelismFirst=false (+ advisory sizes 16m
+      // and 64m) was A/B-measured over the full 189-query suite at sf0.1
+      // and LOST badly (total_min 237 → 333 s): this engine's shuffles
+      // are CPU-dense per byte (shingle/posting/vector arrays), so
+      // byte-sized coalescing serializes reduce work that the default
+      // parallelism-first split keeps on all cores. On a 100 TB cluster
+      // the advisory size governs — shuffles there are large enough that
+      // both settings coalesce to byte-bounded partitions anyway.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // runtime bloom-filter pushdown: on a selective join (dedup anti-joins,
       // contamination, dim-filtered facts) the build side's keys prune the

@@ -262,7 +262,11 @@ object Graph {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = pageEvents(spark, sfDir)
-      val pairs = Behavior.sessionPairs(ev, "page").select("src", "dst")
+      // the window pass runs ONCE: each micro-batch is a filter of this
+      // cached frame (applyBatch releases only its own batch-scoped
+      // persists, so this survives across batches)
+      val pairs = graft.CacheRegistry.persist(
+        Behavior.sessionPairs(ev, "page").select("src", "dst"))
       val (edgeRoot, rankRoot) = (root(sfDir) + "_edges", root(sfDir) + "_ranks")
       SnapshotDiff.rmTree(edgeRoot); SnapshotDiff.rmTree(rankRoot)
       graft.streaming.RankStream.applyBatch(
@@ -303,7 +307,9 @@ object Graph {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = pageEvents(spark, sfDir)
-      val pairs = Behavior.sessionPairs(ev, "page").select("src", "dst")
+      // one window pass for all four batches (see pageRankStream)
+      val pairs = graft.CacheRegistry.persist(
+        Behavior.sessionPairs(ev, "page").select("src", "dst"))
       val (edgeRoot, rankRoot) = (root(sfDir) + "_edges", root(sfDir) + "_ranks")
       SnapshotDiff.rmTree(edgeRoot); SnapshotDiff.rmTree(rankRoot)
       (1 to 4).foreach { b =>
@@ -516,7 +522,9 @@ object Graph {
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = pageEvents(spark, sfDir)
-      val pairs = Behavior.sessionPairs(ev, "page").select("src", "dst")
+      // one window pass for all four batches (see pageRankStream)
+      val pairs = graft.CacheRegistry.persist(
+        Behavior.sessionPairs(ev, "page").select("src", "dst"))
       val rt = graft.streaming.PushStream.roots(root(sfDir))
       Seq(rt.edges, rt.state, rt.scalars).foreach(SnapshotDiff.rmTree)
       (1 to 3).foreach { b =>

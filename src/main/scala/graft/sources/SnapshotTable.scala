@@ -222,7 +222,8 @@ object SnapshotTable {
       case None => df
     }
     withStage(root, version) { stage =>
-      out.write.mode("overwrite").parquet(stage)
+      graft.Trace(s"publish:write $root $version") {
+        out.write.mode("overwrite").parquet(stage) }
       commitVersion(df.sparkSession, root, version, retain, statsCols,
         bloomCols, bloomBits, base, stage)
     }
@@ -585,8 +586,9 @@ object SnapshotTable {
       case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
         // tile id of each update row against the broadcast cutpoints
         val tile = tileId(spark, col(pk), bs)
-        val changed = updates.select(tile.as("__tile")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        val changed = graft.Trace(s"merge:tiles $root $version") {
+          updates.select(tile.as("__tile")).distinct()
+            .collect().map(_.getInt(0)).toSet }
         // file order by min(pk) IS tile order (how keyBoundaries derives)
         val filesByTile = filesInTileOrder(st, pk)
         val (chFiles, keepFiles) = filesByTile.zipWithIndex
@@ -620,13 +622,13 @@ object SnapshotTable {
             .join(updates.select(col(pk)), Seq(pk), "left_anti")
             .unionByName(inserts)
             .select(current.columns.map(col).toIndexedSeq: _*)
-          merged
+          graft.Trace(s"merge:write $root $version") { merged
             .withColumn("__pin", element_at(
               typedLit(partitionPins(chFiles.size)), tileToDense + 1))
             .repartition(chFiles.size, col("__pin"))
             .sortWithinPartitions(col(pk))
             .drop("__pin")
-            .write.mode("overwrite").parquet(dir)
+            .write.mode("overwrite").parquet(dir) }
           val newFiles = Option(new java.io.File(dir).listFiles())
             .getOrElse(Array.empty)
             .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1393,10 +1395,10 @@ object SnapshotTable {
       else Seq(count(lit(1)).as("__cnt"), first(lit(null)).as("__fp"))
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) ++ fpAggs
-    val rows = df
+    val rows = graft.Trace(s"stats:compute $dir") { df
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+      .collect() }
     rows.toSeq.map { r =>
       val base = r.getString(0).split('/').last
       ((base +: cols.flatMap(c => Seq(

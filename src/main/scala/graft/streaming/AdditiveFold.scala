@@ -36,9 +36,11 @@ object AdditiveFold {
     */
   def foldInto(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
-      clusterFiles: Int, carried: Seq[String] = Nil): Unit =
+      clusterFiles: Int, carried: Seq[String] = Nil,
+      nonNegativeGuard: Option[String] = None): Unit =
     foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
-      carried)((old, delta) => coalesce(old, lit(0L)) + delta)
+      carried, nonNegativeGuard)((old, delta) =>
+      coalesce(old, lit(0L)) + delta)
 
   /** MIN-fold: new = least(old, delta) — the second mergeable aggregate
     * class the IVM twins need (per-token FIRST occurrence, earliest
@@ -50,11 +52,20 @@ object AdditiveFold {
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String] = Nil): Unit =
     foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
-      carried)((old, delta) => least(coalesce(old, delta), delta))
+      carried, None)((old, delta) => least(coalesce(old, delta), delta))
 
+  /** `nonNegativeGuard`: when set, the folded counts are checked for a
+    * negative value BEFORE the merge commits and the given message fails
+    * the batch by name — a signed fold (edge retractions) must never
+    * overdraw a maintained count. The check runs on the fold's own
+    * `updated` frame (exactly the rows the merge writes for the batch's
+    * keys), so it costs one filter-count over an already-persisted
+    * batch-sized frame instead of a post-merge tile read.
+    */
   private def foldWith(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
-      clusterFiles: Int, carried: Seq[String])(
+      clusterFiles: Int, carried: Seq[String],
+      nonNegativeGuard: Option[String])(
       combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): Unit = {
     val spark = deltas0.sparkSession
@@ -72,6 +83,12 @@ object AdditiveFold {
             Seq(key), "left")
           .select(keyAndCarried :+
             combine(col("__old"), col(deltaCnt)).as(cnt): _*)
+      }
+      nonNegativeGuard.foreach { msg =>
+        // persist survives into merge's own updates.persist() (same
+        // frame, same storage — Spark reuses the cache entry)
+        require(updated.persist().filter(col(cnt) < 0).limit(1).count() == 0,
+          msg)
       }
       SnapshotTable.merge(updated, root, key, s"v$batchId",
         clusterFiles = Some(clusterFiles))

@@ -57,11 +57,14 @@ object CollocStream {
     // self-read filter, tile-pruned join, persisted deltas) lives in
     // AdditiveFold, shared with RankStream and LineDedupStream
     val (pairD, uniD) = graft.operators.CorpusStats.tokenCounts(batch)
-    AdditiveFold.foldInto(pairD, pairRoot, "pr", "n_xy", "n_xy", batchId,
-      clusterFiles)
-    AdditiveFold.foldInto(uniD, uniRoot, "t", "n", "n", batchId,
-      clusterFiles)
-    graft.CacheRegistry.clear()
+    // batch-scoped registry release: frames registered by this batch
+    // free on exit without dropping the caller's cross-batch persists
+    graft.CacheRegistry.scoped {
+      AdditiveFold.foldInto(pairD, pairRoot, "pr", "n_xy", "n_xy", batchId,
+        clusterFiles)
+      AdditiveFold.foldInto(uniD, uniRoot, "t", "n", "n", batchId,
+        clusterFiles)
+    }
   }
 
   /** The collocation report over the maintained tables — at the LOWEST

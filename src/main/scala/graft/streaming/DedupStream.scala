@@ -54,7 +54,8 @@ object DedupStream {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // batch-scoped registry release (see CacheRegistry.scoped)
+        graft.CacheRegistry.scoped { if (!batch.isEmpty) {
           val verdicts = IncrementalDedup.ingestBatch(batch.sparkSession, batch, idx)
           // exactly-once verdict commit: batch content is deterministic
           // (same docs → same index join → same verdicts), so the
@@ -64,8 +65,7 @@ object DedupStream {
           // class doc)
           if (exactlyOnce) ExactlyOnce.write(verdicts, verdictsDir, batchId)
           else verdicts.write.mode("append").parquet(verdictsDir)
-        }
-        graft.CacheRegistry.clear()
+        } }
       }
       .start()
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {

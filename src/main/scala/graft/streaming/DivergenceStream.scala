@@ -58,9 +58,12 @@ object DivergenceStream {
     val deltas = graft.operators.CorpusStats.sourceTokenCounts(batch)
       .select(concat_ws("\u0001", col("source"), col("token")).as("sk"),
         col("source"), col("token"), col("cnt"))
-    AdditiveFold.foldInto(deltas, root, "sk", "cnt", "cnt", batchId,
-      clusterFiles, carried = Seq("source", "token"))
-    graft.CacheRegistry.clear()
+    // batch-scoped registry release: frames registered by this batch
+    // free on exit without dropping the caller's cross-batch persists
+    graft.CacheRegistry.scoped {
+      AdditiveFold.foldInto(deltas, root, "sk", "cnt", "cnt", batchId,
+        clusterFiles, carried = Seq("source", "token"))
+    }
   }
 
   /** The drift report over the maintained table — the batch derivation

@@ -74,6 +74,11 @@ object IvmStream {
     def before(root: String): Option[String] =
       SnapshotTable.versions(root).filter(_.drop(1).toLong < batchId).lastOption
     val dimPrev = before(dimRoot)
+    // batch-scoped registry release: diff registers its join frame in
+    // the per-query registry and the view publish is the last consumer
+    // (the DedupStream precedent) — scoped keeps the release per batch
+    // without dropping the caller's cross-batch persists
+    graft.CacheRegistry.scoped {
     // clusterFiles bootstraps the range-clustered layout on the FIRST
     // publish so every later batch takes the tile-local path
     SnapshotTable.merge(batch, dimRoot, pk, version, deleteWhen,
@@ -104,12 +109,7 @@ object IvmStream {
         .filter(col("n_rows") > 0)
     }
     SnapshotTable.publish(newView, viewRoot, version)
-    // diff registers its join frame in the per-query cache registry; the
-    // view publish above is the last consumer, so release per batch — a
-    // long-running stream would otherwise pin one cached frame per
-    // micro-batch forever (the DedupStream precedent: the stream owns
-    // the session's per-query registry while running)
-    graft.CacheRegistry.clear()
+    }
   }
 
   /** The maintained view at its last committed version. */

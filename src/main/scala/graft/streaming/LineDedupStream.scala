@@ -64,9 +64,12 @@ object LineDedupStream {
       .groupBy(concat_ws("\u0001", col("source"), col("seg")).as("sk"),
         col("source"), col("seg"))
       .agg(count(lit(1)).as("df"))
-    AdditiveFold.foldInto(deltas, root, "sk", "df", "df", batchId,
-      clusterFiles, carried = Seq("source", "seg"))
-    graft.CacheRegistry.clear()
+    // batch-scoped registry release: frames registered by this batch
+    // free on exit without dropping the caller's cross-batch persists
+    graft.CacheRegistry.scoped {
+      AdditiveFold.foldInto(deltas, root, "sk", "df", "df", batchId,
+        clusterFiles, carried = Seq("source", "seg"))
+    }
   }
 
   /** The boilerplate report over the maintained table — the batch query's

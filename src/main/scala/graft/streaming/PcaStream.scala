@@ -81,7 +81,10 @@ object PcaStream {
     // floor transform into the pair lambda and re-floors d times per row
     // (the PLANS.md lambda trap EmbedPca documents)
     val fx = batch.select(expr(EmbedPca.floorSql).as("fx")).persist()
-    try {
+    // batch-scoped registry release (CacheRegistry.scoped): frames
+    // registered by this batch free on exit without dropping the
+    // caller's own cross-batch persists
+    graft.CacheRegistry.scoped { try {
       // LOUD at the packing bound, BEFORE the d² explode: kk =
       // (i+1)·10⁵ + (j+1) collides with the next dimension's sum key at
       // d ≥ 10⁵, which would silently merge unrelated moments
@@ -119,8 +122,7 @@ object PcaStream {
         .map(v => SnapshotTable.readVersion(batch.sparkSession, root, v))
       merged.foreach(t => requireWithinBound(t, "v",
         s"PcaStream maintained moment table after batch $batchId"))
-    } finally { fx.unpersist(blocking = false); () }
-    graft.CacheRegistry.clear()
+    } finally { fx.unpersist(blocking = false); () } }
   }
 
   /** |max| headroom bound for the BIGINT moment table: 2^61, so one

@@ -89,12 +89,15 @@ object PushStream {
       col("id").as("p"), col("id").as("r"))
 
   /** (src, dst, p_ppm) with out-degrees derived from the frame itself —
-    * self-contained so a pruned out-edge read renormalizes exactly.
+    * self-contained so a pruned out-edge read renormalizes exactly. A
+    * window sum over src replaces the former self-join (groupBy + join
+    * re-evaluated the source subtree twice and cost two exchanges; the
+    * window is one exchange, one pass).
     */
   private def ppmOf(e: DataFrame): DataFrame =
-    e.join(e.groupBy(col("src")).agg(sum(col("n")).as("__o")), "src")
-      .select(col("src"), col("dst"),
-        expr("(n * 1000000) div __o").as("p_ppm"))
+    e.select(col("src"), col("dst"),
+      expr("(n * 1000000) div (sum(n) OVER (PARTITION BY src))")
+        .as("p_ppm"))
 
   /** Latest version committed strictly BEFORE `batchId` — the replay-safe
     * read pin (the head itself may already be this batch's own commit).
@@ -109,6 +112,13 @@ object PushStream {
     * rounds at `eps`, commit. Idempotent per batchId; `eps`/`rounds`
     * must be stable across replays (same-caller contract as iters).
     */
+  /** Env-gated phase tracer (`SPARK_GRAFT_TRACE=1`): stderr lines with
+    * per-phase seconds, for attributing a batch's wall time to its
+    * sequential driver actions without an event-log round-trip.
+    */
+  private def traced[T](batchId: Long, label: String)(body: => T): T =
+    graft.Trace(s"push b$batchId $label")(body)
+
   def applyBatch(deltas0: DataFrame, batchId: Long, rt: Roots,
       eps: Long, rounds: Int, clusterFiles: Int = 8): Unit = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -129,23 +139,25 @@ object PushStream {
       .filter(col("n_d") =!= 0)
       .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
       .persist()
-    try {
+    // batch-scoped release (the long-stream discipline): the per-round
+    // overlays and helper frames registered below release when the batch
+    // ends, while the CALLER's persists (e.g. the sessionized pair frame
+    // feeding every batch) survive
+    graft.CacheRegistry.scoped { try {
       // ---- 1. additive edge fold (exactly-once inside AdditiveFold) --
-      AdditiveFold.foldInto(
-        deltas.select(col("edge_key"), col("src"), col("dst"), col("n_d")),
-        rt.edges, "edge_key", "n_d", "n", batchId, clusterFiles,
-        carried = Seq("src", "dst"))
       // a retraction may cancel an edge exactly (n = 0 keeps the key,
       // transitions filter it) but never overdraw it — an n < 0 count is
-      // a corrupted-upstream contract violation, failed by name
-      val overdrawn = SnapshotTable
-        .readMatchingTiles(spark, rt.edges, v, "edge_key",
-          deltas.select(col("edge_key")))
-        .join(deltas.select(col("edge_key")), Seq("edge_key"), "left_semi")
-        .filter(col("n") < 0).limit(1).count()
-      require(overdrawn == 0,
-        s"PushStream batch $batchId: an edge retraction exceeded the " +
-          "maintained count — deltas must never drive an edge below zero")
+      // a corrupted-upstream contract violation, failed by name (checked
+      // inside the fold on its own updated frame: one filter-count on a
+      // persisted batch-sized frame instead of a post-merge tile read)
+      traced(batchId, "edge_fold") { AdditiveFold.foldInto(
+        deltas.select(col("edge_key"), col("src"), col("dst"), col("n_d")),
+        rt.edges, "edge_key", "n_d", "n", batchId, clusterFiles,
+        carried = Seq("src", "dst"),
+        nonNegativeGuard = Some(
+          s"PushStream batch $batchId: an edge retraction exceeded the " +
+            "maintained count — deltas must never drive an edge below " +
+            "zero")) }
 
       // ---- 2. pinned reads + previous scalars -----------------------
       val prevStateV = prevOf(rt.state, batchId)
@@ -169,11 +181,15 @@ object PushStream {
       // driver range list would itself be corpus-scale — fall back to
       // one full scan + semi-join, which is the right plan when the
       // touched set IS the corpus
-      val nSrcs = srcs.count()
+      // ONE bounded collect decides cap-overflow AND yields the range
+      // list (the previous count-then-collect pair was two jobs; the
+      // limit keeps the driver read batch-scale either way)
+      val srcIds = traced(batchId, "srcs_collect") {
+        srcs.limit(RangeListCap.toInt + 1).collect().map(_.getLong(0)) }
+      val nSrcs = srcIds.length.toLong
       val srcRanges =
         if (nSrcs > RangeListCap) Nil
-        else srcs.collect().map(_.getLong(0)).sorted
-          .map(s => (s"$s ", s"$s!")).toSeq
+        else srcIds.sorted.map(s => (s"$s ", s"$s!")).toSeq
       def outEdgesOf(version: String): DataFrame =
         (if (srcRanges.isEmpty && nSrcs > 0)
           SnapshotTable.readVersion(spark, rt.edges, version)
@@ -190,32 +206,33 @@ object PushStream {
       val batchNodes = graft.CacheRegistry.persist(
         deltas.select(col("src").as("node"))
           .union(deltas.select(col("dst").as("node"))).distinct())
-      val existing = prevStateV.map { pv =>
+      // ONE tile read of the previous state covers both consumers below
+      // (node-set growth wants state ∩ batchNodes; dangling flips want
+      // state ∩ srcs ⊆ batchNodes) — previously two reads, each with its
+      // own key→tile discovery job
+      val stateBatch = graft.CacheRegistry.persist(prevStateV.map { pv =>
         SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
             batchNodes)
-          .select(col("node"))
           .join(batchNodes, Seq("node"), "left_semi")
-      }.getOrElse(emptyState(spark).select(col("node")))
+      }.getOrElse(emptyState(spark)))
       val newNodes = graft.CacheRegistry.persist(
-        batchNodes.join(existing, Seq("node"), "left_anti"))
-      val nn1 = nn0 + newNodes.count()
+        batchNodes.join(stateBatch.select(col("node")),
+          Seq("node"), "left_anti"))
+      val nn1 = nn0 + traced(batchId, "new_nodes") { newNodes.count() }
       require(nn1 > 0, "PushStream: empty node set")
 
       // ---- 5. dangling flips among touched sources ------------------
-      val stateTouched = prevStateV.map { pv =>
-        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
-            srcs.select(col("src").as("node")))
-          .join(srcs.select(col("src").as("node")), Seq("node"), "left_semi")
-      }.getOrElse(emptyState(spark))
+      val stateTouched = stateBatch
+        .join(srcs.select(col("src").as("node")), Seq("node"), "left_semi")
       val touched = graft.CacheRegistry.persist(stateTouched
         .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("out_n"), col("p"), col("r"),
           coalesce(col("out_new"), lit(0L)).as("out_new")))
-      val dangFlip = touched.agg(coalesce(sum(
+      val dangFlip = traced(batchId, "dang_flip") { touched.agg(coalesce(sum(
           when(col("out_new") === 0 && col("out_n") =!= 0, col("p"))
             .when(col("out_new") =!= 0 && col("out_n") === 0, -col("p"))
             .otherwise(lit(0L))), lit(0L)))
-        .collect().head.getLong(0)
+        .collect().head.getLong(0) }
       val dang1 = dang0 + dangFlip
 
       // ---- 6. the uniform part of the re-seeded residual ------------
@@ -232,18 +249,18 @@ object PushStream {
       // exact new-minus-old difference decomposes edge by edge; sources
       // new this batch have p = 0 on both sides (terms 0) and skip
       val pOfSrc = touched.select(col("node").as("src"), col("p"))
-      def termsOf(e: DataFrame, alias: String): DataFrame =
+      def termsOf(e: DataFrame, sign: Int): DataFrame =
         ppmOf(e).join(pOfSrc, "src")
           .select(col("dst"),
-            expr(s"($Damp * ((p * p_ppm) div 1000000)) div 100").as(alias))
-      val seedDr = termsOf(oldE, "t_old")
-        .groupBy(col("dst")).agg(sum(col("t_old")).as("o"))
-        .join(termsOf(newE, "t_new")
-          .groupBy(col("dst")).agg(sum(col("t_new")).as("nw")),
-          Seq("dst"), "full")
-        .select(col("dst").as("node"),
-          (coalesce(col("nw"), lit(0L)) - coalesce(col("o"), lit(0L)))
-            .as("dr"))
+            (expr(s"($Damp * ((p * p_ppm) div 1000000)) div 100")
+              * lit(sign.toLong)).as("t"))
+      // signed union + ONE aggregation replaces the former
+      // [old-side groupBy] FULL JOIN [new-side groupBy] (three
+      // exchanges → one; same exact integers — the per-edge floors
+      // apply before the sign, and sums are order-independent)
+      val seedDr = termsOf(newE, 1).unionAll(termsOf(oldE, -1))
+        .groupBy(col("dst")).agg(sum(col("t")).as("dr"))
+        .select(col("dst").as("node"), col("dr"))
         .filter(col("dr") =!= 0)
 
       // ---- 8. seed overlay: rows whose stored state changes ---------
@@ -262,7 +279,7 @@ object PushStream {
         lit(PushRank.bOf(nn1) + PushRank.gtermOf(dang1, nn1) - shift1)
           .as("r"))
       val isSrc = srcs.select(col("src").as("node"), lit(1).as("__s"))
-      var overlay = graft.CacheRegistry.materialize(
+      var overlay = traced(batchId, "seed_overlay") { graft.CacheRegistry.materialize(
         stateCand.unionByName(newRows)
           .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
           .join(isSrc, Seq("node"), "left")
@@ -272,7 +289,7 @@ object PushStream {
             col("p"), col("r"))
           .join(seedDr, Seq("node"), "left")
           .select(col("node"), col("out_n"), col("p"),
-            (col("r") + coalesce(col("dr"), lit(0L))).as("r")))
+            (col("r") + coalesce(col("dr"), lit(0L))).as("r"))) }
 
       // ---- 9. synchronized threshold-push rounds --------------------
       var shift = shift1
@@ -290,10 +307,11 @@ object PushStream {
               -eps - shiftPre, eps - shiftPre)
             .join(overlay.select(col("node")), Seq("node"), "left_anti")
         }.getOrElse(emptyState(spark))
-        val active = graft.CacheRegistry.materialize(
-          fromTable.unionByName(overlay)
-            .filter(abs(col("r") + lit(shiftPre)) > eps))
-        if (active.isEmpty) {
+        val (active, nActive) = traced(batchId, s"active_r$k") {
+          graft.CacheRegistry.materializeCounted(
+            fromTable.unionByName(overlay)
+              .filter(abs(col("r") + lit(shiftPre)) > eps)) }
+        if (nActive == 0) {
           // an empty active set makes this and all remaining rounds the
           // identity (the oracle's CASE mirrors this as a no-op)
           drained = true
@@ -302,10 +320,16 @@ object PushStream {
             col("p").as("p_old"),
             (col("p") + col("r") + lit(shiftPre)).as("p_new"),
             col("out_n"), col("r").as("r_a"))
-          // pushed dangling mass re-spreads uniformly: scalar, not rows
-          val dangDelta = activeS.filter(col("out_n") === 0)
-            .agg(coalesce(sum(col("r_a") + lit(shiftPre)), lit(0L)))
-            .collect().head.getLong(0)
+          // pushed dangling mass re-spreads uniformly: scalar, not rows.
+          // ONE agg job yields the dangling delta AND the positive-out
+          // frontier size (previously two jobs over the same cached set)
+          val aggRow = traced(batchId, s"dang_delta_r$k") { activeS.agg(
+            coalesce(sum(when(col("out_n") === 0,
+              col("r_a") + lit(shiftPre))), lit(0L)).as("dd"),
+            count(when(col("out_n") > 0, lit(1))).as("npos"))
+            .collect().head }
+          val dangDelta = aggRow.getLong(0)
+          val nASrcs = aggRow.getLong(1)
           shift += PushRank.gtermOf(dang + dangDelta, nn1) -
             PushRank.gtermOf(dang, nn1)
           dang += dangDelta
@@ -315,7 +339,6 @@ object PushStream {
           // RangeListCap (bulk convergence, where the frontier IS the
           // corpus and a range list would be corpus-scale)
           val aSrcF = activeS.filter(col("out_n") > 0).select(col("src"))
-          val nASrcs = aSrcF.count()
           val aEdges =
             if (nASrcs == 0) emptyEdges(spark)
             else {
@@ -324,8 +347,9 @@ object PushStream {
                   SnapshotTable.readVersion(spark, rt.edges, v)
                 else SnapshotTable.readPrunedRanges(spark, rt.edges, v,
                   "edge_key",
-                  aSrcF.collect().map(_.getLong(0)).sorted
-                    .map(s => (s"$s ", s"$s!")).toSeq)
+                  traced(batchId, s"asrc_collect_r$k") {
+                    aSrcF.collect().map(_.getLong(0)).sorted
+                      .map(s => (s"$s ", s"$s!")).toSeq })
               base.filter(col("n") > 0)
                 .join(aSrcF, Seq("src"), "left_semi")
                 .select(col("src"), col("dst"), col("n"))
@@ -362,8 +386,8 @@ object PushStream {
               (col("p") + col("r") + lit(shiftPre)).as("p"),
               (coalesce(col("dr"), lit(0L)) - lit(shiftPre)).as("r"))
           val prevOverlay = overlay
-          overlay = graft.CacheRegistry.materialize(
-            nextNonActive.unionByName(nextActive))
+          overlay = traced(batchId, s"overlay_r$k") { graft.CacheRegistry.materialize(
+            nextNonActive.unionByName(nextActive)) }
           // materialize cut the lineage and cached the new overlay —
           // the superseded round frames release NOW, or a long drain
           // (bulk convergence) pins O(rounds) corpus-sized copies
@@ -373,22 +397,19 @@ object PushStream {
       }
 
       // ---- 10. one tile-local state commit + the scalar sidecar -----
-      prevStateV match {
+      traced(batchId, "state_commit") { prevStateV match {
         case None => SnapshotTable.publish(overlay, rt.state, v,
           statsCols = Seq("node", "r"), clusterFiles = Some(clusterFiles))
         case Some(_) =>
           SnapshotTable.merge(overlay, rt.state, "node", v,
             clusterFiles = Some(clusterFiles))
-      }
+      } }
       import spark.implicits._
-      SnapshotTable.publish(Seq((nn1, dang, shift)).toDF(
-        "nn", "dang", "shift"), rt.scalars, v)
+      traced(batchId, "scalars_commit") { SnapshotTable.publish(Seq((nn1, dang, shift)).toDF(
+        "nn", "dang", "shift"), rt.scalars, v) }
     } finally {
       deltas.unpersist(blocking = false)
-      // the long-stream discipline (RankStream's): release per batch or
-      // the per-round overlays pin storage forever
-      graft.CacheRegistry.clear()
-    }
+    } }
   }
 
   /** The maintained state at its committed head, with TRUE residuals

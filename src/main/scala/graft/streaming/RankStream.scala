@@ -77,9 +77,10 @@ object RankStream {
       // must still happen — an empty batch landing on the K boundary
       // would otherwise push the next publish a full K batches out and
       // staleness past the documented K−1 bound
-      publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters,
-        rankEveryK)
-      graft.CacheRegistry.clear() // the publish's pagerank leaves
+      graft.CacheRegistry.scoped { // the publish's pagerank leaves
+        publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters,
+          rankEveryK)
+      }
       return
     }
     SnapshotTable.latestVersion(edgeRoot).map(_.drop(1).toLong).foreach { lv =>
@@ -94,13 +95,17 @@ object RankStream {
     val deltas = batch.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_d"))
       .withColumn("edge_key", concat_ws(" ", col("src"), col("dst")))
-    AdditiveFold.foldInto(deltas, edgeRoot, "edge_key", "n_d", "n",
-      batchId, clusterFiles, carried = Seq("src", "dst"))
-    publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters, rankEveryK)
     // pagerank registers its lineage leaves in the per-query cache
-    // registry; the rank publish is the last consumer (the IvmStream
-    // precedent: release per batch, or a long stream pins frames forever)
-    graft.CacheRegistry.clear()
+    // registry; the rank publish is the last consumer. Batch-SCOPED
+    // release (the IvmStream precedent: release per batch, or a long
+    // stream pins frames forever) — a bare clear() would also drop the
+    // caller's own persists (the sessionized pair frame each batch
+    // filters), forcing the window pass to re-run every batch.
+    graft.CacheRegistry.scoped {
+      AdditiveFold.foldInto(deltas, edgeRoot, "edge_key", "n_d", "n",
+        batchId, clusterFiles, carried = Seq("src", "dst"))
+      publishRanksIfDue(spark, batchId, edgeRoot, rankRoot, iters, rankEveryK)
+    }
   }
 
   /** Publish the rank vector when `batchId` is a scheduled publication
