@@ -9,6 +9,10 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheRegistry {
   private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // cached internal-row RDDs backing materialize()'s lineage cuts — they
+  // release on the same clear()/scoped boundaries as the DataFrame persists
+  private val registeredRdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
   private val sharedDfs = scala.collection.mutable.Map.empty[String, DataFrame]
   private var currentQuery: Option[String] = None
   private val accessLog =
@@ -93,20 +97,44 @@ object CacheRegistry {
     */
   def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
 
-  /** [[materialize]] that also returns the row count its eager `count()`
-    * already paid for — callers that next ask "is it empty?" (the push
-    * rounds' drain check) read the returned count instead of launching a
-    * second job against the cache.
+  /** [[materialize]] that also returns the row count its eager
+    * materialization already paid for — callers that next ask "is it
+    * empty?" (the push rounds' drain check) read the returned count
+    * instead of launching a second job against the cache.
+    *
+    * The cut is the `localCheckpoint` sequence
+    * ([[org.apache.spark.sql.GraftPlanUtil.cutLineageEager]]): rows stay
+    * internal (the previous `createDataFrame(df.rdd, …)` form paid an
+    * InternalRow→Row conversion on materialization and the reverse on
+    * every read), the cached RDD is registry-tracked so [[clear]] /
+    * [[scoped]] still release it, and the executed plan's output
+    * partitioning survives onto the new leaf — downstream consumers
+    * keyed the same way plan no fresh exchange.
     */
   def materializeCounted(df: DataFrame): (DataFrame, Long) = {
-    // internal-row lineage cut: the previous createDataFrame(df.rdd, …)
-    // form paid an InternalRow→Row conversion on materialization AND a
-    // Row→InternalRow conversion on every read of the cached result —
-    // measured as the dominant per-round cost of the iterative
-    // operators (pagerank trajectories, PushStream overlays)
-    val cut = org.apache.spark.sql.GraftPlanUtil.cutLineage(df)
-    val p = persist(cut)
-    (p, p.count())
+    val (cut, rdd, n) = org.apache.spark.sql.GraftPlanUtil.cutLineageEager(df)
+    synchronized { registeredRdds += rdd }
+    (cut, n)
+  }
+
+  /** Release ONE materialized frame early (before its scope/query
+    * boundary) — the iterative-drain discipline: a long push loop that
+    * supersedes its overlay every round must free the superseded copy
+    * NOW, or a bulk convergence pins O(rounds) corpus-sized caches.
+    * Resolves the frame's backing cut RDD (the [[materialize]] leaf) and
+    * unpersists it; falls back to a plain Dataset unpersist for frames
+    * from [[persist]].
+    */
+  def releaseMaterialized(df: DataFrame): Unit = {
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => synchronized {
+        val i = registeredRdds.indexWhere(_ eq l.rdd)
+        if (i >= 0) registeredRdds.remove(i)
+        l.rdd.unpersist(blocking = false)
+        ()
+      }
+      case _ => df.unpersist(blocking = false); ()
+    }
   }
 
   /** Batch-scoped release: run `body`, then unpersist ONLY the per-query
@@ -122,12 +150,14 @@ object CacheRegistry {
     * multi-batch drivers share ingest-side frames.
     */
   def scoped[T](body: => T): T = {
-    val mark = synchronized { registered.size }
+    val (mark, rddMark) = synchronized { (registered.size, registeredRdds.size) }
     try body
     finally synchronized {
       // frames registered within the scope release; earlier ones stay
       registered.drop(mark).foreach(_.unpersist(blocking = false))
       registered.remove(mark, registered.size - mark)
+      registeredRdds.drop(rddMark).foreach(_.unpersist(blocking = false))
+      registeredRdds.remove(rddMark, registeredRdds.size - rddMark)
     }
   }
 
@@ -145,6 +175,8 @@ object CacheRegistry {
   def clear(): Unit = synchronized {
     registered.foreach(_.unpersist(blocking = false))
     registered.clear()
+    registeredRdds.foreach(_.unpersist(blocking = false))
+    registeredRdds.clear()
   }
 
   /** Release everything, shared frames included (end of harness run).

@@ -237,7 +237,8 @@ object LsmIndex {
     if (SnapshotTable.latestVersion(segRoot).isEmpty)
       SnapshotTable.publish(post, segRoot, "v1",
         statsCols = Seq("tok_doc"),
-        clusterFiles = Some(InvertedIndex.tileCountFor(post.count())))
+        clusterFiles = Some(InvertedIndex.tileCountFor(post.count())),
+        rowFingerprints = false)
     // locked read-modify-write: a concurrent compaction's swap can no
     // longer unsee this add (and vice versa) — the manifest re-reads
     // inside the lock, and the tombstone check re-runs there too (a
@@ -279,7 +280,8 @@ object LsmIndex {
         .reduce(_ unionByName _).persist()
       try SnapshotTable.publish(merged, segRoot, "v1",
         statsCols = Seq("tok_doc"),
-        clusterFiles = Some(InvertedIndex.tileCountFor(merged.count())))
+        clusterFiles = Some(InvertedIndex.tileCountFor(merged.count())),
+        rowFingerprints = false)
       finally { merged.unpersist(blocking = false); () }
     }
     // retire-swap under the lock, revalidating the inputs: if a racing

@@ -1213,13 +1213,37 @@ object Similarity {
     * served ≡ batch law, checked by DuckDB. The pcaStream /
     * search_bm25_maintained precedent.
     */
+  /** Per-sfDir memo of the maintained-IVF ingest: BOTH maintained-ANN
+    * queries (the serve and the balance metric) read ONE three-batch
+    * ingest per session — the ingest is a pure function of the fixture
+    * (the [[graft.operators.Retrieval]] hybridRoots /
+    * [[EmbedPca.solved]] precedent). The multi-batch rehearsal contract
+    * still runs, once, with both queries reading its result.
+    */
+  private val annIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annStreamRoot(spark: SparkSession, sfDir: String): String =
+    annIngested.computeIfAbsent(sfDir, _ => {
+      val e = vecs(spark, sfDir)
+      val root = SnapshotDiff.scratchRoot("annstream", sfDir)
+      SnapshotDiff.rmTree(root)
+      val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      (0 until 3).foreach { b =>
+        graft.streaming.AnnStream.applyBatch(
+          e.filter(col("vec_id") >= mn + b * span / 3 &&
+            col("vec_id") < mn + (b + 1) * span / 3), b + 1L, root)
+      }
+      root
+    })
+
   val annIvfStreamMaintained: GraftQuery = new GraftQuery {
     val name = "ann_ivf_stream_maintained"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val e = vecs(spark, sfDir)
-      val root = SnapshotDiff.scratchRoot("annstream", sfDir)
-      SnapshotDiff.rmTree(root)
       val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
       val span = mx - mn + 1
@@ -1239,11 +1263,7 @@ object Similarity {
           s"pin ${pinned.toSeq.sorted.mkString(",")} — the served ≡ batch " +
           "law assumes dense 0-based vec_ids (train-on-first-batch picks " +
           "the 16 lowest ids of batch 1; the oracle picks vec_id < 16)")
-      (0 until 3).foreach { b =>
-        graft.streaming.AnnStream.applyBatch(
-          e.filter(col("vec_id") >= mn + b * span / 3 &&
-            col("vec_id") < mn + (b + 1) * span / 3), b + 1L, root)
-      }
+      val root = annStreamRoot(spark, sfDir)
       graft.streaming.AnnStream
         .serve(spark, root, e.filter(col("vec_id") < 10)).get
     }
@@ -1266,17 +1286,7 @@ object Similarity {
     val name = "ann_ivf_cell_balance"
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val e = vecs(spark, sfDir)
-      val root = SnapshotDiff.scratchRoot("annbalance", sfDir)
-      SnapshotDiff.rmTree(root)
-      val Array(mn, mx) = e.agg(min(col("vec_id")), max(col("vec_id")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = mx - mn + 1
-      (0 until 3).foreach { b =>
-        graft.streaming.AnnStream.applyBatch(
-          e.filter(col("vec_id") >= mn + b * span / 3 &&
-            col("vec_id") < mn + (b + 1) * span / 3), b + 1L, root)
-      }
+      val root = annStreamRoot(spark, sfDir)
       val bal = graft.streaming.AnnStream.cellBalance(spark, root).get
       val tot = broadcast(bal.agg(sum(col("postings")).as("total")))
       bal.crossJoin(tot)

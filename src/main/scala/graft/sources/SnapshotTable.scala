@@ -181,7 +181,8 @@ object SnapshotTable {
     */
   def publish(df: DataFrame, root: String, version: String, retain: Int = 2,
       statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17,
+      rowFingerprints: Boolean = true): Unit = {
     val head = latestVersion(root)
     // replay short-circuit (merge's discipline, generalized to every
     // public publish entry): re-publishing the committed head would
@@ -192,7 +193,7 @@ object SnapshotTable {
     // id is violating the version discipline, not replaying.
     if (head.contains(version)) return
     publishFrom(df, root, version, head, retain, statsCols,
-      clusterFiles, bloomCols, bloomBits)
+      clusterFiles, bloomCols, bloomBits, rowFingerprints)
   }
 
   /** [[publish]] with an explicit CAS base: the head version this write's
@@ -205,7 +206,8 @@ object SnapshotTable {
   private[sources] def publishFrom(df: DataFrame, root: String,
       version: String, base: Option[String], retain: Int,
       statsCols: Seq[String] = Nil, clusterFiles: Option[Int] = None,
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Unit = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17,
+      rowFingerprints: Boolean = true): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     require(clusterFiles.isEmpty || statsCols.nonEmpty,
       "clusterFiles requires at least one stats column to cluster by")
@@ -225,7 +227,7 @@ object SnapshotTable {
       graft.Trace(s"publish:write $root $version") {
         out.write.mode("overwrite").parquet(stage) }
       commitVersion(df.sparkSession, root, version, retain, statsCols,
-        bloomCols, bloomBits, base, stage)
+        bloomCols, bloomBits, base, stage, rowFingerprints)
     }
   }
 
@@ -529,9 +531,23 @@ object SnapshotTable {
     *     `mergeSchema`); [[merge]] requires the exact table schema,
     *     [[upsert]] widens.
     */
+  /** `knownChangedTiles`: (version, tile-id set) a caller already
+    * computed for EXACTLY this update key set via
+    * [[readMatchingTilesWithSet]]; used (and the discovery job skipped)
+    * only when the tagged version is the head this merge reads.
+    */
+  /** `extraStatsCols`: value columns recorded in the per-file stats
+    * BESIDE the pk from the FIRST publish on (later merges carry the
+    * header forward automatically) — what lets a maintained table's
+    * invariant checks (non-negative counts, magnitude bounds) and
+    * value-band pruning run on metadata instead of a read-back job.
+    */
   def merge(updates: DataFrame, root: String, pk: String, version: String,
       deleteWhen: Option[Column] = None, retain: Int = 2,
-      clusterFiles: Option[Int] = None): Unit = {
+      clusterFiles: Option[Int] = None,
+      rowFingerprints: Boolean = true,
+      knownChangedTiles: Option[(String, Set[Int])] = None,
+      extraStatsCols: Seq[String] = Nil): Unit = {
     require(version.matches("v\\d+"), s"version must be v<digits>, got $version")
     val spark = updates.sparkSession
     val vOld = latestVersion(root) match {
@@ -541,7 +557,8 @@ object SnapshotTable {
         return publishFrom(
           deleteWhen.foldLeft(updates)((u, d) =>
             u.filter(!coalesce(d, lit(false)))),
-          root, version, None, retain, Seq(pk), clusterFiles)
+          root, version, None, retain, (Seq(pk) ++ extraStatsCols).distinct,
+          clusterFiles, rowFingerprints = rowFingerprints)
       // REPLAYED batch (foreachBatch at-least-once): the marker moves
       // LAST, so a committed `version` means the batch fully applied —
       // re-applying a merge to its own output would overwrite the very
@@ -567,14 +584,18 @@ object SnapshotTable {
     // rather than re-evaluating an arbitrary source frame three times
     val ups = updates.persist()
     try mergeInto(ups, root, pk, version, vOld, current, deleteWhen, retain,
-      clusterFiles)
+      clusterFiles, rowFingerprints,
+      knownChangedTiles.collect { case (v, t) if v == vOld => t },
+      extraStatsCols)
     finally { ups.unpersist(blocking = false); () }
   }
 
   private def mergeInto(updates: DataFrame, root: String, pk: String,
       version: String, vOld: String, current: DataFrame,
       deleteWhen: Option[Column], retain: Int,
-      clusterFiles: Option[Int]): Unit = {
+      clusterFiles: Option[Int], rowFingerprints: Boolean = true,
+      knownChangedTiles: Option[Set[Int]] = None,
+      extraStatsCols: Seq[String] = Nil): Unit = {
     val spark = updates.sparkSession
     // null predicate = not-deleted (SQL MERGE semantics), not delete:
     // filter(!d) alone would drop null-condition rows
@@ -586,9 +607,10 @@ object SnapshotTable {
       case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
         // tile id of each update row against the broadcast cutpoints
         val tile = tileId(spark, col(pk), bs)
-        val changed = graft.Trace(s"merge:tiles $root $version") {
-          updates.select(tile.as("__tile")).distinct()
-            .collect().map(_.getInt(0)).toSet }
+        val changed = knownChangedTiles.getOrElse(
+          graft.Trace(s"merge:tiles $root $version") {
+            updates.select(tile.as("__tile")).distinct()
+              .collect().map(_.getInt(0)).toSet })
         // file order by min(pk) IS tile order (how keyBoundaries derives)
         val filesByTile = filesInTileOrder(st, pk)
         val (chFiles, keepFiles) = filesByTile.zipWithIndex
@@ -637,7 +659,7 @@ object SnapshotTable {
           val cols = statsHeader(root, vOld)
           writeStatsLines(dir, cols,
             statsLines(root, vOld, keepFiles.map(_._1).toSet) ++
-              computeStatsLines(spark, dir, newFiles, cols))
+              computeStatsLines(spark, dir, newFiles, cols, rowFingerprints))
           // bloom sidecar rides along: carried files keep their filters,
           // fresh tiles get new ones with the same columns and sizing
           bloomLines(root, vOld, keepFiles.map(_._1).toSet).foreach {
@@ -662,8 +684,15 @@ object SnapshotTable {
         val (bcols, bbits) = readBlooms(root, vOld)
           .map(bl => (bl.cols.toSeq.sorted, bl.bits))
           .getOrElse((Nil, 1 << 17))
-        publishFrom(merged, root, version, Some(vOld), retain, Seq(pk),
-          clusterFiles, bcols, bbits)
+        // preserve the table's existing stats header on the fallback
+        // rewrite — a one-off non-tile-mergeable batch must not silently
+        // drop the extra stats columns later guards/prunes rely on
+        val fbCols = readStatsVersion(root, vOld) match {
+          case Some(_) => statsHeader(root, vOld)
+          case None => (Seq(pk) ++ extraStatsCols).distinct
+        }
+        publishFrom(merged, root, version, Some(vOld), retain, fbCols,
+          clusterFiles, bcols, bbits, rowFingerprints)
     }
   }
 
@@ -692,19 +721,32 @@ object SnapshotTable {
     * (assumed batch-sized — the same contract as merge's update set).
     */
   def readMatchingTiles(spark: SparkSession, root: String, version: String,
-      pk: String, keys: DataFrame): DataFrame = {
+      pk: String, keys: DataFrame): DataFrame =
+    readMatchingTilesWithSet(spark, root, version, pk, keys)._1
+
+  /** [[readMatchingTiles]] that also exposes the tile-id set it computed
+    * (None on the stats-less fallback). A caller that immediately
+    * [[merge]]s the SAME key set against the SAME version can hand the
+    * set back (`knownChangedTiles`) and spare merge its own identical
+    * key→tile discovery job — the additive-fold commit pattern.
+    */
+  private[graft] def readMatchingTilesWithSet(spark: SparkSession,
+      root: String, version: String, pk: String,
+      keys: DataFrame): (DataFrame, Option[Set[Int]]) = {
     val stats = readStatsVersion(root, version)
     val bounds = keyBoundaries(root, version, pk)
     (stats, bounds) match {
       case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
-        val hit = keys.select(tileId(spark, col(pk), bs).as("__tile"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        val hit = graft.Trace(s"read:tiles $root $version") {
+          keys.select(tileId(spark, col(pk), bs).as("__tile"))
+            .distinct().collect().map(_.getInt(0)).toSet }
         val files = filesInTileOrder(st, pk).zipWithIndex
           .collect { case (f, i) if hit(i) => s"$root/$version/$f" }
         val full = readVersion(spark, root, version)
-        if (files.isEmpty) full.limit(0)
-        else spark.read.schema(full.schema).parquet(files.toSeq: _*)
-      case _ => readVersion(spark, root, version)
+        if (files.isEmpty) (full.limit(0), Some(hit))
+        else (spark.read.schema(full.schema).parquet(files.toSeq: _*),
+          Some(hit))
+      case _ => (readVersion(spark, root, version), None)
     }
   }
 
@@ -1216,11 +1258,12 @@ object SnapshotTable {
   private def commitVersion(spark: SparkSession, root: String,
       version: String, retain: Int, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int,
-      base: Option[String], stage: String): Unit = {
+      base: Option[String], stage: String,
+      rowFingerprints: Boolean = true): Unit = {
     // sidecars are computed against the STAGING directory (file names
     // survive the commit rename unchanged — stats lines carry names, not
     // paths), so a published version still never lacks its stats
-    if (statsCols.nonEmpty) writeStats(spark, stage, statsCols)
+    if (statsCols.nonEmpty) writeStats(spark, stage, statsCols, rowFingerprints)
     if (bloomCols.nonEmpty) writeBlooms(spark, stage, bloomCols, bloomBits)
     finishCommit(root, version, retain, base, Some(stage))
   }
@@ -1365,15 +1408,28 @@ object SnapshotTable {
     * written as a tab-separated typed table. Runs before the `_LATEST`
     * move, so readers never see a version without its stats.
     */
-  private def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
-    writeStatsLines(dir, cols, computeStatsLines(spark, dir, Nil, cols))
+  private def writeStats(spark: SparkSession, dir: String, cols: Seq[String],
+      rowFingerprints: Boolean = true): Unit =
+    writeStatsLines(dir, cols,
+      computeStatsLines(spark, dir, Nil, cols, rowFingerprints))
 
   /** Per-file stats lines for a version directory — all files when
     * `files` is empty, else just the named ones (the merge path computes
     * stats for freshly written tiles only, carrying the rest verbatim).
     */
   private def computeStatsLines(spark: SparkSession, dir: String,
-      files: Seq[String], cols: Seq[String]): Seq[String] = {
+      files: Seq[String], cols: Seq[String],
+      rowFingerprints: Boolean = true): Seq[String] = {
+    // fingerprint-free tables take the FOOTER path: per-file min/max and
+    // row counts read from the parquet metadata on the driver — zero
+    // Spark jobs, which on the commit-heavy streaming twins was a
+    // measured ~0.2 s read-back scan per commit. Any non-whitelisted
+    // type or missing chunk statistics falls back to the scan below.
+    if (!rowFingerprints)
+      footerStatsLines(spark, dir, files, cols) match {
+        case Some(lines) => return lines
+        case None => ()
+      }
     val df =
       if (files.isEmpty) spark.read.parquet(dir)
       else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
@@ -1405,10 +1461,150 @@ object SnapshotTable {
         encode(r.get(r.fieldIndex(s"__min_$c"))),
         encode(r.get(r.fieldIndex(s"__max_$c")))))) ++ Seq(
         r.getLong(r.fieldIndex("__cnt")).toString,
-        Option(r.get(r.fieldIndex("__fp"))).map(_.toString).getOrElse("X")))
+        if (rowFingerprints)
+          Option(r.get(r.fieldIndex("__fp"))).map(_.toString).getOrElse("X")
+        else "X"))
         .mkString("\t")
     }
   }
+
+  /** Early-bail marker for [[footerStatsLines]] — any condition the
+    * footer path cannot prove exact (non-whitelisted type, missing or
+    * unusable chunk statistics) routes the whole call to the scan path.
+    */
+  private object FooterBail extends scala.util.control.ControlThrowable
+
+  /** Per-file stats lines from the parquet FOOTERS alone — no Spark job.
+    *
+    * Exactness contract (the reason for the strict whitelist): stats
+    * feed correctness-relevant pruning (readMatchingTiles' guarantee,
+    * keyBoundaries' tile cutpoints), so footer values must equal what
+    * the scan-path `min`/`max` aggregation would produce, bit for bit.
+    *  - signed INT32/INT64 (no logical annotation or signed int
+    *    annotation): parquet chunk stats are exact minima/maxima;
+    *  - BINARY + string annotation: parquet orders binary stats by
+    *    unsigned lexicographic bytes — the SAME order as Spark SQL's
+    *    UTF8String min/max (UTF-8 byte order), and parquet-mr drops
+    *    chunk stats entirely past its size cap rather than truncating,
+    *    so a present value is the true bound;
+    *  - everything else (floats — NaN poisons footer stats; dates,
+    *    decimals, unsigned ints — encoding mismatch) bails to the scan.
+    * All-null columns encode as the non-prunable marker, exactly like
+    * the scan path's null min/max. The fingerprint column is always
+    * `X` here — callers opt into this path only for tables that never
+    * use diff fingerprint skipping.
+    */
+  private def footerStatsLines(spark: SparkSession, dir: String,
+      files0: Seq[String], cols: Seq[String]): Option[Seq[String]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import scala.jdk.CollectionConverters._
+    val names =
+      if (files0.nonEmpty) files0
+      else Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSeq.sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val lines = names.map { name =>
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$name"), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val blocks = footer.getBlocks.asScala.toSeq
+          val rowCount = blocks.map(_.getRowCount).sum
+          val encodedCols = cols.flatMap { c =>
+            if (!schema.containsField(c)) throw FooterBail
+            val t = schema.getType(Array(c): _*)
+            if (!t.isPrimitive) throw FooterBail
+            val pt = t.asPrimitiveType()
+            val fam: Char = pt.getPrimitiveTypeName match {
+              case PrimitiveType.PrimitiveTypeName.INT32 |
+                   PrimitiveType.PrimitiveTypeName.INT64 =>
+                pt.getLogicalTypeAnnotation match {
+                  case null => 'L'
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if i.isSigned => 'L'
+                  case _ => throw FooterBail
+                }
+              case PrimitiveType.PrimitiveTypeName.BINARY =>
+                pt.getLogicalTypeAnnotation match {
+                  case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => 'S'
+                  case _ => throw FooterBail
+                }
+              case _ => throw FooterBail
+            }
+            var minL = 0L; var maxL = 0L
+            var minB: Binary = null; var maxB: Binary = null
+            var sawValue = false
+            blocks.foreach { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c).getOrElse(throw FooterBail)
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) throw FooterBail
+              if (st.hasNonNullValue) {
+                if (fam == 'L') {
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                  if (!sawValue || mn < minL) minL = mn
+                  if (!sawValue || mx > maxL) maxL = mx
+                } else {
+                  val mn = st.genericGetMin.asInstanceOf[Binary]
+                  val mx = st.genericGetMax.asInstanceOf[Binary]
+                  if (minB == null || mn.compareTo(minB) < 0) minB = mn
+                  if (maxB == null || mx.compareTo(maxB) > 0) maxB = mx
+                }
+                sawValue = true
+              } else if (!st.isNumNullsSet ||
+                  st.getNumNulls != cc.getValueCount) throw FooterBail
+            }
+            if (!sawValue) Seq("X", "X") // all-null: non-prunable marker
+            else if (fam == 'L') Seq(encode(minL), encode(maxL))
+            else Seq(
+              encode(new String(minB.getBytes, "UTF-8")),
+              encode(new String(maxB.getBytes, "UTF-8")))
+          }
+          ((name +: encodedCols) ++ Seq(rowCount.toString, "X"))
+            .mkString("\t")
+        } finally reader.close()
+      }
+      Some(lines)
+    } catch {
+      case FooterBail => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Min over all files of `version`'s decoded LONG min-stat on `col` —
+    * None when stats are absent or any file's value is not a decodable
+    * long (callers then fall back to a scan-based check).
+    */
+  def statsMinLong(root: String, version: String,
+      column: String): Option[Long] =
+    readStatsVersion(root, version).flatMap { sts =>
+      val vals = sts.map(_.mins.get(column).flatMap(decode))
+      if (vals.isEmpty || vals.exists(v => !v.exists(_.isInstanceOf[Long])))
+        None
+      else Some(vals.map(_.get.asInstanceOf[Long]).min)
+    }
+
+  /** Max over all files of |min|/|max| decoded LONG stats on `col` —
+    * the metadata form of a magnitude-bound guard. None as above.
+    */
+  def statsMaxAbsLong(root: String, version: String,
+      column: String): Option[Long] =
+    readStatsVersion(root, version).flatMap { sts =>
+      val vals = sts.flatMap(fs =>
+        Seq(fs.mins.get(column).flatMap(decode),
+          fs.maxs.get(column).flatMap(decode)))
+      if (vals.isEmpty || vals.exists(v => !v.exists(_.isInstanceOf[Long])))
+        None
+      else Some(vals.map(v => math.abs(v.get.asInstanceOf[Long])).max)
+    }
 
   /** The published version's per-file stats, if recorded. */
   def readStats(root: String): Option[Seq[FileStats]] =

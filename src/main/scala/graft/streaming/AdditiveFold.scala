@@ -37,9 +37,10 @@ object AdditiveFold {
   def foldInto(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String] = Nil,
-      nonNegativeGuard: Option[String] = None): Unit =
+      nonNegativeGuard: Option[String] = None,
+      extraStatsCols: Seq[String] = Nil): Unit =
     foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
-      carried, nonNegativeGuard)((old, delta) =>
+      carried, nonNegativeGuard, extraStatsCols)((old, delta) =>
       coalesce(old, lit(0L)) + delta)
 
   /** MIN-fold: new = least(old, delta) — the second mergeable aggregate
@@ -52,7 +53,7 @@ object AdditiveFold {
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String] = Nil): Unit =
     foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
-      carried, None)((old, delta) => least(coalesce(old, delta), delta))
+      carried, None, Nil)((old, delta) => least(coalesce(old, delta), delta))
 
   /** `nonNegativeGuard`: when set, the folded counts are checked for a
     * negative value BEFORE the merge commits and the given message fails
@@ -65,7 +66,7 @@ object AdditiveFold {
   private def foldWith(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String],
-      nonNegativeGuard: Option[String])(
+      nonNegativeGuard: Option[String], extraStatsCols: Seq[String])(
       combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): Unit = {
     val spark = deltas0.sparkSession
@@ -74,24 +75,40 @@ object AdditiveFold {
       val prev = SnapshotTable.latestVersion(root)
         .filter(_.drop(1).toLong < batchId)
       val keyAndCarried = col(key) +: carried.map(col)
+      // the fold-base tile discovery doubles as merge's changed-tile
+      // discovery (same key set, same version) — the set rides through
+      // knownChangedTiles so merge skips its identical job
+      var foldTiles: Option[(String, Set[Int])] = None
       val updated = prev match {
         case None => deltas.select(keyAndCarried :+ col(deltaCnt).as(cnt): _*)
-        case Some(p) => deltas
-          .join(SnapshotTable.readMatchingTiles(spark, root, p, key,
-              deltas.select(col(key)))
-              .select(col(key), col(cnt).as("__old")),
-            Seq(key), "left")
-          .select(keyAndCarried :+
-            combine(col("__old"), col(deltaCnt)).as(cnt): _*)
+        case Some(p) =>
+          val (tiles, hit) = SnapshotTable.readMatchingTilesWithSet(
+            spark, root, p, key, deltas.select(col(key)))
+          foldTiles = hit.map(h => (p, h))
+          deltas
+            .join(tiles.select(col(key), col(cnt).as("__old")),
+              Seq(key), "left")
+            .select(keyAndCarried :+
+              combine(col("__old"), col(deltaCnt)).as(cnt): _*)
       }
-      nonNegativeGuard.foreach { msg =>
-        // persist survives into merge's own updates.persist() (same
-        // frame, same storage — Spark reuses the cache entry)
-        require(updated.persist().filter(col(cnt) < 0).limit(1).count() == 0,
-          msg)
-      }
+      // additive count tables never use diff fingerprint skipping —
+      // footer-based stats (no read-back scan) are enough
       SnapshotTable.merge(updated, root, key, s"v$batchId",
-        clusterFiles = Some(clusterFiles))
+        clusterFiles = Some(clusterFiles), rowFingerprints = false,
+        knownChangedTiles = foldTiles,
+        extraStatsCols = extraStatsCols)
+      // the overdraw guard runs POST-commit (matching the original
+      // post-merge tile-read check's crash semantics — the fold commits,
+      // the caller's own completion marker does not): when the fold
+      // carries cnt stats it is a pure metadata read; otherwise one
+      // filter-count over the persisted batch-sized update frame
+      nonNegativeGuard.foreach { msg =>
+        val ok = SnapshotTable.statsMinLong(root, s"v$batchId", cnt)
+          .map(_ >= 0)
+          .getOrElse(
+            updated.persist().filter(col(cnt) < 0).limit(1).count() == 0)
+        require(ok, msg)
+      }
     } finally { deltas.unpersist(blocking = false); () }
   }
 }

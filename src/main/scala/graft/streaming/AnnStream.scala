@@ -199,7 +199,7 @@ object AnnStream {
       SnapshotTable.publish(
         model.unionByName(assigned).unionByName(counterRows(assigned)),
         root, s"v$batchId", statsCols = Seq("sk"),
-        clusterFiles = Some(clusterFiles))
+        clusterFiles = Some(clusterFiles), rowFingerprints = false)
     } finally { assigned.unpersist(blocking = false); () }
   }
 

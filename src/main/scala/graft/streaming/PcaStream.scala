@@ -109,7 +109,8 @@ object PcaStream {
           s"PcaStream batch $batchId moment delta")
         AdditiveFold.foldInto(
           deltas.select(col("kk"), col("vd").cast("long").as("v")),
-          root, "kk", "v", "v", batchId, clusterFiles)
+          root, "kk", "v", "v", batchId, clusterFiles,
+          extraStatsCols = Seq("v"))
       } finally { deltas.unpersist(blocking = false); () }
       // post-fold: the MERGED values stay under the bound too. Induction
       // keeps every long addition exact: |old| < 2^61 (this check, last
@@ -118,10 +119,22 @@ object PcaStream {
       // re-establishes the invariant or fails LOUDLY naming the fix
       // (swap the fold's value column to DECIMAL(38,0)) instead of
       // letting the streamed-equals-batch law break silently.
-      val merged = SnapshotTable.latestVersion(root)
-        .map(v => SnapshotTable.readVersion(batch.sparkSession, root, v))
-      merged.foreach(t => requireWithinBound(t, "v",
-        s"PcaStream maintained moment table after batch $batchId"))
+      // the merged-table magnitude re-check reads the fold's own v
+      // stats — pure metadata; a stats-less table (not produced by this
+      // fold) falls back to the scan form
+      SnapshotTable.latestVersion(root).foreach { v =>
+        val what = s"PcaStream maintained moment table after batch $batchId"
+        SnapshotTable.statsMaxAbsLong(root, v, "v") match {
+          case Some(m) =>
+            require(BigDecimal(m) < MomentBound,
+              s"$what magnitude $m exceeds the BIGINT headroom bound " +
+                s"$MomentBound — the corpus has outgrown the long-valued " +
+                "moment table; migrate the fold value column to " +
+                "DECIMAL(38,0) (AdditiveFold is type-agnostic)")
+          case None => requireWithinBound(
+            SnapshotTable.readVersion(batch.sparkSession, root, v), "v", what)
+        }
+      }
     } finally { fx.unpersist(blocking = false); () } }
   }
 

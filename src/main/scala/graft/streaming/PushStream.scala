@@ -157,7 +157,10 @@ object PushStream {
         nonNegativeGuard = Some(
           s"PushStream batch $batchId: an edge retraction exceeded the " +
             "maintained count — deltas must never drive an edge below " +
-            "zero")) }
+            "zero"),
+        // n riding in the stats makes the overdraw guard a metadata
+        // read AND lets the n>0 out-edge reads prune all-zero tiles
+        extraStatsCols = Seq("n")) }
 
       // ---- 2. pinned reads + previous scalars -----------------------
       val prevStateV = prevOf(rt.state, batchId)
@@ -258,15 +261,20 @@ object PushStream {
       // [old-side groupBy] FULL JOIN [new-side groupBy] (three
       // exchanges → one; same exact integers — the per-edge floors
       // apply before the sign, and sums are order-independent)
-      val seedDr = termsOf(newE, 1).unionAll(termsOf(oldE, -1))
-        .groupBy(col("dst")).agg(sum(col("t")).as("dr"))
-        .select(col("dst").as("node"), col("dr"))
-        .filter(col("dr") =!= 0)
+      // persisted: seedDr feeds BOTH the candidate-node tile discovery
+      // and the overlay plan — unpersisted, the whole old/new-edge term
+      // subtree would evaluate twice
+      val seedDr = graft.CacheRegistry.persist(
+        termsOf(newE, 1).unionAll(termsOf(oldE, -1))
+          .groupBy(col("dst")).agg(sum(col("t")).as("dr"))
+          .select(col("dst").as("node"), col("dr"))
+          .filter(col("dr") =!= 0))
 
       // ---- 8. seed overlay: rows whose stored state changes ---------
-      val candNodes = srcs.select(col("src").as("node"))
-        .union(seedDr.select(col("node")))
-        .union(newNodes).distinct()
+      val candNodes = graft.CacheRegistry.persist(
+        srcs.select(col("src").as("node"))
+          .union(seedDr.select(col("node")))
+          .union(newNodes).distinct())
       val stateCand = prevStateV.map { pv =>
         SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
             candNodes)
@@ -354,14 +362,18 @@ object PushStream {
                 .join(aSrcF, Seq("src"), "left_semi")
                 .select(col("src"), col("dst"), col("n"))
             }
-          val drR = ppmOf(aEdges).join(activeS, "src")
-            .select(col("dst"),
-              (expr(s"($Damp * ((p_new * p_ppm) div 1000000)) div 100") -
-                expr(s"($Damp * ((p_old * p_ppm) div 1000000)) div 100"))
-                .as("d"))
-            .groupBy(col("dst")).agg(sum(col("d")).as("dr"))
-            .select(col("dst").as("node"), col("dr"))
-            .filter(col("dr") =!= 0)
+          // persisted: drR feeds the out-neighbor tile discovery AND
+          // both overlay branches (three consumers of the pruned-edge
+          // delta subtree)
+          val drR = graft.CacheRegistry.persist(
+            ppmOf(aEdges).join(activeS, "src")
+              .select(col("dst"),
+                (expr(s"($Damp * ((p_new * p_ppm) div 1000000)) div 100") -
+                  expr(s"($Damp * ((p_old * p_ppm) div 1000000)) div 100"))
+                  .as("d"))
+              .groupBy(col("dst")).agg(sum(col("d")).as("dr"))
+              .select(col("dst").as("node"), col("dr"))
+              .filter(col("dr") =!= 0))
           // out-neighbors not yet in the overlay enter it now
           val needFromTable = drR.select(col("node"))
             .join(overlay.select(col("node")), Seq("node"), "left_anti")
@@ -391,18 +403,19 @@ object PushStream {
           // materialize cut the lineage and cached the new overlay —
           // the superseded round frames release NOW, or a long drain
           // (bulk convergence) pins O(rounds) corpus-sized copies
-          prevOverlay.unpersist(blocking = false)
-          active.unpersist(blocking = false)
+          graft.CacheRegistry.releaseMaterialized(prevOverlay)
+          graft.CacheRegistry.releaseMaterialized(active)
         }
       }
 
       // ---- 10. one tile-local state commit + the scalar sidecar -----
       traced(batchId, "state_commit") { prevStateV match {
         case None => SnapshotTable.publish(overlay, rt.state, v,
-          statsCols = Seq("node", "r"), clusterFiles = Some(clusterFiles))
+          statsCols = Seq("node", "r"), clusterFiles = Some(clusterFiles),
+          rowFingerprints = false)
         case Some(_) =>
           SnapshotTable.merge(overlay, rt.state, "node", v,
-            clusterFiles = Some(clusterFiles))
+            clusterFiles = Some(clusterFiles), rowFingerprints = false)
       } }
       import spark.implicits._
       traced(batchId, "scalars_commit") { SnapshotTable.publish(Seq((nn1, dang, shift)).toDF(
