@@ -62,8 +62,12 @@ object InvertedIndex {
     SnapshotDiff.rmTree(dir)
     val post = postings(docs).persist()
     try
+      // no diff consumer ever fingerprint-skips these roots — footer
+      // stats (driver metadata, zero jobs) replace the full read-back
+      // stats scan the default fingerprinted path pays per publish
       SnapshotTable.publish(post, dir, "v1",
-        statsCols = Seq("token"), clusterFiles = Some(tileCountFor(post.count())))
+        statsCols = Seq("token"), clusterFiles = Some(tileCountFor(post.count())),
+        rowFingerprints = false)
     finally { post.unpersist(blocking = false); () }
     dir
   }
@@ -91,7 +95,8 @@ object InvertedIndex {
     val post = positionalPostings(docs).persist()
     try
       SnapshotTable.publish(post, dir, "v1",
-        statsCols = Seq("token"), clusterFiles = Some(tileCountFor(post.count())))
+        statsCols = Seq("token"), clusterFiles = Some(tileCountFor(post.count())),
+        rowFingerprints = false)
     finally { post.unpersist(blocking = false); () }
     dir
   }
@@ -169,11 +174,12 @@ object InvertedIndex {
         .persist()
       try
         SnapshotTable.publish(base, dir, "v1", statsCols = Seq("tok_doc"),
-          clusterFiles = Some(tileCountFor(base.count())))
+          clusterFiles = Some(tileCountFor(base.count())),
+          rowFingerprints = false)
       finally { base.unpersist(blocking = false); () }
       SnapshotTable.merge(
         keyedPostings(docs.filter(pmod(col("doc_id"), lit(2)) === 1)),
-        dir, "tok_doc", "v2")
+        dir, "tok_doc", "v2", rowFingerprints = false)
       val post = SnapshotTable.read(spark, dir).get
       val probes = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .orderBy(col("df"), col("token")).limit(3)
@@ -225,7 +231,7 @@ object InvertedIndex {
       else None
     }
     try SnapshotTable.merge(post, root, "tok_doc", version,
-      clusterFiles = cluster)
+      clusterFiles = cluster, rowFingerprints = false)
     finally { post.unpersist(blocking = false); () }
   }
 

@@ -213,22 +213,31 @@ object SnapshotTable {
       "clusterFiles requires at least one stats column to cluster by")
     require(bloomCols.isEmpty || statsCols.nonEmpty,
       "bloomCols requires stats (pointLookup prunes by range first)")
-    val out = clusterFiles match {
-      // sortWithinPartitions tightens parquet ROW-GROUP min/max inside
-      // each file — at 100 TB a file holds many row groups, and sorted
-      // data lets the parquet reader prune within the files the
-      // file-level stats kept (no extra shuffle; a per-partition sort
-      // rides the exchange's output)
-      case Some(n) => df.repartitionByRange(n, col(statsCols.head))
-        .sortWithinPartitions(col(statsCols.head))
-      case None => df
-    }
-    withStage(root, version) { stage =>
-      graft.Trace(s"publish:write $root $version") {
-        out.write.mode("overwrite").parquet(stage) }
-      commitVersion(df.sparkSession, root, version, retain, statsCols,
-        bloomCols, bloomBits, base, stage, rowFingerprints)
-    }
+    // a clustered publish evaluates `df` TWICE (repartitionByRange's
+    // boundary-sampling pass, then the write) — cache an uncached input
+    // for the publish's duration so arbitrary caller plans (the additive
+    // folds' join output, merge's fallback rewrite) compute once
+    val cacheIn = clusterFiles.isDefined &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val in = if (cacheIn) df.persist() else df
+    try {
+      val out = clusterFiles match {
+        // sortWithinPartitions tightens parquet ROW-GROUP min/max inside
+        // each file — at 100 TB a file holds many row groups, and sorted
+        // data lets the parquet reader prune within the files the
+        // file-level stats kept (no extra shuffle; a per-partition sort
+        // rides the exchange's output)
+        case Some(n) => in.repartitionByRange(n, col(statsCols.head))
+          .sortWithinPartitions(col(statsCols.head))
+        case None => in
+      }
+      withStage(root, version) { stage =>
+        graft.Trace(s"publish:write $root $version") {
+          out.write.mode("overwrite").parquet(stage) }
+        commitVersion(df.sparkSession, root, version, retain, statsCols,
+          bloomCols, bloomBits, base, stage, rowFingerprints)
+      }
+    } finally { if (cacheIn) { in.unpersist(blocking = false); () } }
   }
 
   /** Z-ORDER clustered publish: multi-column data skipping. Linear
@@ -747,6 +756,86 @@ object SnapshotTable {
         else (spark.read.schema(full.schema).parquet(files.toSeq: _*),
           Some(hit))
       case _ => (readVersion(spark, root, version), None)
+    }
+  }
+
+  /** Driver-side twin of [[readMatchingTilesWithSet]] for a key set that
+    * is ALREADY on the driver (bounded by the caller's batch-scale
+    * contract — the same bound readMatchingTiles' key collect assumes):
+    * the tile-id set comes from a binary search of the version's boundary
+    * cutpoints, so the key→tile discovery costs ZERO Spark jobs. Returns
+    * the pruned frame plus the hit set; None when the version lacks
+    * stats/boundaries, the layout is not range-disjoint on `pk`, or a key
+    * falls outside the cutpoints' type family — callers then run the
+    * distributed discovery exactly as before. Tile semantics match
+    * [[tileId]]'s kernel bit for bit: id = count of boundaries at or
+    * below the key; nulls land in tile 0.
+    */
+  private[graft] def readMatchingTilesLocal(spark: SparkSession,
+      root: String, version: String, pk: String,
+      keys: Iterable[Any]): Option[(DataFrame, Set[Int])] = {
+    val stats = readStatsVersion(root, version)
+    val bounds = keyBoundaries(root, version, pk)
+    (stats, bounds) match {
+      case (Some(st), Some(bs)) if bs.nonEmpty && rangeDisjoint(st, pk) =>
+        val hit = tileIdsLocal(bs, keys)
+        hit.map { h =>
+          val files = filesInTileOrder(st, pk).zipWithIndex
+            .collect { case (f, i) if h(i) => s"$root/$version/$f" }
+          val full = readVersion(spark, root, version)
+          (if (files.isEmpty) full.limit(0)
+           else spark.read.schema(full.schema).parquet(files.toSeq: _*), h)
+        }
+      case _ => None
+    }
+  }
+
+  /** Tile ids of driver-side keys against sorted cutpoints — the scalar
+    * mirror of [[tileId]] (count of boundaries `<=` key, one comparison
+    * family at a time). None when any key is outside the boundaries' type
+    * family (the caller must fall back — guessing a coercion here could
+    * diverge from the codegen kernel's).
+    */
+  private def tileIdsLocal(bs: Seq[Any], keys: Iterable[Any]): Option[Set[Int]] = {
+    def upperBound[T](a: Array[T], k: T)(implicit ord: Ordering[T]): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (ord.lteq(a(m), k)) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    bs.head match {
+      case _: Long if bs.forall(_.isInstanceOf[Long]) &&
+          keys.forall(k => k == null || k.isInstanceOf[Long] ||
+            k.isInstanceOf[Int]) =>
+        val a = bs.map(_.asInstanceOf[Long]).toArray
+        Some(keys.iterator.map {
+          case null => 0
+          case i: Int => upperBound(a, i.toLong)
+          case l => upperBound(a, l.asInstanceOf[Long])
+        }.toSet)
+      case _: String if bs.forall(_.isInstanceOf[String]) &&
+          keys.forall(k => k == null || k.isInstanceOf[String]) =>
+        // compare as UTF-8 bytes, unsigned — the ordering Spark's
+        // UTF8String `>=` applies (Java String.compareTo diverges on
+        // code points above 0x7F, which would mis-assign tiles)
+        implicit val utf8Ord: Ordering[Array[Byte]] = (x, y) => {
+          var i = 0
+          var c = 0
+          val n = math.min(x.length, y.length)
+          while (i < n && c == 0) {
+            c = (x(i) & 0xff).compare(y(i) & 0xff)
+            i += 1
+          }
+          if (c != 0) c else x.length.compare(y.length)
+        }
+        val a = bs.map(_.asInstanceOf[String].getBytes("UTF-8")).toArray
+        Some(keys.iterator.map {
+          case null => 0
+          case s => upperBound(a, s.asInstanceOf[String].getBytes("UTF-8"))
+        }.toSet)
+      case _ => None
     }
   }
 
@@ -1653,14 +1742,34 @@ object SnapshotTable {
     */
   def readOutsideRange(spark: SparkSession, root: String, version: String,
       column: String, lower: Any, upper: Any): DataFrame =
+    readOutsideRangeWithTiles(spark, root, version, column, lower, upper,
+      column)._1
+
+  /** [[readOutsideRange]] that also reports WHICH tiles (file indices in
+    * `pk`'s tile order) survived the complement prune — a caller that
+    * later merges rows discovered here can fold the set into merge's
+    * `knownChangedTiles` hint instead of re-running discovery. The set is
+    * None when stats are absent or the layout is not range-disjoint on
+    * `pk` (the frame is then the conservative full/kept read as before).
+    */
+  private[graft] def readOutsideRangeWithTiles(spark: SparkSession,
+      root: String, version: String, column: String, lower: Any, upper: Any,
+      pk: String): (DataFrame, Option[Set[Int]]) =
     readStatsVersion(root, version) match {
-      case Some(stats) => readFiles(spark, root, version,
-        stats.filterNot { fs =>
+      case Some(stats) =>
+        val kept = stats.filterNot { fs =>
           val minIn = fs.mins.get(column).flatMap(cmp(_, lower)).exists(_ >= 0)
           val maxIn = fs.maxs.get(column).flatMap(cmp(_, upper)).exists(_ <= 0)
           minIn && maxIn
-        }.map(_.file))
-      case None => readVersion(spark, root, version)
+        }.map(_.file)
+        val tiles =
+          if (rangeDisjoint(stats, pk)) {
+            val keptSet = kept.toSet
+            Some(filesInTileOrder(stats, pk).zipWithIndex
+              .collect { case (f, i) if keptSet(f) => i }.toSet)
+          } else None
+        (readFiles(spark, root, version, kept), tiles)
+      case None => (readVersion(spark, root, version), None)
     }
 
   /** The MULTI-RANGE prune: files whose [min, max] on `column` intersects

@@ -34,13 +34,21 @@ object AdditiveFold {
     * version `v<batchId>`. Idempotent per batchId (merge short-circuits a
     * committed head). `deltaCnt` and `cnt` may be the same name.
     */
+  /** `localKeys`: the batch's key values when the CALLER already holds
+    * them on the driver (its own batch-scale collect) — the fold-base
+    * tile discovery then runs as driver binary-search math
+    * ([[SnapshotTable.readMatchingTilesLocal]]) instead of a Spark job.
+    * Purely a fast path: when absent, or when the table's layout can't
+    * take it, the distributed discovery runs exactly as before.
+    */
   def foldInto(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String] = Nil,
       nonNegativeGuard: Option[String] = None,
-      extraStatsCols: Seq[String] = Nil): Unit =
+      extraStatsCols: Seq[String] = Nil,
+      localKeys: Option[Iterable[Any]] = None): Unit =
     foldWith(deltas0, root, key, deltaCnt, cnt, batchId, clusterFiles,
-      carried, nonNegativeGuard, extraStatsCols)((old, delta) =>
+      carried, nonNegativeGuard, extraStatsCols, localKeys)((old, delta) =>
       coalesce(old, lit(0L)) + delta)
 
   /** MIN-fold: new = least(old, delta) — the second mergeable aggregate
@@ -66,7 +74,8 @@ object AdditiveFold {
   private def foldWith(deltas0: DataFrame, root: String, key: String,
       deltaCnt: String, cnt: String, batchId: Long,
       clusterFiles: Int, carried: Seq[String],
-      nonNegativeGuard: Option[String], extraStatsCols: Seq[String])(
+      nonNegativeGuard: Option[String], extraStatsCols: Seq[String],
+      localKeys: Option[Iterable[Any]] = None)(
       combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): Unit = {
     val spark = deltas0.sparkSession
@@ -82,8 +91,12 @@ object AdditiveFold {
       val updated = prev match {
         case None => deltas.select(keyAndCarried :+ col(deltaCnt).as(cnt): _*)
         case Some(p) =>
-          val (tiles, hit) = SnapshotTable.readMatchingTilesWithSet(
-            spark, root, p, key, deltas.select(col(key)))
+          val (tiles, hit) = localKeys
+            .flatMap(ks =>
+              SnapshotTable.readMatchingTilesLocal(spark, root, p, key, ks))
+            .map { case (df, h) => (df, Some(h)) }
+            .getOrElse(SnapshotTable.readMatchingTilesWithSet(
+              spark, root, p, key, deltas.select(col(key))))
           foldTiles = hit.map(h => (p, h))
           deltas
             .join(tiles.select(col(key), col(cnt).as("__old")),

@@ -144,6 +144,21 @@ object PushStream {
     // ends, while the CALLER's persists (e.g. the sessionized pair frame
     // feeding every batch) survive
     graft.CacheRegistry.scoped { try {
+      import spark.implicits._
+      // ---- 0. ONE bounded collect decides the regime and feeds every
+      // driver-side derivation: in the incremental regime (≤ RangeListCap
+      // delta rows — the regime this wrapper exists for) the batch's
+      // sources, node set, edge keys and state-tile hits are all driver
+      // math over this list, its key frames become LocalRelations
+      // (broadcast joins, no pre-jobs), and each tile discovery that
+      // previously launched its own Spark job disappears. Past the cap
+      // (a bulk load, where the touched set approaches the corpus) the
+      // distributed path below runs exactly as before.
+      val batchPairs = traced(batchId, "batch_collect") {
+        deltas.select(col("src"), col("dst"))
+          .limit(RangeListCap.toInt + 1).collect() }
+      val local = batchPairs.length <= RangeListCap
+
       // ---- 1. additive edge fold (exactly-once inside AdditiveFold) --
       // a retraction may cancel an edge exactly (n = 0 keeps the key,
       // transitions filter it) but never overdraw it — an n < 0 count is
@@ -160,7 +175,10 @@ object PushStream {
             "zero"),
         // n riding in the stats makes the overdraw guard a metadata
         // read AND lets the n>0 out-edge reads prune all-zero tiles
-        extraStatsCols = Seq("n")) }
+        extraStatsCols = Seq("n"),
+        localKeys = if (local)
+          Some(batchPairs.map(r => s"${r.getLong(0)} ${r.getLong(1)}").toSeq)
+        else None) }
 
       // ---- 2. pinned reads + previous scalars -----------------------
       val prevStateV = prevOf(rt.state, batchId)
@@ -172,10 +190,19 @@ object PushStream {
           (r.getAs[Long]("nn"), r.getAs[Long]("dang"), r.getAs[Long]("shift"))
         case None => (0L, 0L, 0L)
       }
+      // accumulated changed-tile hint for the single state merge below:
+      // every read of prevStateV records its hit tiles; the union is a
+      // SUPERSET of the overlay's tiles (overlay rows only ever come from
+      // those reads or from new nodes, whose tiles ride the stateBatch
+      // hit — rewriting an extra tile reproduces identical content), so
+      // merge can skip its own discovery job. Any read without a hit set
+      // drops the hint and merge discovers as before.
+      var tilesAcc: Option[Set[Int]] =
+        if (prevStateV.isDefined) Some(Set.empty) else None
+      def accTiles(h: Option[Set[Int]]): Unit =
+        tilesAcc = for { a <- tilesAcc; b <- h } yield a ++ b
 
       // ---- 3. touched sources and their old/new out-edges -----------
-      val srcs = graft.CacheRegistry.persist(
-        deltas.select(col("src")).distinct())
       // one "<src> " prefix range per touched source — driver list is
       // batch-scale by the same contract as readMatchingTiles' key
       // collect ('!' sorts between the ' ' separator and digit '0', so
@@ -184,12 +211,15 @@ object PushStream {
       // driver range list would itself be corpus-scale — fall back to
       // one full scan + semi-join, which is the right plan when the
       // touched set IS the corpus
-      // ONE bounded collect decides cap-overflow AND yields the range
-      // list (the previous count-then-collect pair was two jobs; the
-      // limit keeps the driver read batch-scale either way)
-      val srcIds = traced(batchId, "srcs_collect") {
-        srcs.limit(RangeListCap.toInt + 1).collect().map(_.getLong(0)) }
+      val srcIds: Array[Long] =
+        if (local) batchPairs.map(_.getLong(0)).distinct.sorted
+        else traced(batchId, "srcs_collect") {
+          deltas.select(col("src")).distinct()
+            .limit(RangeListCap.toInt + 1).collect().map(_.getLong(0)) }
       val nSrcs = srcIds.length.toLong
+      val srcs =
+        if (local) srcIds.toSeq.toDF("src")
+        else graft.CacheRegistry.persist(deltas.select(col("src")).distinct())
       val srcRanges =
         if (nSrcs > RangeListCap) Nil
         else srcIds.sorted.map(s => (s"$s ", s"$s!")).toSeq
@@ -203,39 +233,69 @@ object PushStream {
           .select(col("src"), col("dst"), col("n"))
       val oldE = prevEdgeV.map(outEdgesOf).getOrElse(emptyEdges(spark))
       val newE = outEdgesOf(v)
-      val outNew = newE.groupBy(col("src")).agg(sum(col("n")).as("out_new"))
+      // persisted: the fused setup aggregation AND the seed overlay both
+      // read the new out-degrees — unpersisted, each would re-run the
+      // pruned edge read
+      val outNew = graft.CacheRegistry.persist(
+        newE.groupBy(col("src")).agg(sum(col("n")).as("out_new")))
 
-      // ---- 4. node-set growth ---------------------------------------
-      val batchNodes = graft.CacheRegistry.persist(
-        deltas.select(col("src").as("node"))
-          .union(deltas.select(col("dst").as("node"))).distinct())
+      // ---- 4. node set + state rows for the batch's neighborhood ----
+      val batchNodeIds: Array[Long] =
+        if (local)
+          (batchPairs.map(_.getLong(0)) ++ batchPairs.map(_.getLong(1)))
+            .distinct
+        else Array.empty
+      val batchNodes =
+        if (local) batchNodeIds.toSeq.toDF("node")
+        else graft.CacheRegistry.persist(
+          deltas.select(col("src").as("node"))
+            .union(deltas.select(col("dst").as("node"))).distinct())
       // ONE tile read of the previous state covers both consumers below
       // (node-set growth wants state ∩ batchNodes; dangling flips want
-      // state ∩ srcs ⊆ batchNodes) — previously two reads, each with its
-      // own key→tile discovery job
+      // state ∩ srcs ⊆ batchNodes); in the local regime the key→tile
+      // discovery is driver binary-search math, zero jobs
       val stateBatch = graft.CacheRegistry.persist(prevStateV.map { pv =>
-        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
-            batchNodes)
-          .join(batchNodes, Seq("node"), "left_semi")
+        val viaLocal =
+          if (local) SnapshotTable.readMatchingTilesLocal(
+            spark, rt.state, pv, "node", batchNodeIds.toSeq)
+          else None
+        val (base, hit) = viaLocal match {
+          case Some((df, h)) => (df, Some(h))
+          case None => SnapshotTable.readMatchingTilesWithSet(
+            spark, rt.state, pv, "node", batchNodes)
+        }
+        accTiles(hit)
+        base.join(batchNodes, Seq("node"), "left_semi")
       }.getOrElse(emptyState(spark)))
-      val newNodes = graft.CacheRegistry.persist(
-        batchNodes.join(stateBatch.select(col("node")),
-          Seq("node"), "left_anti"))
-      val nn1 = nn0 + traced(batchId, "new_nodes") { newNodes.count() }
-      require(nn1 > 0, "PushStream: empty node set")
 
-      // ---- 5. dangling flips among touched sources ------------------
-      val stateTouched = stateBatch
-        .join(srcs.select(col("src").as("node")), Seq("node"), "left_semi")
-      val touched = graft.CacheRegistry.persist(stateTouched
-        .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), col("out_n"), col("p"), col("r"),
-          coalesce(col("out_new"), lit(0L)).as("out_new")))
-      val dangFlip = traced(batchId, "dang_flip") { touched.agg(coalesce(sum(
-          when(col("out_new") === 0 && col("out_n") =!= 0, col("p"))
-            .when(col("out_new") =!= 0 && col("out_n") === 0, -col("p"))
-            .otherwise(lit(0L))), lit(0L)))
-        .collect().head.getLong(0) }
+      // ---- 4+5 fused: node-set growth AND dangling flips in ONE job --
+      // (previously a count and an aggregation, each its own action):
+      // state-row count among the batch's nodes gives the growth by
+      // driver subtraction; the dangling-flip sum rides the same pass,
+      // restricted to touched sources by the is-src flag
+      val isSrc = srcs.select(col("src").as("node"), lit(1).as("__s"))
+      val outNewN = outNew.withColumnRenamed("src", "node")
+      val setupRow = traced(batchId, "setup_agg") { stateBatch
+        .join(isSrc, Seq("node"), "left")
+        .join(outNewN, Seq("node"), "left")
+        .agg(count(lit(1)).as("n_state"),
+          coalesce(sum(when(col("__s") === 1,
+            when(coalesce(col("out_new"), lit(0L)) === 0
+                && col("out_n") =!= 0, col("p"))
+              .when(coalesce(col("out_new"), lit(0L)) =!= 0
+                && col("out_n") === 0, -col("p"))
+              .otherwise(lit(0L))).otherwise(lit(0L))), lit(0L))
+            .as("dflip"))
+        .collect().head }
+      val nState = setupRow.getLong(0)
+      val nBatchNodes =
+        if (local) batchNodeIds.length.toLong
+        else traced(batchId, "batch_nodes") { batchNodes.count() }
+      val newNodes = batchNodes.join(stateBatch.select(col("node")),
+        Seq("node"), "left_anti")
+      val nn1 = nn0 + (nBatchNodes - nState)
+      require(nn1 > 0, "PushStream: empty node set")
+      val dangFlip = setupRow.getLong(1)
       val dang1 = dang0 + dangFlip
 
       // ---- 6. the uniform part of the re-seeded residual ------------
@@ -251,7 +311,9 @@ object PushStream {
       // term(u,v) = (d·((p_u·ppm) div 1e6)) div 100 floors ALONE, so the
       // exact new-minus-old difference decomposes edge by edge; sources
       // new this batch have p = 0 on both sides (terms 0) and skip
-      val pOfSrc = touched.select(col("node").as("src"), col("p"))
+      val pOfSrc = stateBatch
+        .join(isSrc, Seq("node"), "left_semi")
+        .select(col("node").as("src"), col("p"))
       def termsOf(e: DataFrame, sign: Int): DataFrame =
         ppmOf(e).join(pOfSrc, "src")
           .select(col("dst"),
@@ -276,9 +338,10 @@ object PushStream {
           .union(seedDr.select(col("node")))
           .union(newNodes).distinct())
       val stateCand = prevStateV.map { pv =>
-        SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
-            candNodes)
-          .join(candNodes, Seq("node"), "left_semi")
+        val (base, hit) = SnapshotTable.readMatchingTilesWithSet(
+          spark, rt.state, pv, "node", candNodes)
+        accTiles(hit)
+        base.join(candNodes, Seq("node"), "left_semi")
       }.getOrElse(emptyState(spark))
       // a node new this batch starts at p = 0 with the full uniform
       // residual: stored = b + gterm − shift so that r_true = b + gterm
@@ -286,7 +349,6 @@ object PushStream {
         lit(0L).as("p"),
         lit(PushRank.bOf(nn1) + PushRank.gtermOf(dang1, nn1) - shift1)
           .as("r"))
-      val isSrc = srcs.select(col("src").as("node"), lit(1).as("__s"))
       var overlay = traced(batchId, "seed_overlay") { graft.CacheRegistry.materialize(
         stateCand.unionByName(newRows)
           .join(outNew.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -311,9 +373,11 @@ object PushStream {
         // never load), overlay taking precedence
         val shiftPre = shift
         val fromTable = prevStateV.map { pv =>
-          SnapshotTable.readOutsideRange(spark, rt.state, pv, "r",
-              -eps - shiftPre, eps - shiftPre)
-            .join(overlay.select(col("node")), Seq("node"), "left_anti")
+          val (base, hit) = SnapshotTable.readOutsideRangeWithTiles(
+            spark, rt.state, pv, "r", -eps - shiftPre, eps - shiftPre,
+            "node")
+          accTiles(hit)
+          base.join(overlay.select(col("node")), Seq("node"), "left_anti")
         }.getOrElse(emptyState(spark))
         val (active, nActive) = traced(batchId, s"active_r$k") {
           graft.CacheRegistry.materializeCounted(
@@ -329,15 +393,33 @@ object PushStream {
             (col("p") + col("r") + lit(shiftPre)).as("p_new"),
             col("out_n"), col("r").as("r_a"))
           // pushed dangling mass re-spreads uniformly: scalar, not rows.
-          // ONE agg job yields the dangling delta AND the positive-out
-          // frontier size (previously two jobs over the same cached set)
-          val aggRow = traced(batchId, s"dang_delta_r$k") { activeS.agg(
-            coalesce(sum(when(col("out_n") === 0,
-              col("r_a") + lit(shiftPre))), lit(0L)).as("dd"),
-            count(when(col("out_n") > 0, lit(1))).as("npos"))
-            .collect().head }
-          val dangDelta = aggRow.getLong(0)
-          val nASrcs = aggRow.getLong(1)
+          // Frontier-scale active set (≤ RangeListCap — the incremental
+          // regime): ONE collect over the already-cached active frame
+          // yields the dangling delta, the positive-out frontier size AND
+          // the source list the pruned edge read needs (previously an
+          // aggregation plus a separate collect). Past the cap: one agg
+          // job for the scalars, full scan + semi-join for the edges —
+          // the right plan when the frontier IS the corpus.
+          val (dangDelta, nASrcs, aSrcIdsOpt) =
+            if (nActive <= RangeListCap) {
+              val rows = traced(batchId, s"active_collect_r$k") {
+                active.select(col("node"), col("out_n"), col("r"))
+                  .collect() }
+              var dd = 0L
+              val b = Array.newBuilder[Long]
+              rows.foreach { r =>
+                if (r.getLong(1) == 0L) dd += r.getLong(2) + shiftPre
+                else b += r.getLong(0) }
+              val ids = b.result()
+              (dd, ids.length.toLong, Some(ids))
+            } else {
+              val aggRow = traced(batchId, s"dang_delta_r$k") { activeS.agg(
+                coalesce(sum(when(col("out_n") === 0,
+                  col("r_a") + lit(shiftPre))), lit(0L)).as("dd"),
+                count(when(col("out_n") > 0, lit(1))).as("npos"))
+                .collect().head }
+              (aggRow.getLong(0), aggRow.getLong(1), None)
+            }
           shift += PushRank.gtermOf(dang + dangDelta, nn1) -
             PushRank.gtermOf(dang, nn1)
           dang += dangDelta
@@ -346,21 +428,29 @@ object PushStream {
           // incremental regime, one full scan + semi-join past
           // RangeListCap (bulk convergence, where the frontier IS the
           // corpus and a range list would be corpus-scale)
-          val aSrcF = activeS.filter(col("out_n") > 0).select(col("src"))
           val aEdges =
             if (nASrcs == 0) emptyEdges(spark)
             else {
-              val base =
-                if (nASrcs > RangeListCap)
+              val idsOpt = aSrcIdsOpt.orElse(
+                if (nASrcs > RangeListCap) None
+                else Some(traced(batchId, s"asrc_collect_r$k") {
+                  activeS.filter(col("out_n") > 0).select(col("src"))
+                    .collect().map(_.getLong(0)) }))
+              idsOpt match {
+                case Some(ids) =>
+                  SnapshotTable.readPrunedRanges(spark, rt.edges, v,
+                      "edge_key",
+                      ids.sorted.map(s => (s"$s ", s"$s!")).toSeq)
+                    .filter(col("n") > 0)
+                    .join(ids.toSeq.toDF("src"), Seq("src"), "left_semi")
+                    .select(col("src"), col("dst"), col("n"))
+                case None =>
                   SnapshotTable.readVersion(spark, rt.edges, v)
-                else SnapshotTable.readPrunedRanges(spark, rt.edges, v,
-                  "edge_key",
-                  traced(batchId, s"asrc_collect_r$k") {
-                    aSrcF.collect().map(_.getLong(0)).sorted
-                      .map(s => (s"$s ", s"$s!")).toSeq })
-              base.filter(col("n") > 0)
-                .join(aSrcF, Seq("src"), "left_semi")
-                .select(col("src"), col("dst"), col("n"))
+                    .filter(col("n") > 0)
+                    .join(activeS.filter(col("out_n") > 0)
+                      .select(col("src")), Seq("src"), "left_semi")
+                    .select(col("src"), col("dst"), col("n"))
+              }
             }
           // persisted: drR feeds the out-neighbor tile discovery AND
           // both overlay branches (three consumers of the pruned-edge
@@ -378,9 +468,10 @@ object PushStream {
           val needFromTable = drR.select(col("node"))
             .join(overlay.select(col("node")), Seq("node"), "left_anti")
           val tableRows = prevStateV.map { pv =>
-            SnapshotTable.readMatchingTiles(spark, rt.state, pv, "node",
-                needFromTable)
-              .join(needFromTable, Seq("node"), "left_semi")
+            val (base, hit) = SnapshotTable.readMatchingTilesWithSet(
+              spark, rt.state, pv, "node", needFromTable)
+            accTiles(hit)
+            base.join(needFromTable, Seq("node"), "left_semi")
           }.getOrElse(emptyState(spark))
           // pushed node: p += r_true, stored r ← (incoming dr − shiftPre)
           // (gterm's uniform shift cancels into `shift` for everyone);
@@ -413,9 +504,14 @@ object PushStream {
         case None => SnapshotTable.publish(overlay, rt.state, v,
           statsCols = Seq("node", "r"), clusterFiles = Some(clusterFiles),
           rowFingerprints = false)
-        case Some(_) =>
+        case Some(pv) =>
+          // tilesAcc is the union of every prevStateV read's hit tiles —
+          // a SUPERSET of the overlay's tiles (see its declaration), so
+          // merge skips its own key→tile discovery job; an extra tile
+          // rewrites to identical content
           SnapshotTable.merge(overlay, rt.state, "node", v,
-            clusterFiles = Some(clusterFiles), rowFingerprints = false)
+            clusterFiles = Some(clusterFiles), rowFingerprints = false,
+            knownChangedTiles = tilesAcc.map(t => (pv, t)))
       } }
       import spark.implicits._
       traced(batchId, "scalars_commit") { SnapshotTable.publish(Seq((nn1, dang, shift)).toDF(
