@@ -41,6 +41,7 @@ object Bench {
     "embed_outliers" -> Seq("clusterCurate"),
     "embed_pc_projection" -> Seq("embed_fx"),
     "knn_classify" -> Seq("knn"),
+    "pagerank_stream_periodic" -> Seq("pageevents", "pagepairs"),
     "pipeline_manifest" -> Seq("pm_dup_losers", "pm_sem_losers",
       "pm_span_losers", "vecs"),
     "search_hybrid_rrf" -> Seq("doc_embed"),
