@@ -39,6 +39,14 @@ object Graph {
   /** Page-transition edges (src, dst, n): [[Behavior.sessionPairs]] (the
     * shared sessionized-pair rule) with pages as nodes, counted.
     */
+  private[graft] def pageEdges(ev: DataFrame): DataFrame =
+    Behavior.sessionPairs(ev, "page")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[pageEdges]] off the session-shared [[pagePairs]] frame — the form
+    * every rank QUERY uses, so the window pass runs once per session.
+    */
   private[graft] def pageEdges(spark: SparkSession, sfDir: String): DataFrame =
     pagePairs(spark, sfDir)
       .groupBy(col("src"), col("dst"))

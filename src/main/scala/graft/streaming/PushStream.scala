@@ -379,11 +379,23 @@ object PushStream {
           accTiles(hit)
           base.join(overlay.select(col("node")), Seq("node"), "left_anti")
         }.getOrElse(emptyState(spark))
-        val (active, nActive) = traced(batchId, s"active_r$k") {
-          graft.CacheRegistry.materializeCounted(
-            fromTable.unionByName(overlay)
-              .filter(abs(col("r") + lit(shiftPre)) > eps)) }
-        if (nActive == 0) {
+        // the active frame is persisted LAZILY (the bounded collect below
+        // is its first action and populates the cache); the round's
+        // lineage cut stays with the overlay materialize, so plan depth
+        // is still constant per round
+        val active = graft.CacheRegistry.persist(
+          fromTable.unionByName(overlay)
+            .filter(abs(col("r") + lit(shiftPre)) > eps))
+        // ONE bounded collect answers FOUR questions that were previously
+        // separate jobs: is the round drained, the dangling delta, the
+        // positive-out frontier size, and the source list the pruned
+        // edge read needs. Past the cap (bulk convergence): one agg job
+        // for the scalars, full scan + semi-join for the edges — the
+        // right plan when the frontier IS the corpus.
+        val actRows = traced(batchId, s"active_collect_r$k") {
+          active.select(col("node"), col("out_n"), col("r"))
+            .limit(RangeListCap.toInt + 1).collect() }
+        if (actRows.isEmpty) {
           // an empty active set makes this and all remaining rounds the
           // identity (the oracle's CASE mirrors this as a no-op)
           drained = true
@@ -392,22 +404,12 @@ object PushStream {
             col("p").as("p_old"),
             (col("p") + col("r") + lit(shiftPre)).as("p_new"),
             col("out_n"), col("r").as("r_a"))
-          // pushed dangling mass re-spreads uniformly: scalar, not rows.
-          // Frontier-scale active set (≤ RangeListCap — the incremental
-          // regime): ONE collect over the already-cached active frame
-          // yields the dangling delta, the positive-out frontier size AND
-          // the source list the pruned edge read needs (previously an
-          // aggregation plus a separate collect). Past the cap: one agg
-          // job for the scalars, full scan + semi-join for the edges —
-          // the right plan when the frontier IS the corpus.
+          // pushed dangling mass re-spreads uniformly: scalar, not rows
           val (dangDelta, nASrcs, aSrcIdsOpt) =
-            if (nActive <= RangeListCap) {
-              val rows = traced(batchId, s"active_collect_r$k") {
-                active.select(col("node"), col("out_n"), col("r"))
-                  .collect() }
+            if (actRows.length <= RangeListCap) {
               var dd = 0L
               val b = Array.newBuilder[Long]
-              rows.foreach { r =>
+              actRows.foreach { r =>
                 if (r.getLong(1) == 0L) dd += r.getLong(2) + shiftPre
                 else b += r.getLong(0) }
               val ids = b.result()
